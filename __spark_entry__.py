@@ -1,38 +1,120 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash). Queries map 1:1 to SURVEY.md §2 operators; the BM25 /
+normalization / combination math is shared with the DuckDB oracle through
+``neural_search_spark.oracle`` (single source of truth).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Fixed query-term sets over the driver `documents` table (FIXTURES.md §2):
+# rare-ish terms, a stop-word-like head term, multi-term AND/OR.
+TERMS_OR = ["spark", "window", "merge"]
+TERMS_AND = ["data", "query", "table"]
+TERM_COMMON = ["the"]
+TERM_RARE = ["dup"]  # df=25 at sf0.01 vs ~380 for head terms — genuinely rare
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 (quantized Lucene norms) on sf0.001 docs."""
+    from neural_search_spark.query.exhaustive import bm25_scores, topk
+
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    return topk(bm25_scores(docs, TERMS_OR, round_to=None), k=10)
+
+
+# --- query registry ---------------------------------------------------
+
+def _q_bm25_or(spark, sf_dir):
+    from neural_search_spark.query.exhaustive import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), TERMS_OR)
+
+
+def _q_bm25_common(spark, sf_dir):
+    from neural_search_spark.query.exhaustive import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), TERM_COMMON)
+
+
+def _q_bm25_rare(spark, sf_dir):
+    from neural_search_spark.query.exhaustive import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), TERM_RARE)
+
+
+def _q_bm25_and(spark, sf_dir):
+    from neural_search_spark.query.exhaustive import bm25_conjunctive
+
+    return bm25_conjunctive(_docs(spark, sf_dir), TERMS_AND)
+
+
+def _q_bm25_topk(spark, sf_dir):
+    from neural_search_spark.query.exhaustive import bm25_scores, topk
+
+    return topk(bm25_scores(_docs(spark, sf_dir), TERMS_OR, round_to=None), k=10)
+
+
+def _q_doc_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.exhaustive import tokenized
+
+    tok = tokenized(_docs(spark, sf_dir))
+    return tok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        F.round(F.sum("dl") * F.lit(1.0) / F.count(F.lit(1)), 4).alias("avgdl"),
+    )
+
+
+def _q_term_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.exhaustive import tokenized
+
+    tok = tokenized(_docs(spark, sf_dir))
+    return (
+        tok.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"), F.count(F.lit(1)).alias("cf"))
+        .where(F.col("df") >= 50)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bm25_or_scores": _q_bm25_or,
+        "bm25_common_term": _q_bm25_common,
+        "bm25_rare_term": _q_bm25_rare,
+        "bm25_and_scores": _q_bm25_and,
+        "bm25_topk": _q_bm25_topk,
+        "doc_stats": _q_doc_stats,
+        "term_stats": _q_term_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from neural_search_spark import oracle
+
+    return {
+        "bm25_or_scores": oracle.bm25_scores_sql(TERMS_OR),
+        "bm25_common_term": oracle.bm25_scores_sql(TERM_COMMON),
+        "bm25_rare_term": oracle.bm25_scores_sql(TERM_RARE),
+        "bm25_and_scores": oracle.bm25_conjunctive_sql(TERMS_AND),
+        "bm25_topk": oracle.bm25_topk_sql(TERMS_OR, k=10),
+        "doc_stats": oracle.doc_stats_sql(),
+        "term_stats": oracle.term_stats_sql(min_df=50),
+    }

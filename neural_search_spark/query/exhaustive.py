@@ -1,0 +1,111 @@
+"""Exhaustive (non-pruned) BM25 scoring as a pure DataFrame pipeline.
+
+This is Milestone 0 of SURVEY.md §7.1: tokenize → explode → TF →
+term-stats join → per-doc score. It is fully Catalyst-visible (filter
+pushdown into the parquet scan, broadcast joins for the tiny term-stats
+side, partial aggregation for TF) and serves as the semantic reference
+for the block-max WAND path (query/wand.py must be rank-identical).
+
+Scores are computed in float64 (Spark doubles) and optionally rounded so
+the DuckDB oracle hash-matches (see neural_search_spark/oracle.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.norms import quantized_dl_sql
+from ..functions.tokenize import simple_tokens_sql
+from .bm25 import B, K1, bm25_sql
+
+
+def tokenized(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, toks array<string>, dl) with the SQL-expressible analyzer."""
+    spark_expr, _ = simple_tokens_sql(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(spark_expr).alias("toks"),
+    ).withColumn("dl", F.size("toks"))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    quantize: bool = True,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Score every matching doc for an OR query over ``terms``.
+
+    Returns (doc_id, score) for docs matching >= 1 term. The per-doc sum
+    over query-term contributions follows Lucene BM25 semantics
+    (query/bm25.py); ``quantize`` applies the SmallFloat length ladder.
+    """
+    tok = tokenized(docs, id_col, text_col)
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("N"),
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dl_expr = quantized_dl_sql("dl") if quantize else "dl"
+    exploded = (
+        tok.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = exploded.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl", k1=k1, b=b)
+    scored = (
+        exploded.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", F.expr(contrib))
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round("score", round_to))
+    return scored
+
+
+def bm25_conjunctive(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int | None = 4,
+    **kw,
+) -> DataFrame:
+    """AND semantics: only docs containing *all* terms, BM25-scored."""
+    uniq = sorted(set(terms))
+    scored = bm25_scores(docs, uniq, id_col, text_col, round_to=None, **kw)
+    tok = tokenized(docs, id_col, text_col)
+    matched_all = (
+        tok.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .where(F.col("nt") == len(uniq))
+        .select("doc_id")
+    )
+    out = scored.join(matched_all, "doc_id")
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out
+
+
+def topk(scores: DataFrame, k: int = 10, round_to: int | None = 4) -> DataFrame:
+    """Deterministic top-k: (score desc, doc_id asc) — the tiebreak the
+    whole engine standardizes on (SURVEY.md §7.0)."""
+    # orderBy + limit compiles to TakeOrderedAndProject (distributed
+    # per-partition top-k + merge — no single-partition global sort);
+    # the row_number window then runs over only k rows.
+    top = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    out = top.withColumn("rank", F.row_number().over(w)).select("doc_id", "score", "rank")
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out
