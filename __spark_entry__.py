@@ -27,6 +27,41 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _doc_index(spark: SparkSession, sf_dir: str):
+    """Segmented inverted index over the documents table (cached per sf)."""
+    import hashlib
+
+    from neural_search_spark.index.builder import build_index
+    from neural_search_spark.query.wand import IndexReader
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    idx_dir = os.path.join("/tmp/nss_cache", f"docidx_{key}")
+    if not os.path.exists(os.path.join(idx_dir, "index_meta.json")):
+        build_index(
+            spark, _docs(spark, sf_dir), idx_dir,
+            key_cols=["doc_id"], text_col="text", tokenizer="simple",
+            num_segments=4, range_block=128,
+        )
+    reader = IndexReader(spark, idx_dir)
+    _INDEX_CACHE[key] = reader
+    return reader
+
+
+def _ranked(df: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return df.select(
+        "doc_id", F.round("score", 4).alias("score"), F.row_number().over(w).cast("int").alias("rank")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 (quantized Lucene norms) on sf0.001 docs."""
     from neural_search_spark.query.exhaustive import bm25_scores, topk
@@ -94,6 +129,20 @@ def _q_term_stats(spark, sf_dir):
     )
 
 
+def _q_indexed_topk(spark, sf_dir):
+    from neural_search_spark.query.wand import bm25_topk_indexed
+
+    top = bm25_topk_indexed(_doc_index(spark, sf_dir), TERMS_OR, k=10, mode="or")
+    return _ranked(top)
+
+
+def _q_indexed_and_topk(spark, sf_dir):
+    from neural_search_spark.query.wand import bm25_topk_indexed
+
+    top = bm25_topk_indexed(_doc_index(spark, sf_dir), TERMS_AND, k=10, mode="and")
+    return _ranked(top)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_or_scores": _q_bm25_or,
@@ -103,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "doc_stats": _q_doc_stats,
         "term_stats": _q_term_stats,
+        "indexed_bm25_topk": _q_indexed_topk,
+        "indexed_bm25_and_topk": _q_indexed_and_topk,
     }
 
 
@@ -117,4 +168,6 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": oracle.bm25_topk_sql(TERMS_OR, k=10),
         "doc_stats": oracle.doc_stats_sql(),
         "term_stats": oracle.term_stats_sql(min_df=50),
+        "indexed_bm25_topk": oracle.bm25_topk_sql(TERMS_OR, k=10),
+        "indexed_bm25_and_topk": oracle.bm25_and_topk_sql(TERMS_AND, k=10),
     }

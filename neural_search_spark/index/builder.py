@@ -1,0 +1,291 @@
+"""Distributed inverted-index (segment) builder.
+
+Architecture (Spark-first, mirrors Lucene's segment model rather than the
+reference's per-node shards — SURVEY.md §1.4 "Shard → partition"):
+
+* Each document is deterministically assigned to a **segment** by
+  ``xxhash64(key) % num_segments`` — never by Spark's nondeterministic
+  partitioner, so resume/scaling runs produce the identical index
+  (FIXTURES.md §5).
+* ``groupBy(segment_id).applyInPandas`` builds each segment's full
+  postings locally (Arrow-vectorized kernel, functions/tokenize.py).
+  There is **no global groupBy(term)**: term skew (`def`, `return`, ...
+  stop-word-like tokens, north rule) cannot create a hot shuffle key
+  because the only shuffle key is segment_id, which is uniform by
+  construction. A segment's postings for a term are bounded by the
+  segment's doc count — this IS the salting strategy, structurally.
+* Postings are stored in **doc-range blocks** (all terms share block
+  boundaries: ``local_id // range_block``), delta+varint encoded
+  (functions/codecs.py) with per-block max-score metadata
+  (``max_tf``, ``min_dl_q``) — the role Lucene's 128-posting blocks +
+  ``advanceShallow`` play for HybridScoreBlockBoundaryPropagator
+  (reference: query/HybridScoreBlockBoundaryPropagator.java:25-99).
+  Aligned doc ranges let the WAND kernel prune *across* terms with pure
+  numpy (query/wand.py).
+* Output layout (all parquet, partitioned by segment_id so query-time
+  term filters prune row groups within a segment file):
+
+    <index>/postings/segment_id=N/...   term-sorted posting blocks
+    <index>/docmap/segment_id=N/...     doc_id ↔ source key + sha256
+    <index>/manifest/...                per-segment lineage + metrics
+
+* Resume: a segment is complete iff its manifest row exists. Re-running
+  with ``resume=True`` rebuilds only missing segments; writes use
+  dynamic partition overwrite so replays are idempotent (north rule:
+  "resumable from per-partition checkpoints").
+
+Internal doc ids are ``segment_id * 2**40 + local_id`` with local ids
+dense in sorted key order — stable under any parallelism.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.codecs import varint_encode
+from ..functions.norms import int_to_byte4
+from ..functions.tokenize import term_freq_frame, tokenize_code, tokenize_simple
+
+SEG_SHIFT = 40  # doc_id = (segment_id << 40) | local_id
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("segment_id", T.IntegerType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("min_dl_q", T.IntegerType(), False),
+        T.StructField("sum_tf", T.LongType(), False),
+        T.StructField("docs", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("norms", T.BinaryType(), False),
+    ]
+)
+
+TOKENIZERS = {"code": tokenize_code, "simple": tokenize_simple}
+
+
+def paths(index_dir: str) -> dict[str, str]:
+    return {
+        "postings": os.path.join(index_dir, "postings"),
+        "docmap": os.path.join(index_dir, "docmap"),
+        "manifest": os.path.join(index_dir, "manifest"),
+        "meta": os.path.join(index_dir, "index_meta.json"),
+    }
+
+
+def _segment_expr(key_cols: list[str], num_segments: int):
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    return F.pmod(F.xxhash64(key), F.lit(num_segments)).cast("int")
+
+
+def _build_segment_kernel(tokenizer_name: str, text_col: str, key_cols: list[str], range_block: int):
+    tokenizer = TOKENIZERS[tokenizer_name]
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "segment_id": pd.Series(dtype=np.int32),
+                "term": pd.Series(dtype=object),
+                "block_id": pd.Series(dtype=np.int32),
+                "n": pd.Series(dtype=np.int32),
+                "max_tf": pd.Series(dtype=np.int32),
+                "min_dl_q": pd.Series(dtype=np.int32),
+                "sum_tf": pd.Series(dtype=np.int64),
+                "docs": pd.Series(dtype=object),
+                "tfs": pd.Series(dtype=object),
+                "norms": pd.Series(dtype=object),
+            }
+        )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.codecs import varint_nbytes
+        from ..functions.norms import quantize_length
+
+        seg = int(pdf["segment_id"].iloc[0])
+        pdf = pdf.sort_values(key_cols, kind="mergesort").reset_index(drop=True)
+        local_ids = pd.Series(np.arange(len(pdf), dtype=np.int64))
+        tf = term_freq_frame(pdf[text_col], local_ids, tokenizer=tokenizer)
+        if len(tf) == 0:
+            return _empty()
+        tf = tf.assign(
+            norm=int_to_byte4(tf["dl"].to_numpy()),
+            dl_q=quantize_length(tf["dl"].to_numpy()),
+            block_id=(tf["doc_id"] // range_block).astype(np.int32),
+        ).sort_values(["term", "block_id", "doc_id"], kind="mergesort")
+        terms = tf["term"].to_numpy()
+        blocks = tf["block_id"].to_numpy(dtype=np.int64)
+        docs = tf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = tf["tf"].to_numpy(dtype=np.int64)
+        norms = tf["norm"].to_numpy(dtype=np.uint8)
+        dls_q = tf["dl_q"].to_numpy(dtype=np.int64)
+
+        new = np.r_[True, (terms[1:] != terms[:-1]) | (blocks[1:] != blocks[:-1])]
+        starts = np.flatnonzero(new)
+        n_per = np.diff(np.r_[starts, len(tf)])
+        # vectorized per-group delta: first posting relative to block base
+        deltas = np.empty(len(docs), dtype=np.int64)
+        deltas[1:] = docs[1:] - docs[:-1]
+        deltas[starts] = docs[starts] - blocks[starts] * range_block
+        # encode the WHOLE stream once; split by per-group byte offsets
+        doc_bytes = np.frombuffer(varint_encode(deltas), dtype=np.uint8)
+        tf_bytes = np.frombuffer(varint_encode(tfs), dtype=np.uint8)
+        doc_off = np.r_[0, np.cumsum(varint_nbytes(deltas))]
+        tf_off = np.r_[0, np.cumsum(varint_nbytes(tfs))]
+        bounds = np.r_[starts, len(tf)]
+        doc_b = doc_bytes.tobytes()
+        tf_b = tf_bytes.tobytes()
+        norm_b = norms.tobytes()
+        out = pd.DataFrame(
+            {
+                "segment_id": np.full(len(starts), seg, dtype=np.int32),
+                "term": terms[starts],
+                "block_id": blocks[starts].astype(np.int32),
+                "n": n_per.astype(np.int32),
+                "max_tf": np.maximum.reduceat(tfs, starts).astype(np.int32),
+                "min_dl_q": np.minimum.reduceat(dls_q, starts).astype(np.int32),
+                "sum_tf": np.add.reduceat(tfs, starts).astype(np.int64),
+                "docs": [doc_b[doc_off[bounds[i]]:doc_off[bounds[i + 1]]] for i in range(len(starts))],
+                "tfs": [tf_b[tf_off[bounds[i]]:tf_off[bounds[i + 1]]] for i in range(len(starts))],
+                "norms": [norm_b[bounds[i]:bounds[i + 1]] for i in range(len(starts))],
+            }
+        )
+        return out
+
+    return build
+
+
+def docmap_df(
+    corpus: DataFrame,
+    key_cols: list[str],
+    text_col: str,
+    num_segments: int,
+) -> DataFrame:
+    """(segment_id, local_id, nss_doc_id, <key cols>, sha256) — Catalyst-only."""
+    from pyspark.sql import Window
+
+    seg = _segment_expr(key_cols, num_segments)
+    w = Window.partitionBy("segment_id").orderBy(*[F.col(c) for c in key_cols])
+    return (
+        corpus.withColumn("segment_id", seg)
+        .withColumn("local_id", F.row_number().over(w).cast("long") - 1)
+        .withColumn("nss_doc_id", (F.col("segment_id").cast("long") * F.lit(1 << SEG_SHIFT)) + F.col("local_id"))
+        .withColumn("sha256", F.sha2(F.col(text_col), 256))
+        .select("segment_id", "local_id", "nss_doc_id", *key_cols, "sha256")
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    key_cols: list[str],
+    text_col: str = "content",
+    tokenizer: str = "code",
+    num_segments: int = 8,
+    range_block: int = 4096,
+    resume: bool = False,
+    build_id: str | None = None,
+) -> dict:
+    """Build (or resume) the index; returns build metrics.
+
+    Metrics per segment (docs tokenized, postings emitted, bytes
+    compressed — north rule) land in ``<index>/manifest``.
+    """
+    p = paths(index_dir)
+    done: set[int] = set()
+    if resume and os.path.exists(p["manifest"]):
+        try:
+            done = {int(r.segment_id) for r in spark.read.parquet(p["manifest"]).select("segment_id").collect()}
+        except Exception:
+            done = set()
+    # resume appends only missing segments (dynamic partition overwrite);
+    # a fresh build statically overwrites so stale partitions can't linger
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic" if done else "static")
+
+    t0 = time.time()
+    with_seg = corpus.withColumn("segment_id", _segment_expr(key_cols, num_segments))
+    todo = with_seg.where(~F.col("segment_id").isin(sorted(done))) if done else with_seg
+
+    kernel = _build_segment_kernel(tokenizer, text_col, key_cols, range_block)
+    postings = todo.select("segment_id", text_col, *key_cols).groupBy("segment_id").applyInPandas(
+        kernel, schema=POSTINGS_SCHEMA
+    )
+    postings.write.mode("overwrite").partitionBy("segment_id").parquet(p["postings"])
+
+    dm = docmap_df(todo.drop("segment_id"), key_cols, text_col, num_segments)
+    dm.write.mode("overwrite").partitionBy("segment_id").parquet(p["docmap"])
+
+    built = spark.read.parquet(p["postings"])
+    dm_read = spark.read.parquet(p["docmap"])
+    seg_stats = (
+        built.groupBy("segment_id")
+        .agg(
+            F.sum("sum_tf").alias("total_tokens"),
+            F.sum("n").alias("postings_emitted"),
+            F.count(F.lit(1)).alias("blocks"),
+            (F.sum(F.length("docs")) + F.sum(F.length("tfs")) + F.sum(F.length("norms"))).alias(
+                "bytes_compressed"
+            ),
+        )
+        .join(dm_read.groupBy("segment_id").agg(F.count(F.lit(1)).alias("docs_tokenized")), "segment_id", "outer")
+        .na.fill(0)
+        .withColumn("build_id", F.lit(build_id or f"build-{int(t0)}"))
+        .withColumn("built_at_unix", F.lit(int(t0)))
+        .withColumn("tokenizer", F.lit(tokenizer))
+        .withColumn("range_block", F.lit(range_block))
+    )
+    seg_stats.write.mode("overwrite").parquet(p["manifest"])
+
+    meta = {
+        "num_segments": num_segments,
+        "range_block": range_block,
+        "tokenizer": tokenizer,
+        "key_cols": key_cols,
+        "text_col": text_col,
+        "seg_shift": SEG_SHIFT,
+    }
+    with open(p["meta"], "w") as fh:
+        json.dump(meta, fh)
+
+    agg = seg_stats.agg(
+        F.sum("docs_tokenized").alias("docs"),
+        F.sum("postings_emitted").alias("postings"),
+        F.sum("bytes_compressed").alias("bytes"),
+        F.sum("total_tokens").alias("tokens"),
+    ).collect()[0]
+    return {
+        "docs": agg["docs"],
+        "postings": agg["postings"],
+        "bytes_compressed": agg["bytes"],
+        "total_tokens": agg["tokens"],
+        "wall_sec": time.time() - t0,
+        "segments_built": num_segments - len(done),
+        "segments_skipped": len(done),
+    }
+
+
+def verify_sha256(spark: SparkSession, corpus: DataFrame, index_dir: str) -> int:
+    """Per-row content sha256 equality vs source (input_hint invariant).
+
+    Returns the number of mismatching/missing rows (0 = pass).
+    """
+    p = paths(index_dir)
+    with open(p["meta"]) as fh:
+        meta = json.load(fh)
+    key_cols, text_col = meta["key_cols"], meta["text_col"]
+    src = corpus.select(*key_cols, F.sha2(F.col(text_col), 256).alias("src_sha"))
+    dm = spark.read.parquet(p["docmap"]).select(*key_cols, F.col("sha256").alias("idx_sha"))
+    joined = src.join(dm, key_cols, "full_outer")
+    return joined.where(
+        F.col("src_sha").isNull() | F.col("idx_sha").isNull() | (F.col("src_sha") != F.col("idx_sha"))
+    ).count()

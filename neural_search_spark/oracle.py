@@ -97,6 +97,29 @@ ORDER BY scored.score DESC, scored.doc_id ASC
 LIMIT {k}"""
 
 
+def bm25_and_topk_sql(
+    terms: list[str],
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    uniq = sorted(set(terms))
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    return f"""{bm25_base_ctes(uniq, table)},
+scored AS (
+  SELECT tf.doc_id AS doc_id, sum({contrib}) AS score,
+         count(DISTINCT tf.term) AS nt
+  FROM tf JOIN dfreq USING (term), stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(scored.score, {round_to}) AS score,
+       CAST(row_number() OVER (ORDER BY scored.score DESC, scored.doc_id ASC) AS INT) AS rank
+FROM scored WHERE nt = {len(uniq)}
+ORDER BY scored.score DESC, scored.doc_id ASC
+LIMIT {k}"""
+
+
 def doc_stats_sql(table: str = "documents") -> str:
     _, duck_toks = simple_tokens_sql("text")
     return f"""

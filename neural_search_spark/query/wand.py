@@ -1,0 +1,245 @@
+"""Block-max pruned BM25 top-k over the segmented index.
+
+The role of the reference's block-max machinery
+(query/HybridScoreBlockBoundaryPropagator.java:25-99 — sort scorers by
+max score, advanceShallow to the next block boundary, drop clauses whose
+max can't beat the current min-competitive score) re-expressed for a
+vectorized executor:
+
+* postings blocks are **doc-range aligned across terms** (index/builder),
+  so a per-range upper bound is just the sum of the query terms'
+  per-block bounds: ub(range) = Σ_t idf_t · bound(max_tf_t, min_dl_q_t).
+* each segment's kernel sorts ranges by ub desc and scores them with a
+  dense numpy accumulator (np.add.at over local offsets); once k results
+  are held and the next range's ub < θ (the current k-th score), every
+  remaining range is provably non-competitive — the whole tail is
+  skipped. This is exact top-k (same guarantee as Block-Max WAND,
+  Ding & Suel 2011), not an approximation.
+* per-segment top-k partial results are tiny (k rows/segment); the
+  global merge is orderBy(score desc, doc_id asc).limit(k) —
+  TakeOrderedAndProject, no wide shuffle. Mirrors
+  HybridTopScoreDocCollector (one bounded heap per scorer) +
+  TopDocsMerger (reference search/collector, search/query).
+
+Float discipline: ``dtype="float32"`` gives Lucene-parity arithmetic
+(scores within DELTA_FOR_SCORE_ASSERTION=0.001 of the reference's,
+ranks identical); ``"float64"`` bit-matches the SQL oracles.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.codecs import varint_decode
+from ..functions.norms import byte4_to_int
+from ..index.builder import SEG_SHIFT, paths
+from .bm25 import B, K1
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("segment_id", T.IntegerType(), False),
+        T.StructField("nss_doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+        T.StructField("matched_terms", T.IntegerType(), False),
+    ]
+)
+
+
+class IndexReader:
+    """Lazy handles on a built index + cached global stats."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.p = paths(index_dir)
+        with open(self.p["meta"]) as fh:
+            self.meta = json.load(fh)
+        self._stats: tuple[int, float] | None = None
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(self.p["postings"])
+
+    def docmap(self) -> DataFrame:
+        return self.spark.read.parquet(self.p["docmap"])
+
+    def manifest(self) -> DataFrame:
+        return self.spark.read.parquet(self.p["manifest"])
+
+    def global_stats(self) -> tuple[int, float]:
+        """(N, avgdl) from the per-segment manifest (tiny)."""
+        if self._stats is None:
+            row = self.manifest().agg(
+                F.sum("docs_tokenized").alias("N"), F.sum("total_tokens").alias("tok")
+            ).collect()[0]
+            n = int(row["N"])
+            self._stats = (n, (int(row["tok"]) / n) if n else 0.0)
+        return self._stats
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Global df per query term = Σ blocks' n (each posting is one doc)."""
+        rows = (
+            self.postings()
+            .where(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+
+def _wand_kernel(
+    terms: list[str],
+    idf_by_term: dict[str, float],
+    avgdl: float,
+    k: int,
+    range_block: int,
+    mode: str,
+    dtype: str,
+    k1: float = K1,
+    b: float = B,
+):
+    """Per-segment kernel: exact top-k with block-max range pruning."""
+    ft = np.float32 if dtype == "float32" else np.float64
+    n_terms = len(terms)
+    term_order = {t: i for i, t in enumerate(sorted(terms))}
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"segment_id": pd.Series(dtype=np.int32), "nss_doc_id": pd.Series(dtype=np.int64),
+                 "score": pd.Series(dtype=np.float64), "matched_terms": pd.Series(dtype=np.int32)}
+            )
+        seg = int(pdf["segment_id"].iloc[0])
+        idf = np.array([idf_by_term[t] for t in pdf["term"]], dtype=ft)
+        max_tf = pdf["max_tf"].to_numpy(dtype=np.float64).astype(ft)
+        min_dl = pdf["min_dl_q"].to_numpy(dtype=np.float64).astype(ft)
+        k1f, bf, av = ft(k1), ft(b), ft(avgdl)
+        ub_row = idf * (max_tf / (max_tf + k1f * (ft(1.0) - bf + bf * min_dl / av)))
+
+        blocks = pdf["block_id"].to_numpy(dtype=np.int64)
+        uniq_blocks, inv = np.unique(blocks, return_inverse=True)
+        block_ub = np.zeros(len(uniq_blocks), dtype=np.float64)
+        np.add.at(block_ub, inv, ub_row.astype(np.float64))
+        if mode == "and":
+            # a range missing any term can't produce a conjunctive match
+            tcount = np.zeros(len(uniq_blocks), dtype=np.int64)
+            np.add.at(tcount, inv, 1)
+            block_ub[tcount < n_terms] = -np.inf
+        order = np.argsort(-block_ub, kind="mergesort")
+
+        top_docs = np.empty(0, dtype=np.int64)
+        top_scores = np.empty(0, dtype=np.float64)
+        top_counts = np.empty(0, dtype=np.int64)
+        theta = -np.inf
+        rows_by_block: dict[int, list[int]] = {}
+        for ri, bi in enumerate(inv):
+            rows_by_block.setdefault(int(bi), []).append(ri)
+
+        for bi in order:
+            ub = block_ub[bi]
+            if ub == -np.inf:
+                break
+            if len(top_docs) >= k and ub < theta:
+                break  # ranges sorted by ub desc — tail is non-competitive
+            base = int(uniq_blocks[bi]) * range_block
+            acc = np.zeros(range_block, dtype=ft)
+            cnt = np.zeros(range_block, dtype=np.int32)
+            # accumulate per term in sorted-term order → deterministic sums
+            rlist = sorted(rows_by_block[int(bi)], key=lambda r: term_order[pdf["term"].iloc[r]])
+            for r in rlist:
+                offs = (
+                    np.cumsum(varint_decode(pdf["docs"].iloc[r]).astype(np.int64)) - 0
+                )  # deltas: first is rel to base
+                local = offs  # already relative to block base
+                tfv = varint_decode(pdf["tfs"].iloc[r]).astype(np.float64).astype(ft)
+                dlq = byte4_to_int(np.frombuffer(pdf["norms"].iloc[r], dtype=np.uint8)).astype(ft)
+                contrib = idf[r] * (tfv / (tfv + k1f * (ft(1.0) - bf + bf * dlq / av)))
+                acc[local] += contrib
+                cnt[local] += 1
+            hit = np.flatnonzero(cnt > 0) if mode != "and" else np.flatnonzero(cnt == n_terms)
+            if len(hit) == 0:
+                continue
+            docs = base + hit
+            scores = acc[hit].astype(np.float64)
+            counts = cnt[hit].astype(np.int64)
+            top_docs = np.concatenate([top_docs, docs])
+            top_scores = np.concatenate([top_scores, scores])
+            top_counts = np.concatenate([top_counts, counts])
+            if len(top_docs) > k:
+                # keep exactly k best under (score desc, doc_id asc)
+                sel = np.lexsort((top_docs, -top_scores))[:k]
+                top_docs, top_scores, top_counts = top_docs[sel], top_scores[sel], top_counts[sel]
+            if len(top_docs) >= k:
+                theta = top_scores.min()
+
+        if len(top_docs) == 0:
+            return pd.DataFrame(
+                {"segment_id": pd.Series(dtype=np.int32), "nss_doc_id": pd.Series(dtype=np.int64),
+                 "score": pd.Series(dtype=np.float64), "matched_terms": pd.Series(dtype=np.int32)}
+            )
+        gid = (np.int64(seg) << SEG_SHIFT) + top_docs
+        return pd.DataFrame(
+            {
+                "segment_id": np.full(len(gid), seg, dtype=np.int32),
+                "nss_doc_id": gid,
+                "score": top_scores,
+                "matched_terms": top_counts.astype(np.int32),
+            }
+        )
+
+    return kernel
+
+
+def bm25_topk_indexed(
+    reader: IndexReader,
+    terms: list[str],
+    k: int = 10,
+    mode: str = "or",
+    dtype: str = "float64",
+    with_keys: bool = True,
+) -> DataFrame:
+    """Top-k BM25 via the index: broadcast query stats → per-segment
+    block-max kernel → global TakeOrderedAndProject merge."""
+    terms = sorted(set(terms))
+    N, avgdl = reader.global_stats()
+    dfs = reader.term_dfs(terms)
+    live = [t for t in terms if t in dfs]
+    spark = reader.spark
+    if not live or N == 0 or (mode == "and" and len(live) < len(terms)):
+        empty = spark.createDataFrame([], RESULT_SCHEMA)
+        return _attach_keys(reader, empty, k) if with_keys else empty
+
+    ftype = np.float32 if dtype == "float32" else np.float64
+    idf_by_term = {
+        t: float(np.log(ftype(1.0) + (ftype(N) - ftype(dfs[t]) + ftype(0.5)) / (ftype(dfs[t]) + ftype(0.5))).astype(ftype))
+        for t in live
+    }
+    kernel = _wand_kernel(live, idf_by_term, avgdl, k, int(reader.meta["range_block"]), mode, dtype)
+    per_seg = (
+        reader.postings()
+        .where(F.col("term").isin(live))
+        .groupBy("segment_id")
+        .applyInPandas(kernel, schema=RESULT_SCHEMA)
+    )
+    if not with_keys:
+        return per_seg.orderBy(F.col("score").desc(), F.col("nss_doc_id").asc()).limit(k)
+    # keys must be attached BEFORE the final cut: score ties at the k
+    # boundary are resolved on the external key (partition-invariant),
+    # and internal ids only order correctly *within* a segment.
+    return _attach_keys(reader, per_seg, k)
+
+
+def _attach_keys(reader: IndexReader, top: DataFrame, k: int) -> DataFrame:
+    """Join the (tiny) top-k against docmap to recover source keys; ties
+    re-resolved on the external key so results are partition-invariant."""
+    key_cols = reader.meta["key_cols"]
+    dm = reader.docmap().select("nss_doc_id", *key_cols)
+    out = top.join(dm, "nss_doc_id", "left")
+    return out.orderBy(F.col("score").desc(), *[F.col(c).asc() for c in key_cols]).limit(k)
