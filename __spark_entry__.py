@@ -143,6 +143,139 @@ def _q_indexed_and_topk(spark, sf_dir):
     return _ranked(top)
 
 
+HYBRID_GROUPS = [["spark"], ["window"], ["merge"]]
+HYBRID_WEIGHTS = [0.4, 0.3, 0.3]
+SPARSE_QUERY = {"spark": 1.0, "window": 0.45, "merge": 0.39, "the": 0.1}
+
+
+def _subquery_dfs(spark, sf_dir):
+    from neural_search_spark.query.exhaustive import bm25_scores
+
+    docs = _docs(spark, sf_dir)
+    return [bm25_scores(docs, g, round_to=None) for g in HYBRID_GROUPS]
+
+
+def _q_hybrid_minmax_arith(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.hybrid import combine, normalize
+
+    tagged = None
+    for i, sq in enumerate(_subquery_dfs(spark, sf_dir)):
+        t = sq.select(F.lit(i).alias("subquery_idx"), "doc_id", "score")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    out = combine(normalize(tagged, "min_max"), "arithmetic_mean", HYBRID_WEIGHTS, 3)
+    return out.withColumn("score", F.round("score", 4))
+
+
+def _q_hybrid_l2_geometric(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.hybrid import combine, normalize
+
+    tagged = None
+    for i, sq in enumerate(_subquery_dfs(spark, sf_dir)):
+        t = sq.select(F.lit(i).alias("subquery_idx"), "doc_id", "score")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    out = combine(normalize(tagged, "l2"), "geometric_mean", None, 3)
+    return out.withColumn("score", F.round("score", 4))
+
+
+def _q_hybrid_minmax_harmonic(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.hybrid import combine, normalize
+
+    tagged = None
+    for i, sq in enumerate(_subquery_dfs(spark, sf_dir)):
+        t = sq.select(F.lit(i).alias("subquery_idx"), "doc_id", "score")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    out = combine(normalize(tagged, "min_max"), "harmonic_mean", HYBRID_WEIGHTS, 3)
+    return out.withColumn("score", F.round("score", 4))
+
+
+def _sparse_features(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.exhaustive import tokenized
+
+    return (
+        tokenized(_docs(spark, sf_dir))
+        .select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+def _q_sparse_linear(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.sparse import sparse_scores
+
+    out = sparse_scores(_sparse_features(spark, sf_dir), SPARSE_QUERY)
+    return out.withColumn("score", F.round("score", 4))
+
+
+def _q_sparse_two_phase_topk(spark, sf_dir):
+    from neural_search_spark.query.sparse import sparse_topk_two_phase
+
+    return sparse_topk_two_phase(
+        _sparse_features(spark, sf_dir), SPARSE_QUERY, k=10, round_to=4
+    ).select("doc_id", "score")
+
+
+def _q_by_field_rerank(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.exhaustive import bm25_scores, topk
+    from neural_search_spark.query.rerank import by_field_rerank
+
+    docs = _docs(spark, sf_dir)
+    hits = topk(bm25_scores(docs, TERMS_OR, round_to=None), k=10, round_to=None).drop("rank")
+    return by_field_rerank(hits, docs, "n_chars").select("doc_id", "score")
+
+
+def _q_search_after(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.exhaustive import bm25_scores
+    from neural_search_spark.query.paginate import search_after
+
+    scores = bm25_scores(_docs(spark, sf_dir), TERMS_OR, round_to=None)
+    page1 = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10).collect()
+    last = page1[-1]
+    out = search_after(scores, float(last["score"]), int(last["doc_id"]), k=10)
+    return out.withColumn("score", F.round("score", 4))
+
+
+def _q_hybrid_aggs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.exhaustive import tokenized
+
+    docs = _docs(spark, sf_dir)
+    matched = (
+        tokenized(docs)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(TERMS_OR))
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        matched.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("source").alias("sources"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.sum("n_chars").cast("double"), 4).alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.stddev_samp("n_chars"), 4).alias("sd_chars"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_or_scores": _q_bm25_or,
@@ -154,6 +287,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": _q_term_stats,
         "indexed_bm25_topk": _q_indexed_topk,
         "indexed_bm25_and_topk": _q_indexed_and_topk,
+        "hybrid_minmax_arith": _q_hybrid_minmax_arith,
+        "hybrid_l2_geometric": _q_hybrid_l2_geometric,
+        "hybrid_minmax_harmonic": _q_hybrid_minmax_harmonic,
+        "sparse_linear": _q_sparse_linear,
+        "sparse_two_phase_topk": _q_sparse_two_phase_topk,
+        "by_field_rerank": _q_by_field_rerank,
+        "search_after_page2": _q_search_after,
+        "hybrid_aggs": _q_hybrid_aggs,
     }
 
 
@@ -170,4 +311,12 @@ def oracle_sql() -> dict[str, str]:
         "term_stats": oracle.term_stats_sql(min_df=50),
         "indexed_bm25_topk": oracle.bm25_topk_sql(TERMS_OR, k=10),
         "indexed_bm25_and_topk": oracle.bm25_and_topk_sql(TERMS_AND, k=10),
+        "hybrid_minmax_arith": oracle.hybrid_sql(HYBRID_GROUPS, "min_max", "arithmetic_mean", HYBRID_WEIGHTS),
+        "hybrid_l2_geometric": oracle.hybrid_sql(HYBRID_GROUPS, "l2", "geometric_mean"),
+        "hybrid_minmax_harmonic": oracle.hybrid_sql(HYBRID_GROUPS, "min_max", "harmonic_mean", HYBRID_WEIGHTS),
+        "sparse_linear": oracle.sparse_scores_sql(SPARSE_QUERY),
+        "sparse_two_phase_topk": oracle.sparse_topk_sql(SPARSE_QUERY, k=10),
+        "by_field_rerank": oracle.by_field_rerank_sql(TERMS_OR, "n_chars", k=10),
+        "search_after_page2": oracle.search_after_sql(TERMS_OR, page=2, k=10),
+        "hybrid_aggs": oracle.hybrid_aggs_sql(TERMS_OR),
     }

@@ -1,0 +1,106 @@
+"""Text chunkers (ingest processors).
+
+Reference semantics:
+ * fixed_token_length [processor/chunker/FixedTokenLengthChunker.java:
+   120-157]: tokenize, emit windows of ``token_limit`` (default 384)
+   tokens; consecutive windows overlap by floor(token_limit ×
+   overlap_rate) tokens (overlap_rate ∈ [0, 0.5], default 0.0); chunk
+   text spans from the first window token's start offset to the last's
+   end (the final chunk runs to end of string).
+ * delimiter [processor/chunker/DelimiterChunker.java:53-77]: split on a
+   literal delimiter (default "\\n\\n"), delimiter kept at the END of
+   each chunk; trailing remainder kept.
+ * max_chunk_limit (default 100) [processor/chunker/Chunker.java:18-20]:
+   when exceeded, the remainder is concatenated into the final chunk.
+
+Exposed both as pandas functions (for Arrow UDF pipelines) and as
+Spark-SQL-expressible builders so the DuckDB oracle can reproduce the
+delimiter + fixed-token variants exactly.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+
+DEFAULT_TOKEN_LIMIT = 384
+DEFAULT_OVERLAP_RATE = 0.0
+DEFAULT_DELIMITER = "\n\n"
+DEFAULT_MAX_CHUNK_LIMIT = 100
+
+_WS_TOKEN = re.compile(r"\S+")
+
+
+def chunk_fixed_token_length(
+    text: str,
+    token_limit: int = DEFAULT_TOKEN_LIMIT,
+    overlap_rate: float = DEFAULT_OVERLAP_RATE,
+    max_chunk_limit: int = DEFAULT_MAX_CHUNK_LIMIT,
+) -> list[str]:
+    if not (0.0 <= overlap_rate <= 0.5):
+        raise ValueError("overlap_rate must be in [0.0 ... 0.5]")
+    if token_limit <= 0:
+        raise ValueError("token_limit must be positive")
+    spans = [(m.start(), m.end()) for m in _WS_TOKEN.finditer(text)]
+    if not spans:
+        return []
+    overlap = math.floor(token_limit * overlap_rate)
+    step = token_limit - overlap
+    chunks: list[str] = []
+    i = 0
+    while i < len(spans):
+        # first chunk includes any leading characters; a middle chunk ends
+        # at the NEXT window's first token start; the last window (or the
+        # max_chunk_limit-th) runs to end of string — reference
+        # FixedTokenLengthChunker.java:120-157 offset semantics
+        start = 0 if i == 0 else spans[i][0]
+        if len(chunks) == max_chunk_limit - 1 or i + token_limit >= len(spans):
+            chunks.append(text[start:])
+            break
+        chunks.append(text[start:spans[i + token_limit][0]])
+        i += step
+    return chunks
+
+
+def chunk_delimiter(
+    text: str,
+    delimiter: str = DEFAULT_DELIMITER,
+    max_chunk_limit: int = DEFAULT_MAX_CHUNK_LIMIT,
+) -> list[str]:
+    if not delimiter:
+        raise ValueError("delimiter must be non-empty")
+    parts = text.split(delimiter)
+    chunks = [p + delimiter for p in parts[:-1]]
+    if parts[-1]:
+        chunks.append(parts[-1])
+    if len(chunks) > max_chunk_limit:
+        head = chunks[: max_chunk_limit - 1]
+        head.append("".join(chunks[max_chunk_limit - 1:]))
+        return head
+    return chunks
+
+
+def chunk_series(
+    texts: pd.Series, algorithm: str = "fixed_token_length", **params
+) -> pd.Series:
+    fn = {"fixed_token_length": chunk_fixed_token_length, "delimiter": chunk_delimiter}[algorithm]
+    return texts.map(lambda t: fn(t, **params))
+
+
+def delimiter_chunks_sql(col: str = "text", delimiter: str = "\n\n") -> tuple[str, str]:
+    """(spark_expr, duckdb_expr) -> array<string> of delimiter chunks
+    (delimiter kept at end; trailing remainder kept; empty tail dropped)."""
+    d_sql = delimiter.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n")
+    # split, re-append delimiter to all but the last, drop empty tail
+    spark = (
+        f"filter(transform(split({col}, '{d_sql}', -1), (x, i) -> "
+        f"IF(i < size(split({col}, '{d_sql}', -1)) - 1, concat(x, '{d_sql}'), x)), x -> x <> '')"
+    )
+    duck = (
+        f"list_filter(list_transform(str_split({col}, '{d_sql}'), "
+        f"(x, i) -> CASE WHEN i < len(str_split({col}, '{d_sql}')) THEN x || '{d_sql}' ELSE x END), "
+        f"x -> x <> '')"
+    )
+    return spark, duck

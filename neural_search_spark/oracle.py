@@ -120,6 +120,169 @@ ORDER BY scored.score DESC, scored.doc_id ASC
 LIMIT {k}"""
 
 
+def _weight_case(weights: list[float]) -> str:
+    whens = " ".join(
+        f"WHEN subquery_idx = {i} THEN {float(w)!r}" for i, w in enumerate(weights)
+    )
+    return f"(CASE {whens} END)"
+
+
+def hybrid_sql(
+    term_groups: list[list[str]],
+    normalization: str = "min_max",
+    combination: str = "arithmetic_mean",
+    weights: list[float] | None = None,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """Hybrid pipeline oracle: per-sub-query BM25 → global normalize →
+    weighted combine. Sub-queries should be single-term so per-doc score
+    doubles are bit-identical across engines (sum-order independence)."""
+    all_terms = sorted({t for g in term_groups for t in g})
+    w = weights if weights is not None else [1.0] * len(term_groups)
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    subs = []
+    for i, g in enumerate(term_groups):
+        subs.append(
+            f"sub{i} AS (SELECT doc_id, sum({contrib}) AS score "
+            f"FROM tf JOIN dfreq USING (term), stats WHERE tf.term IN {_terms_list(sorted(g))} "
+            f"GROUP BY doc_id)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS subquery_idx, doc_id, score FROM sub{i}" for i in range(len(term_groups))
+    )
+    if normalization == "min_max":
+        norm_expr = (
+            "CASE WHEN mx = mn THEN 1.0 "
+            "WHEN (a.score - mn) / (mx - mn) = 0.0 THEN 0.001 "
+            "ELSE (a.score - mn) / (mx - mn) END"
+        )
+    elif normalization == "l2":
+        norm_expr = "CASE WHEN nrm = 0.0 THEN 0.0 ELSE a.score / nrm END"
+    else:
+        raise ValueError(normalization)
+    wexpr = _weight_case(w)
+    if combination == "arithmetic_mean":
+        comb = f"sum({wexpr} * nscore) / {float(sum(w))!r}"
+        flt = "nscore >= 0.0"
+    elif combination == "harmonic_mean":
+        comb = f"sum({wexpr}) / sum({wexpr} / nscore)"
+        flt = "nscore > 0.0"
+    elif combination == "geometric_mean":
+        comb = f"exp(sum({wexpr} * ln(nscore)) / sum({wexpr}))"
+        flt = "nscore > 0.0"
+    else:
+        raise ValueError(combination)
+    return f"""{bm25_base_ctes(all_terms, table)},
+{",".join(subs)},
+allsub AS ({union}),
+nstats AS (
+  SELECT subquery_idx, min(score) AS mn, max(score) AS mx,
+         sqrt(sum(score * score)) AS nrm
+  FROM allsub GROUP BY subquery_idx
+),
+normed AS (
+  SELECT a.doc_id, a.subquery_idx, {norm_expr} AS nscore
+  FROM allsub a JOIN nstats USING (subquery_idx)
+)
+SELECT doc_id, round({comb}, {round_to}) AS score
+FROM normed WHERE {flt} GROUP BY doc_id"""
+
+
+def sparse_features_ctes(table: str = "documents") -> str:
+    """token->tf weights per doc (the rank_features analog)."""
+    _, duck_toks = simple_tokens_sql("text")
+    return f"""
+WITH feat AS (
+  SELECT doc_id, term AS token, CAST(count(*) AS DOUBLE) AS weight
+  FROM (SELECT doc_id, unnest({duck_toks}) AS term FROM {table})
+  GROUP BY doc_id, term
+)"""
+
+
+def _qw_case(query: dict[str, float]) -> str:
+    whens = " ".join(
+        f"WHEN token = '{t}' THEN {float(w)!r}" for t, w in sorted(query.items())
+    )
+    return f"(CASE {whens} END)"
+
+
+def sparse_scores_sql(query: dict[str, float], table: str = "documents", round_to: int = 4) -> str:
+    return f"""{sparse_features_ctes(table)}
+SELECT doc_id, round(sum({_qw_case(query)} * weight), {round_to}) AS score
+FROM feat WHERE token IN {_terms_list(sorted(query))}
+GROUP BY doc_id"""
+
+
+def sparse_topk_sql(query: dict[str, float], k: int = 10, table: str = "documents", round_to: int = 4) -> str:
+    """Single-phase top-k — serves as the oracle for the TWO-phase engine
+    path (the reference's own equality invariant,
+    NeuralSparseTwoPhaseProcessorIT.java:151-204)."""
+    return f"""{sparse_features_ctes(table)},
+scored AS (
+  SELECT doc_id, sum({_qw_case(query)} * weight) AS score
+  FROM feat WHERE token IN {_terms_list(sorted(query))}
+  GROUP BY doc_id
+)
+SELECT doc_id, round(scored.score, {round_to}) AS score
+FROM scored
+ORDER BY scored.score DESC, scored.doc_id ASC
+LIMIT {k}"""
+
+
+def by_field_rerank_sql(
+    terms: list[str], target_field: str = "n_chars", k: int = 10, table: str = "documents"
+) -> str:
+    """BM25 top-k window reranked by a doc field
+    [ByFieldRerankProcessor.java:69-189]."""
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    return f"""{bm25_base_ctes(terms, table)},
+scored AS (
+  SELECT tf.doc_id AS doc_id, sum({contrib}) AS score
+  FROM tf JOIN dfreq USING (term), stats GROUP BY tf.doc_id
+),
+window_hits AS (
+  SELECT doc_id FROM scored ORDER BY scored.score DESC, scored.doc_id ASC LIMIT {k}
+)
+SELECT w.doc_id AS doc_id, CAST(d.{target_field} AS DOUBLE) AS score
+FROM window_hits w JOIN {table} d USING (doc_id)
+ORDER BY score DESC, w.doc_id ASC"""
+
+
+def search_after_sql(terms: list[str], page: int = 2, k: int = 10, table: str = "documents", round_to: int = 4) -> str:
+    """Keyset page == OFFSET page for a total order — oracle via OFFSET."""
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    return f"""{bm25_base_ctes(terms, table)},
+scored AS (
+  SELECT tf.doc_id AS doc_id, sum({contrib}) AS score
+  FROM tf JOIN dfreq USING (term), stats GROUP BY tf.doc_id
+)
+SELECT doc_id, round(scored.score, {round_to}) AS score
+FROM scored
+ORDER BY scored.score DESC, scored.doc_id ASC
+LIMIT {k} OFFSET {(page - 1) * k}"""
+
+
+def hybrid_aggs_sql(terms: list[str], table: str = "documents", round_to: int = 4) -> str:
+    """Metric aggregations over hybrid-matched docs grouped by lang
+    (MetricAggregationsWithHybridQueryIT.java:83-179 analog)."""
+    return f"""{bm25_base_ctes(terms, table)},
+matched AS (SELECT DISTINCT doc_id FROM tf)
+SELECT d.lang AS lang,
+       count(*) AS n,
+       count(DISTINCT d.source) AS sources,
+       round(avg(d.n_chars), {round_to}) AS avg_chars,
+       round(sum(d.n_chars), {round_to}) AS sum_chars,
+       min(d.n_chars) AS min_chars,
+       max(d.n_chars) AS max_chars,
+       round(stddev_samp(d.n_chars), {round_to}) AS sd_chars
+FROM matched m JOIN {table} d USING (doc_id)
+GROUP BY d.lang"""
+
+
 def doc_stats_sql(table: str = "documents") -> str:
     _, duck_toks = simple_tokens_sql("text")
     return f"""

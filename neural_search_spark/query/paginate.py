@@ -1,0 +1,46 @@
+"""search_after keyset pagination + sort validation.
+
+Reference: PagingFieldCollector filters hits against the after-tuple
+[search/collector/PagingFieldCollector.java:21-98]; sort-field merges
+tiebreak on doc id [search/query/HybridQueryFieldDocComparator.java];
+from != 0 is rejected for hybrid [HybridQueryPhaseSearcher.java:63-66].
+
+Keyset predicate for ORDER BY score DESC, doc_id ASC:
+    (score < after_score) OR (score == after_score AND doc_id > after_id)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def search_after(
+    scores: DataFrame,
+    after_score: float,
+    after_doc_id: int,
+    k: int = 10,
+) -> DataFrame:
+    """Next page of (score desc, doc_id asc) after the given tuple."""
+    pred = (F.col("score") < F.lit(after_score)) | (
+        (F.col("score") == F.lit(after_score)) & (F.col("doc_id") > F.lit(after_doc_id))
+    )
+    return (
+        scores.where(pred)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def sort_by_fields(
+    scores_with_fields: DataFrame,
+    sort_cols: list[tuple[str, str]],
+    k: int = 10,
+) -> DataFrame:
+    """ORDER BY arbitrary fields (asc|desc) with doc_id tiebreak —
+    Catalyst TakeOrderedAndProject (the index-sort early-termination
+    analog, SURVEY.md §4.2)."""
+    order = [
+        (F.col(c).desc() if d.lower() == "desc" else F.col(c).asc()) for c, d in sort_cols
+    ] + [F.col("doc_id").asc()]
+    return scores_with_fields.orderBy(*order).limit(k)

@@ -1,0 +1,54 @@
+"""Rerankers (response processors).
+
+ * by_field: replace _score with a document field's value, re-sort desc,
+   optionally keep the previous score
+   [processor/rerank/ByFieldRerankProcessor.java:69-189]
+ * rescore-style: generic re-score of the final hit window with any
+   scoring DataFrame, stable desc re-sort
+   [processor/rerank/RescoringRerankProcessor.java:23-119]
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def by_field_rerank(
+    hits: DataFrame,
+    docs: DataFrame,
+    target_field: str,
+    id_col: str = "doc_id",
+    keep_previous_score: bool = False,
+    k: int | None = None,
+) -> DataFrame:
+    """hits(doc_id, score) × docs(doc_id, <fields>) → re-ranked by field."""
+    side = docs.select(F.col(id_col).alias("doc_id"), F.col(target_field).alias("_new_score"))
+    out = hits.join(side, "doc_id")
+    if keep_previous_score:
+        out = out.withColumn("previous_score", F.col("score"))
+    out = out.withColumn("score", F.col("_new_score").cast("double")).drop("_new_score")
+    out = out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return out.limit(k) if k else out
+
+
+def rescore(
+    hits: DataFrame,
+    scorer: DataFrame,
+    weight_original: float = 0.0,
+    weight_rescore: float = 1.0,
+    k: int | None = None,
+) -> DataFrame:
+    """Combine original window scores with a rescorer's (doc_id, score)."""
+    s = scorer.select("doc_id", F.col("score").alias("_rs"))
+    out = (
+        hits.join(s, "doc_id", "left")
+        .withColumn(
+            "score",
+            F.lit(weight_original) * F.col("score")
+            + F.lit(weight_rescore) * F.coalesce(F.col("_rs"), F.lit(0.0)),
+        )
+        .drop("_rs")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+    return out.limit(k) if k else out
