@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Headline benchmark — the driver's per-round feedback loop.
+
+Runs the engine's headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Index build is timed separately (fresh build, not the /tmp cache) because
+index-build throughput is itself a BASELINE.json metric; the indexed
+queries then run against the warm index, mirroring a production
+build-once/query-many split.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+
+# Representative per-operator-family picks (full registry runs in the
+# driver's correctness pass; the bench samples each execution path once).
+HEADLINE = [
+    "bm25_or_scores",        # exhaustive DataFrame BM25 (Catalyst path)
+    "bm25_topk",             # TakeOrderedAndProject top-k
+    "indexed_bm25_topk",     # segmented index + block-max WAND kernel
+    "indexed_bm25_and_topk",
+    "hybrid_minmax_arith",   # normalization/combination layer
+    "sparse_two_phase_topk", # two-phase sparse retrieval
+    "hybrid_aggs",           # aggregations over matched docs
+]
+# Added as the pipeline layer lands; missing names are skipped so bench
+# never breaks mid-build.
+HEADLINE += [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "text_quality",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from neural_search_spark.session import get_spark
+
+    spark = get_spark("nss-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = spark.read.parquet(docs_path).count()  # warm JVM + FS cache
+
+    timings: dict[str, float] = {}
+
+    # --- index build (fresh, timed) -----------------------------------
+    from neural_search_spark.index.builder import build_index
+
+    idx_dir = "/tmp/nss_bench_index"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(
+        spark, spark.read.parquet(docs_path), idx_dir,
+        key_cols=["doc_id"], text_col="text", tokenizer="simple",
+        num_segments=4, range_block=128,
+    )
+    build_s = time.perf_counter() - t0
+    timings["index_build"] = round(build_s, 3)
+
+    # Point the entry's index cache at the freshly built index so the
+    # indexed_* queries measure query latency, not a second build.
+    from neural_search_spark.query.wand import IndexReader
+
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    entry._INDEX_CACHE[key] = IndexReader(spark, idx_dir)
+
+    qs = entry.queries()
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert rows is not None
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "n_docs": n_docs,
+        "index_build_files_per_sec": round(n_docs / build_s, 1),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
