@@ -276,6 +276,101 @@ def _q_hybrid_aggs(spark, sf_dir):
     )
 
 
+# --- training-data pipeline layer (dedup / similarity / text / media) --
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+ANN_QUERY_ID = 0  # query vector = embedding of vec_id 0
+NEAR_DUP_COS = 0.45
+SIMHASH_MAX_HAMMING = 6
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from neural_search_spark.pipeline.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_dedup_fingerprint(spark, sf_dir):
+    from neural_search_spark.pipeline.dedup import fingerprint_dedup
+
+    return fingerprint_dedup(_docs(spark, sf_dir))
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    from neural_search_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.4)
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    from neural_search_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from neural_search_spark.pipeline.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_dedup_simhash_pairs(spark, sf_dir):
+    from neural_search_spark.pipeline.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    from neural_search_spark.pipeline.dedup import embedding_near_dup
+
+    return embedding_near_dup(_emb(spark, sf_dir), threshold=NEAR_DUP_COS)
+
+
+def _q_ann_cosine_topk(spark, sf_dir):
+    from neural_search_spark.pipeline.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir), ANN_QUERY_ID, k=10)
+
+
+def _q_ann_ivf_topk(spark, sf_dir):
+    from neural_search_spark.pipeline.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), ANN_QUERY_ID, k=10, nprobe=2)
+
+
+def _q_text_token_counts(spark, sf_dir):
+    from neural_search_spark.pipeline.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def _q_text_quality(spark, sf_dir):
+    from neural_search_spark.pipeline.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def _q_text_lang_id(spark, sf_dir):
+    from neural_search_spark.pipeline.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_text_fingerprints(spark, sf_dir):
+    from neural_search_spark.pipeline.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def _q_multimodal_features(spark, sf_dir):
+    from neural_search_spark.pipeline.multimodal import multimodal_features
+
+    return multimodal_features(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_or_scores": _q_bm25_or,
@@ -295,11 +390,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "by_field_rerank": _q_by_field_rerank,
         "search_after_page2": _q_search_after,
         "hybrid_aggs": _q_hybrid_aggs,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_fingerprint": _q_dedup_fingerprint,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "text_token_counts": _q_text_token_counts,
+        "text_quality": _q_text_quality,
+        "text_lang_id": _q_text_lang_id,
+        "text_fingerprints": _q_text_fingerprints,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from neural_search_spark import oracle
+    from neural_search_spark.pipeline import oracle as poracle
 
     return {
         "bm25_or_scores": oracle.bm25_scores_sql(TERMS_OR),
@@ -319,4 +429,18 @@ def oracle_sql() -> dict[str, str]:
         "by_field_rerank": oracle.by_field_rerank_sql(TERMS_OR, "n_chars", k=10),
         "search_after_page2": oracle.search_after_sql(TERMS_OR, page=2, k=10),
         "hybrid_aggs": oracle.hybrid_aggs_sql(TERMS_OR),
+        "dedup_exact": poracle.exact_dedup_sql(),
+        "dedup_fingerprint": poracle.fingerprint_dedup_sql(),
+        "dedup_ngram_jaccard": poracle.ngram_jaccard_sql(n=3, threshold=0.4),
+        "dedup_minhash_lsh": poracle.minhash_lsh_sql(),
+        "dedup_simhash": poracle.simhash_sql(),
+        "dedup_simhash_pairs": poracle.simhash_pairs_sql(SIMHASH_MAX_HAMMING),
+        "dedup_embedding_cosine": poracle.embedding_near_dup_sql(NEAR_DUP_COS),
+        "ann_cosine_topk": poracle.cosine_topk_sql(ANN_QUERY_ID, k=10),
+        "ann_ivf_topk": poracle.ivf_topk_sql(ANN_QUERY_ID, k=10, nprobe=2),
+        "text_token_counts": poracle.token_counts_sql(),
+        "text_quality": poracle.quality_scores_sql(),
+        "text_lang_id": poracle.lang_id_sql(),
+        "text_fingerprints": poracle.fingerprints_sql(),
+        "multimodal_features": poracle.multimodal_features_sql(),
     }

@@ -1,0 +1,313 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each a DataFrame pipeline designed for the 100 TB shape:
+
+* exact        — content-hash groupBy (one shuffle on a 128-bit key).
+* fingerprint  — order-insensitive token-set hash (catches shuffled docs).
+* n-gram Jaccard — exact pair similarity via shingle self-join (the
+  quadratic baseline; candidate join is keyed on shingle so only docs
+  *sharing* a shingle ever meet — still the scale-limited path).
+* MinHash + LSH — the scale path: per-doc signatures (one groupBy), band
+  keys, bucket self-join (candidates only from equal 4-row bands), exact
+  Jaccard verification of the candidate set only.
+* SimHash      — 48-bit tf-weighted fingerprint; near-dup pairs via
+  chunk-banding (4 × 12-bit chunks) + Hamming verify.
+* embedding cosine — near-dup pairs over array<float> embeddings.
+
+All hash math is the dual-dialect md5-56-bit scheme in ``hashing.py`` so
+the DuckDB oracles (``pipeline/oracle.py``) reproduce results exactly,
+including the LSH banding (approximation behavior is part of the spec,
+not noise).
+
+Reference analog: the plugin has no dedup (Lucene handles doc identity);
+these are the training-pipeline extensions mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import simple_tokens_sql
+from .hashing import hash64_sql, minhash_expr, minhash_params, shingles_sql
+
+DEFAULT_NUM_PERM = 32
+DEFAULT_BANDS = 8  # 8 bands x 4 rows
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, group_size, keep): md5-content groups, keeper = min id.
+
+    One shuffle on the hash; at 100 TB the groupBy key is the 32-char
+    md5 (uniform — no skew), and the window per group is O(dup count).
+    """
+    h = docs.select(F.col(id_col).alias("doc_id"), F.md5(text_col).alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    return h.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
+
+
+def _toks(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    spark_expr, _ = simple_tokens_sql(text_col)
+    return docs.select(F.col(id_col).alias("doc_id"), F.expr(spark_expr).alias("toks"))
+
+
+def fingerprint_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, group_size, keep) keyed on the *sorted distinct token set*
+    hash — collapses token-shuffled near-copies exact dedup misses."""
+    t = _toks(docs, id_col, text_col)
+    fp = t.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct("toks")))).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    return fp.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
+
+
+def shingle_sets(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, shingle) — distinct n-gram shingles, exploded long form."""
+    t = _toks(docs, id_col, text_col)
+    spark_sh, _ = shingles_sql("toks", n)
+    return t.select("doc_id", F.explode(F.expr(spark_sh)).alias("shingle"))
+
+
+def _verify_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs only. ``cands``: (a, b) with
+    a < b; ``sh``: (doc_id, shingle) distinct. Intersection via a
+    two-sided shingle join keyed on the candidate ids; candidate sets are
+    small relative to the corpus, so both joins broadcast the pair list."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cands.join(sh.withColumnRenamed("doc_id", "a"), "a")
+        .join(sh.withColumnRenamed("doc_id", "b"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (a < b, jaccard >= threshold).
+
+    Candidates = docs sharing >= 1 shingle (self-join on shingle). This
+    is the exact baseline; a shingle shared by m docs contributes m^2
+    candidate rows, so at 100 TB use ``minhash_lsh_pairs`` instead.
+    """
+    sh = shingle_sets(docs, n, id_col, text_col)
+    a = sh.withColumnRenamed("doc_id", "a")
+    b = sh.withColumnRenamed("doc_id", "b")
+    cands = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 1,
+    num_perm: int = DEFAULT_NUM_PERM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, mh0..mh{P-1}) — one groupBy over exploded shingles; the
+    num_perm min-aggregates fold into a single partial-aggregating
+    shuffle keyed on doc_id (map-side combine keeps it linear)."""
+    sh = shingle_sets(docs, n, id_col, text_col)
+    spark_h, _ = hash64_sql("shingle")
+    hashed = sh.withColumn("h", F.expr(spark_h))
+    aggs = [
+        F.min(F.expr(minhash_expr("h", a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(num_perm))
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 2,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: signatures → band-bucket self-join →
+    exact-Jaccard verify of candidates only (a < b, jaccard >= threshold).
+
+    The bucket join is keyed on (band_idx, band_key) — uniform md5-derived
+    keys, so no skew salting needed; candidate volume is O(collisions),
+    not O(docs^2). Verification touches candidate pairs only.
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(docs, n, num_perm, id_col, text_col)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.concat_ws("-", *[F.col(f"mh{bi * rows + r}") for r in range(rows)]).alias(
+                    "band_key"
+                ),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("bd")).select(
+        "doc_id", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_key").alias("band_key")
+    )
+    a = banded.withColumnRenamed("doc_id", "a")
+    b = banded.withColumnRenamed("doc_id", "b")
+    cands = (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sh = shingle_sets(docs, n, id_col, text_col)
+    return _verify_jaccard(cands, sh, threshold)
+
+
+SIMHASH_BITS = 48  # stays exact in signed int64 in both engines
+SIMHASH_CHUNKS = 4  # 4 x 12-bit chunks for near-dup banding
+
+
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(doc_id, simhash) — tf-weighted SimHash over tokens.
+
+    Explode tokens → tf per (doc, token) → 56-bit token hash → per-bit
+    signed tf sums (``bits`` aggregates in ONE doc_id groupBy, partial
+    aggregation map-side) → assemble the fingerprint.
+    """
+    t = _toks(docs, id_col, text_col)
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    spark_h, _ = hash64_sql("token")
+    tf = tf.withColumn("h", F.expr(spark_h))
+    aggs = [
+        F.sum(
+            F.expr(f"CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN tf ELSE -tf END")
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    per_doc = tf.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return per_doc.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    chunks: int = SIMHASH_CHUNKS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share >= 1 of ``chunks``
+    equal bit-chunks (pigeonhole: any pair within max_hamming <= chunks-1
+    differing bits collides on some chunk), verified by exact Hamming."""
+    width = bits // chunks
+    mask = (1 << width) - 1
+    sh = simhash(docs, id_col, text_col, bits)
+    chunked = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.expr(f"shiftright(simhash, {c * width}) & {mask}").alias("chunk_key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk_idx", "ck.chunk_key")
+    a = chunked.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("sim_a"), "chunk_idx", "chunk_key"
+    )
+    b = chunked.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("sim_b"), "chunk_idx", "chunk_key"
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.expr("sim_a ^ sim_b")).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cos) pairs with cosine >= threshold over array<float>.
+
+    Exact all-pairs baseline (block-nested-loop cross join); rounds the
+    cosine to 6 decimals *before* thresholding so the DuckDB oracle's
+    float64 sum agrees at the boundary. The scale path is
+    ``similarity.ivf_assign`` bucketing (join within cluster) or
+    random-hyperplane LSH — all-pairs is O(n^2) by definition.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn("nrm", F.expr("sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+    a = v.select(F.col("vid").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vid").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(F.expr(dot) / (F.col("na") * F.col("nb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 4).alias("cos"))
+    )

@@ -1,0 +1,283 @@
+"""DuckDB oracle SQL for the pipeline operators (dedup / similarity /
+textstats / multimodal).
+
+Generated from the same constants and dual-dialect expression builders
+as the Spark side (hashing.py, textstats.py), so the driver's value-hash
+compare checks the full semantics — including the LSH banding, whose
+approximation behavior is deterministic and therefore part of the spec.
+"""
+
+from __future__ import annotations
+
+from ..functions.tokenize import simple_tokens_sql
+from .hashing import MERSENNE_P, hash64_sql, minhash_expr, minhash_params, shingles_sql
+from .similarity import DEFAULT_CENTROID_IDS
+from .textstats import BPE_ISH_RE, LANG_WORDS, PUNCT_RE, WINNOW_N, WS_RE
+from . import dedup as _dedup
+
+_, DUCK_TOKS = simple_tokens_sql("text")
+
+
+def _ids(ids: list[int]) -> str:
+    return "(" + ", ".join(str(i) for i in ids) + ")"
+
+
+# --- dedup -------------------------------------------------------------
+
+def exact_dedup_sql(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       count(*) OVER (PARTITION BY content_hash) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS keep
+FROM (SELECT doc_id, md5(text) AS content_hash FROM {table})"""
+
+
+def fingerprint_dedup_sql(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       count(*) OVER (PARTITION BY fp) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep
+FROM (SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({DUCK_TOKS})), ' ')) AS fp
+      FROM {table})"""
+
+
+def _shingle_ctes(n: int, table: str) -> str:
+    _, duck_sh = shingles_sql("toks", n)
+    return f"""
+WITH tok AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM {table}),
+sh AS (SELECT doc_id, unnest({duck_sh}) AS shingle FROM tok),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)"""
+
+
+def ngram_jaccard_sql(n: int = 3, threshold: float = 0.4, table: str = "documents") -> str:
+    return f"""{_shingle_ctes(n, table)},
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b, round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {threshold}"""
+
+
+def minhash_lsh_sql(
+    n: int = 2,
+    num_perm: int = _dedup.DEFAULT_NUM_PERM,
+    bands: int = _dedup.DEFAULT_BANDS,
+    threshold: float = 0.7,
+    table: str = "documents",
+) -> str:
+    rows = num_perm // bands
+    _, duck_h = hash64_sql("shingle")
+    mins = ", ".join(
+        f"min({minhash_expr('h', a, b)}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_params(num_perm))
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band_idx, concat_ws('-', {cols}) AS band_key FROM sig".format(
+            bi=bi, cols=", ".join(f"mh{bi * rows + r}" for r in range(rows))
+        )
+        for bi in range(bands)
+    )
+    return f"""{_shingle_ctes(n, table)},
+hashed AS (SELECT doc_id, shingle, {duck_h} AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+band AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM band x JOIN band y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN sh ha ON ha.doc_id = c.a
+  JOIN sh hb ON hb.doc_id = c.b AND hb.shingle = ha.shingle
+  GROUP BY c.a, c.b
+)
+SELECT a, b, round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {threshold}"""
+
+
+def _simhash_ctes(table: str, bits: int) -> str:
+    _, duck_h = hash64_sql("token")
+    sums = ", ".join(
+        f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN tf ELSE -tf END) AS s{j}" for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH tok AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM {table}),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS token FROM tok) GROUP BY doc_id, token
+),
+hashed AS (SELECT doc_id, tf, {duck_h} AS h FROM tf),
+sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums)"""
+
+
+def simhash_sql(table: str = "documents", bits: int = _dedup.SIMHASH_BITS) -> str:
+    return f"""{_simhash_ctes(table, bits)}
+SELECT doc_id, simhash FROM fp"""
+
+
+def simhash_pairs_sql(
+    max_hamming: int = 3,
+    table: str = "documents",
+    bits: int = _dedup.SIMHASH_BITS,
+    chunks: int = _dedup.SIMHASH_CHUNKS,
+) -> str:
+    width = bits // chunks
+    mask = (1 << width) - 1
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk_idx, (simhash >> {c * width}) & {mask} AS chunk_key FROM fp"
+        for c in range(chunks)
+    )
+    return f"""{_simhash_ctes(table, bits)},
+chunked AS ({chunk_selects})
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM chunked x JOIN chunked y
+  ON x.chunk_idx = y.chunk_idx AND x.chunk_key = y.chunk_key AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}"""
+
+
+def embedding_near_dup_sql(threshold: float = 0.45, table: str = "embeddings") -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6), 4) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {threshold}"""
+
+
+# --- similarity ---------------------------------------------------------
+
+def cosine_topk_sql(query_vec_id: int, k: int = 10, table: str = "embeddings") -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}),
+scored AS (
+  SELECT vec_id,
+         round(list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+  FROM e, q WHERE vec_id <> {query_vec_id}
+)
+SELECT vec_id, cos,
+       CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
+
+
+def ivf_topk_sql(
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    centroid_ids: list[int] | None = None,
+    table: str = "embeddings",
+) -> str:
+    ids = centroid_ids or DEFAULT_CENTROID_IDS
+    cos = (
+        "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id IN {_ids(ids)}),
+sim AS (SELECT e.vec_id, e.v, c.centroid_id, {cos.format(a='e.v', b='c.cv')} AS csim FROM e, c),
+assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id ASC) AS rn
+    FROM sim) WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT centroid_id FROM c, q
+  ORDER BY {cos.format(a='cv', b='qv')} DESC, centroid_id ASC LIMIT {nprobe}
+),
+scored AS (
+  SELECT a.vec_id, {cos.format(a='a.v', b='qv')} AS cos
+  FROM assigned a JOIN probe USING (centroid_id), q
+  WHERE a.vec_id <> {query_vec_id}
+)
+SELECT vec_id, cos,
+       CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
+
+
+# --- textstats ----------------------------------------------------------
+
+def _in_list_duck(col: str, words: list[str]) -> str:
+    inner = ", ".join("'" + w + "'" for w in words)
+    return f"len(list_filter({col}, x -> x IN ({inner})))"
+
+
+def token_counts_sql(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       len({DUCK_TOKS}) AS n_tokens,
+       len(list_filter(regexp_split_to_array(text, '{WS_RE}'), x -> x <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS n_bpe_tokens
+FROM {table}"""
+
+
+def quality_scores_sql(table: str = "documents") -> str:
+    toks = "toks"
+    n_tok = f"len({toks})"
+    tok_chars = f"coalesce(list_sum(list_transform({toks}, x -> length(x))), 0)"
+    n_punct = f"len(regexp_extract_all(text, '{PUNCT_RE}'))"
+    n_digit = "len(regexp_extract_all(text, '[0-9]'))"
+    stop_hits = _in_list_duck(toks, LANG_WORDS["en"])
+    return f"""
+WITH t AS (SELECT doc_id, text, {DUCK_TOKS} AS toks, length(text) AS n_chars FROM {table})
+SELECT doc_id,
+       n_chars,
+       {n_tok} AS n_tokens,
+       round({tok_chars} * 1.0 / greatest({n_tok}, 1), 4) AS avg_token_len,
+       round({stop_hits} * 1.0 / greatest({n_tok}, 1), 4) AS stopword_ratio,
+       round({n_punct} * 1.0 / greatest(n_chars, 1), 4) AS punct_ratio,
+       round({n_digit} * 1.0 / greatest({n_tok}, 1), 4) AS digit_ratio,
+       round(least(1.0, {n_tok} / 50.0)
+             * least(1.0, 4.0 * {stop_hits} * 1.0 / greatest({n_tok}, 1) + 0.2)
+             * (1.0 - least(1.0, 2.0 * {n_punct} * 1.0 / greatest(n_chars, 1))), 4) AS quality
+FROM t"""
+
+
+def lang_id_sql(table: str = "documents") -> str:
+    hits = {lg: _in_list_duck("toks", ws) for lg, ws in LANG_WORDS.items()}
+    return f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM {table})
+SELECT doc_id,
+       {hits['en']} AS hits_en,
+       {hits['de']} AS hits_de,
+       {hits['fr']} AS hits_fr,
+       CASE WHEN greatest({hits['en']}, {hits['de']}, {hits['fr']}) = 0 THEN 'und'
+            WHEN {hits['en']} >= {hits['de']} AND {hits['en']} >= {hits['fr']} THEN 'en'
+            WHEN {hits['de']} >= {hits['fr']} THEN 'de' ELSE 'fr' END AS lang_pred
+FROM t"""
+
+
+def fingerprints_sql(table: str = "documents") -> str:
+    _, duck_sh = shingles_sql("toks", WINNOW_N)
+    _, duck_h = hash64_sql("x")
+    return f"""
+WITH t AS (SELECT doc_id, text, {DUCK_TOKS} AS toks FROM {table})
+SELECT doc_id,
+       md5(text) AS fp_exact,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp_tokenset,
+       CASE WHEN len({duck_sh}) = 0 THEN CAST(-1 AS BIGINT)
+            ELSE list_min(list_transform({duck_sh}, x -> {duck_h})) END AS fp_winnow
+FROM t"""
+
+
+# --- multimodal ---------------------------------------------------------
+
+def multimodal_features_sql(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5
+FROM {table}"""
