@@ -47,7 +47,7 @@ def _doc_index(spark: SparkSession, sf_dir: str):
             key_cols=["doc_id"], text_col="text", tokenizer="simple",
             num_segments=4, range_block=128,
         )
-    reader = IndexReader(spark, idx_dir)
+    reader = IndexReader(spark, idx_dir, cache_hot=True)
     _INDEX_CACHE[key] = reader
     return reader
 
@@ -276,6 +276,43 @@ def _q_hybrid_aggs(spark, sf_dir):
     )
 
 
+FILTER_PRED = "lang = 'en' AND n_chars BETWEEN 150 AND 350"
+POST_FILTER_PRED = "n_chars >= 250"
+CHUNK_DELIMITER = " the "
+
+
+def _q_bm25_filtered(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.exhaustive import bm25_scores
+    from neural_search_spark.query.filters import filtered_scores
+
+    docs = _docs(spark, sf_dir)
+    out = filtered_scores(bm25_scores(docs, TERMS_OR, round_to=None), docs, F.expr(FILTER_PRED))
+    return out.withColumn("score", F.round("score", 4))
+
+
+def _q_hybrid_post_filter(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.filters import post_filter
+
+    scored = _q_hybrid_minmax_arith(spark, sf_dir)
+    return post_filter(scored, _docs(spark, sf_dir), F.expr(POST_FILTER_PRED))
+
+
+def _q_chunk_delimiter(spark, sf_dir):
+    from neural_search_spark.operators.chunkers import delimiter_chunk_table
+
+    return delimiter_chunk_table(_docs(spark, sf_dir), CHUNK_DELIMITER)
+
+
+def _q_chunk_fixed_token_counts(spark, sf_dir):
+    from neural_search_spark.operators.chunkers import fixed_token_chunk_counts
+
+    return fixed_token_chunk_counts(_docs(spark, sf_dir), token_limit=32, overlap_rate=0.25)
+
+
 # --- training-data pipeline layer (dedup / similarity / text / media) --
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,6 +427,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "by_field_rerank": _q_by_field_rerank,
         "search_after_page2": _q_search_after,
         "hybrid_aggs": _q_hybrid_aggs,
+        "bm25_filtered": _q_bm25_filtered,
+        "hybrid_post_filter": _q_hybrid_post_filter,
+        "chunk_delimiter": _q_chunk_delimiter,
+        "chunk_fixed_token_counts": _q_chunk_fixed_token_counts,
         "dedup_exact": _q_dedup_exact,
         "dedup_fingerprint": _q_dedup_fingerprint,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -429,6 +470,12 @@ def oracle_sql() -> dict[str, str]:
         "by_field_rerank": oracle.by_field_rerank_sql(TERMS_OR, "n_chars", k=10),
         "search_after_page2": oracle.search_after_sql(TERMS_OR, page=2, k=10),
         "hybrid_aggs": oracle.hybrid_aggs_sql(TERMS_OR),
+        "bm25_filtered": oracle.bm25_filtered_sql(TERMS_OR, FILTER_PRED),
+        "hybrid_post_filter": oracle.hybrid_post_filter_sql(
+            HYBRID_GROUPS, POST_FILTER_PRED, "min_max", "arithmetic_mean", HYBRID_WEIGHTS
+        ),
+        "chunk_delimiter": oracle.delimiter_chunks_oracle_sql(CHUNK_DELIMITER),
+        "chunk_fixed_token_counts": oracle.fixed_token_chunk_counts_sql(32, 0.25),
         "dedup_exact": poracle.exact_dedup_sql(),
         "dedup_fingerprint": poracle.fingerprint_dedup_sql(),
         "dedup_ngram_jaccard": poracle.ngram_jaccard_sql(n=3, threshold=0.4),

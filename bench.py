@@ -88,7 +88,7 @@ def main() -> int:
     import hashlib
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    entry._INDEX_CACHE[key] = IndexReader(spark, idx_dir)
+    entry._INDEX_CACHE[key] = IndexReader(spark, idx_dir, cache_hot=True)
 
     qs = entry.queries()
     for name in HEADLINE:

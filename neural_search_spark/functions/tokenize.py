@@ -2,31 +2,36 @@
 
 Code-aware tokenizer (per BASELINE.json north_star: "code-aware
 tokenization and term-frequency extraction via vectorized Arrow/pandas
-UDFs"): identifiers/keywords ``[A-Za-z_][A-Za-z0-9_]*`` plus integer
-literals, lowercased. Deterministic spec so rank-identity tests are
-meaningful (SURVEY.md §7.0).
-
-Everything here operates on pandas Series inside Arrow batches — no
-per-row Python in the Spark plan (input_hint).
+UDFs"): lowercase, then maximal runs of ``[a-z0-9_]`` — identifiers keep
+underscores, everything else breaks tokens. A deterministic spec
+(SURVEY.md §7.0) with identical implementations in pandas (test oracle),
+Arrow C++ (index kernel — zero Python string objects), and SQL (DuckDB
+oracle), so rank-identity tests are meaningful.
 """
 
 from __future__ import annotations
 
-import re
 
 import numpy as np
 import pandas as pd
 
-CODE_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+")
-# simple analyzer for natural-language-ish text (the driver's `documents`
-# table): lowercase, split on non-alphanumeric runs. SQL-expressible so
-# the DuckDB oracle can reproduce it exactly.
+# Deterministic tokenizer specs (SURVEY.md §7.0 — the spec is ours to
+# fix; both are "lowercase, then maximal runs of the token alphabet", so
+# they are expressible identically in pandas/C, Arrow C++, and SQL):
+#  * code:   token alphabet [a-z0-9_] — identifiers keep underscores
+#  * simple: token alphabet [a-z0-9]  — natural-language-ish text
+CODE_SPLIT_RE = "[^a-z0-9_]+"
 SIMPLE_SPLIT_RE = "[^a-z0-9]+"
+SPLIT_RES = {"code": CODE_SPLIT_RE, "simple": SIMPLE_SPLIT_RE}
 
 
 def tokenize_code(texts: pd.Series) -> pd.Series:
     """Series[str] -> Series[list[str]] of lowercased code tokens."""
-    return texts.str.findall(CODE_TOKEN_RE).map(lambda toks: [t.lower() for t in toks])
+    return (
+        texts.str.lower()
+        .str.split(CODE_SPLIT_RE, regex=True)
+        .map(lambda toks: [t for t in toks if t])
+    )
 
 
 def tokenize_simple(texts: pd.Series) -> pd.Series:
@@ -60,41 +65,60 @@ def term_freqs(tokens: list[str]) -> tuple[np.ndarray, np.ndarray]:
     return terms, counts
 
 
-def term_freq_frame(texts: pd.Series, doc_ids: pd.Series, tokenizer=tokenize_code) -> pd.DataFrame:
+def term_freq_frame(
+    texts: pd.Series, doc_ids: pd.Series, tokenizer: str = "code"
+) -> pd.DataFrame:
     """Batch of docs -> long frame (doc_id, term, tf, dl).
 
     ``dl`` is the total token count of the doc (Lucene field length).
-    Vectorized: one np.unique over the concatenated token stream with
-    doc-boundary offsets, no per-token Python.
+    Fully Arrow-native: lower/split/dictionary-encode run in Arrow C++
+    (zero Python string objects for the token stream — the flat tokens
+    stay dictionary-encoded int32s), then one packed-int64 np.unique
+    yields per-(doc, term) counts. This keeps the kernel compute-bound
+    rather than allocation/bandwidth-bound, which is what lets 4N cores
+    deliver ~4x on the build (BENCH/BASELINE.md).
     """
-    tok_lists = tokenizer(texts)
-    lens = tok_lists.map(len).to_numpy(dtype=np.int64)
-    n_docs = len(tok_lists)
-    if n_docs == 0 or lens.sum() == 0:
-        return pd.DataFrame(
-            {
-                "doc_id": np.empty(0, dtype=np.int64),
-                "term": np.empty(0, dtype=object),
-                "tf": np.empty(0, dtype=np.int64),
-                "dl": np.empty(0, dtype=np.int64),
-            }
-        )
-    flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
-    doc_of_token = np.repeat(doc_ids.to_numpy(dtype=np.int64), lens)
-    dl_of_token = np.repeat(lens, lens)
-    # unique over (doc, term) pairs: sort by (doc, term) then run-length
-    order = np.lexsort((flat.astype(str), doc_of_token))
-    flat = flat[order]
-    doc_of_token = doc_of_token[order]
-    dl_of_token = dl_of_token[order]
-    new_run = np.r_[True, (doc_of_token[1:] != doc_of_token[:-1]) | (flat[1:] != flat[:-1])]
-    starts = np.flatnonzero(new_run)
-    tf = np.diff(np.r_[starts, len(flat)])
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    split_re = SPLIT_RES.get(tokenizer, tokenizer)
+    n_docs = len(texts)
+    empty = pd.DataFrame(
+        {
+            "doc_id": np.empty(0, dtype=np.int64),
+            "term": np.empty(0, dtype=object),
+            "tf": np.empty(0, dtype=np.int64),
+            "dl": np.empty(0, dtype=np.int64),
+        }
+    )
+    if n_docs == 0:
+        return empty
+    arr = pa.Array.from_pandas(texts.astype(str))
+    cleaned = pc.replace_substring_regex(pc.utf8_lower(arr), pattern=split_re, replacement=" ")
+    toks = pc.utf8_split_whitespace(cleaned)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    enc = pc.dictionary_encode(pc.list_flatten(toks))
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = enc.dictionary
+    # split_whitespace emits "" at string edges — drop that token id
+    empty_idx = pc.index(dictionary, pa.scalar("")).as_py()
+    if empty_idx >= 0:
+        keep = codes != empty_idx
+        parent, codes = parent[keep], codes[keep]
+    if len(codes) == 0:
+        return empty
+    dl_per_doc = np.bincount(parent, minlength=n_docs).astype(np.int64)
+    n_uniq = len(dictionary)
+    key = parent * np.int64(n_uniq) + codes
+    uk, tf = np.unique(key, return_counts=True)
+    pos_of = (uk // n_uniq).astype(np.int64)
+    code_of = (uk % n_uniq).astype(np.int64)
+    terms = dictionary.take(pa.array(code_of, type=pa.int64())).to_numpy(zero_copy_only=False)
     return pd.DataFrame(
         {
-            "doc_id": doc_of_token[starts],
-            "term": flat[starts],
+            "doc_id": doc_ids.to_numpy(dtype=np.int64)[pos_of],
+            "term": terms,
             "tf": tf.astype(np.int64),
-            "dl": dl_of_token[starts],
+            "dl": dl_per_doc[pos_of],
         }
     )

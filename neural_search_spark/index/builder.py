@@ -52,13 +52,14 @@ from pyspark.sql import types as T
 
 from ..functions.codecs import varint_encode
 from ..functions.norms import int_to_byte4
-from ..functions.tokenize import term_freq_frame, tokenize_code, tokenize_simple
+from ..functions.tokenize import SPLIT_RES, term_freq_frame
 
 SEG_SHIFT = 40  # doc_id = (segment_id << 40) | local_id
 
 POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("segment_id", T.IntegerType(), False),
+        T.StructField("term_bucket", T.IntegerType(), False),
         T.StructField("term", T.StringType(), False),
         T.StructField("block_id", T.IntegerType(), False),
         T.StructField("n", T.IntegerType(), False),
@@ -71,7 +72,7 @@ POSTINGS_SCHEMA = T.StructType(
     ]
 )
 
-TOKENIZERS = {"code": tokenize_code, "simple": tokenize_simple}
+TOKENIZERS = SPLIT_RES  # name -> deterministic split-regex spec
 
 
 def paths(index_dir: str) -> dict[str, str]:
@@ -88,13 +89,28 @@ def _segment_expr(key_cols: list[str], num_segments: int):
     return F.pmod(F.xxhash64(key), F.lit(num_segments)).cast("int")
 
 
-def _build_segment_kernel(tokenizer_name: str, text_col: str, key_cols: list[str], range_block: int):
-    tokenizer = TOKENIZERS[tokenizer_name]
+def _term_buckets_of(terms: np.ndarray, term_buckets: int) -> np.ndarray:
+    """Deterministic bucket per term (md5-56bit % B, hashing.py scheme) —
+    computed over the unique terms only."""
+    from ..pipeline.hashing import py_hash64
+
+    if term_buckets <= 1:
+        return np.zeros(len(terms), dtype=np.int32)
+    uniq, inv = np.unique(terms.astype(str), return_inverse=True)
+    buckets = np.array([py_hash64(t) % term_buckets for t in uniq], dtype=np.int32)
+    return buckets[inv]
+
+
+def _build_segment_kernel(
+    tokenizer_name: str, text_col: str, key_cols: list[str], range_block: int, term_buckets: int = 0
+):
+    assert tokenizer_name in TOKENIZERS, tokenizer_name
 
     def _empty() -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "segment_id": pd.Series(dtype=np.int32),
+                "term_bucket": pd.Series(dtype=np.int32),
                 "term": pd.Series(dtype=object),
                 "block_id": pd.Series(dtype=np.int32),
                 "n": pd.Series(dtype=np.int32),
@@ -112,9 +128,13 @@ def _build_segment_kernel(tokenizer_name: str, text_col: str, key_cols: list[str
         from ..functions.norms import quantize_length
 
         seg = int(pdf["segment_id"].iloc[0])
+        # assign local ids by an in-kernel sort on the doc keys (cheap at
+        # segment granularity; a JVM-side window sort of the full text
+        # column measured strictly slower) — deterministic because the
+        # whole segment is present in this one group
         pdf = pdf.sort_values(key_cols, kind="mergesort").reset_index(drop=True)
         local_ids = pd.Series(np.arange(len(pdf), dtype=np.int64))
-        tf = term_freq_frame(pdf[text_col], local_ids, tokenizer=tokenizer)
+        tf = term_freq_frame(pdf[text_col], local_ids, tokenizer=tokenizer_name)
         if len(tf) == 0:
             return _empty()
         tf = tf.assign(
@@ -148,6 +168,7 @@ def _build_segment_kernel(tokenizer_name: str, text_col: str, key_cols: list[str
         out = pd.DataFrame(
             {
                 "segment_id": np.full(len(starts), seg, dtype=np.int32),
+                "term_bucket": _term_buckets_of(terms[starts], term_buckets),
                 "term": terms[starts],
                 "block_id": blocks[starts].astype(np.int32),
                 "n": n_per.astype(np.int32),
@@ -169,8 +190,11 @@ def docmap_df(
     key_cols: list[str],
     text_col: str,
     num_segments: int,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(segment_id, local_id, nss_doc_id, <key cols>, sha256) — Catalyst-only."""
+    """(segment_id, local_id, nss_doc_id, <key cols>, sha256[, keep_cols])
+    — Catalyst-only; ids deterministic (dense in sorted key order within
+    each md5-assigned segment, independent of partitioning)."""
     from pyspark.sql import Window
 
     seg = _segment_expr(key_cols, num_segments)
@@ -180,7 +204,7 @@ def docmap_df(
         .withColumn("local_id", F.row_number().over(w).cast("long") - 1)
         .withColumn("nss_doc_id", (F.col("segment_id").cast("long") * F.lit(1 << SEG_SHIFT)) + F.col("local_id"))
         .withColumn("sha256", F.sha2(F.col(text_col), 256))
-        .select("segment_id", "local_id", "nss_doc_id", *key_cols, "sha256")
+        .select("segment_id", "local_id", "nss_doc_id", *key_cols, "sha256", *(keep_cols or []))
     )
 
 
@@ -195,11 +219,19 @@ def build_index(
     range_block: int = 4096,
     resume: bool = False,
     build_id: str | None = None,
+    term_buckets: int = 0,
 ) -> dict:
     """Build (or resume) the index; returns build metrics.
 
     Metrics per segment (docs tokenized, postings emitted, bytes
     compressed — north rule) land in ``<index>/manifest``.
+
+    ``term_buckets > 0`` adds a second physical partition level
+    ``term_bucket = md5_56(term) % B``: at query time the reader prunes
+    the scan to the buckets containing the query terms, so per-query I/O
+    scales with the query (≈ q/B of the index), not the corpus — the
+    layout lever that matters at 10^12 files. Leave 0 for small indexes
+    where extra directories cost more than pruning saves.
     """
     p = paths(index_dir)
     done: set[int] = set()
@@ -216,14 +248,20 @@ def build_index(
     with_seg = corpus.withColumn("segment_id", _segment_expr(key_cols, num_segments))
     todo = with_seg.where(~F.col("segment_id").isin(sorted(done))) if done else with_seg
 
-    kernel = _build_segment_kernel(tokenizer, text_col, key_cols, range_block)
+    phase_t: dict[str, float] = {}
+    kernel = _build_segment_kernel(tokenizer, text_col, key_cols, range_block, term_buckets)
     postings = todo.select("segment_id", text_col, *key_cols).groupBy("segment_id").applyInPandas(
         kernel, schema=POSTINGS_SCHEMA
     )
-    postings.write.mode("overwrite").partitionBy("segment_id").parquet(p["postings"])
+    part_cols = ["segment_id", "term_bucket"] if term_buckets > 1 else ["segment_id"]
+    t = time.time()
+    postings.write.mode("overwrite").partitionBy(*part_cols).parquet(p["postings"])
+    phase_t["postings_write"] = round(time.time() - t, 2)
 
+    t = time.time()
     dm = docmap_df(todo.drop("segment_id"), key_cols, text_col, num_segments)
     dm.write.mode("overwrite").partitionBy("segment_id").parquet(p["docmap"])
+    phase_t["docmap_write"] = round(time.time() - t, 2)
 
     built = spark.read.parquet(p["postings"])
     dm_read = spark.read.parquet(p["docmap"])
@@ -244,11 +282,14 @@ def build_index(
         .withColumn("tokenizer", F.lit(tokenizer))
         .withColumn("range_block", F.lit(range_block))
     )
+    t = time.time()
     seg_stats.write.mode("overwrite").parquet(p["manifest"])
+    phase_t["manifest_write"] = round(time.time() - t, 2)
 
     meta = {
         "num_segments": num_segments,
         "range_block": range_block,
+        "term_buckets": term_buckets,
         "tokenizer": tokenizer,
         "key_cols": key_cols,
         "text_col": text_col,
@@ -271,6 +312,7 @@ def build_index(
         "wall_sec": time.time() - t0,
         "segments_built": num_segments - len(done),
         "segments_skipped": len(done),
+        "phase_sec": phase_t,
     }
 
 

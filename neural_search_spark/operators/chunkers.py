@@ -89,6 +89,48 @@ def chunk_series(
     return texts.map(lambda t: fn(t, **params))
 
 
+def delimiter_chunk_table(docs, delimiter: str = "\n\n", id_col: str = "doc_id", text_col: str = "text"):
+    """(doc_id, chunk_idx, chunk_md5, n_chars) — delimiter chunks exploded
+    with position; md5 proves exact chunk-text parity vs the oracle."""
+    from pyspark.sql import functions as F
+
+    spark_expr, _ = delimiter_chunks_sql(text_col, delimiter)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.posexplode(F.expr(spark_expr)))
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("chunk_idx"),
+            F.md5("col").alias("chunk_md5"),
+            F.length("col").cast("long").alias("n_chars"),
+        )
+    )
+
+
+def fixed_token_chunk_counts(
+    docs,
+    token_limit: int = 32,
+    overlap_rate: float = 0.25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """(doc_id, n_chunks) via the Arrow-batched fixed-token chunker UDF.
+
+    Chunk *texts* carry char-offset semantics only the UDF can express;
+    the count obeys a closed form (windows of token_limit stepping
+    token_limit - floor(token_limit*overlap_rate)) which the DuckDB
+    oracle checks (oracle: fixed_token_chunk_counts_sql)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("int")
+    def n_chunks(texts: pd.Series) -> pd.Series:
+        return chunk_series(
+            texts, "fixed_token_length", token_limit=token_limit, overlap_rate=overlap_rate
+        ).map(len).astype("int32")
+
+    return docs.select(F.col(id_col).alias("doc_id"), n_chunks(F.col(text_col)).alias("n_chunks"))
+
+
 def delimiter_chunks_sql(col: str = "text", delimiter: str = "\n\n") -> tuple[str, str]:
     """(spark_expr, duckdb_expr) -> array<string> of delimiter chunks
     (delimiter kept at end; trailing remainder kept; empty tail dropped)."""

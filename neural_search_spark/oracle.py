@@ -283,6 +283,74 @@ FROM matched m JOIN {table} d USING (doc_id)
 GROUP BY d.lang"""
 
 
+def bm25_filtered_sql(
+    terms: list[str], predicate: str, table: str = "documents", round_to: int = 4
+) -> str:
+    """FILTER-occur semantics [HybridQuery.java:48-59]: predicate
+    restricts matches but stats (N, avgdl, df) stay corpus-global."""
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    return f"""{bm25_base_ctes(terms, table)},
+scored AS (
+  SELECT tf.doc_id AS doc_id, sum({contrib}) AS score
+  FROM tf JOIN dfreq USING (term), stats GROUP BY tf.doc_id
+)
+SELECT s.doc_id AS doc_id, round(s.score, {round_to}) AS score
+FROM scored s JOIN {table} d USING (doc_id) WHERE {predicate}"""
+
+
+def hybrid_post_filter_sql(
+    term_groups: list[list[str]],
+    predicate: str,
+    normalization: str = "min_max",
+    combination: str = "arithmetic_mean",
+    weights: list[float] | None = None,
+    table: str = "documents",
+) -> str:
+    """post_filter [HybridCollectorManager.java:91-102]: prune the final
+    combined hits without touching their scores."""
+    inner = hybrid_sql(term_groups, normalization, combination, weights, table)
+    return f"""
+SELECT h.doc_id AS doc_id, h.score AS score
+FROM ({inner}) h JOIN {table} d USING (doc_id) WHERE {predicate}"""
+
+
+def delimiter_chunks_oracle_sql(delimiter: str, table: str = "documents") -> str:
+    from .operators.chunkers import delimiter_chunks_sql
+
+    _, duck_chunks = delimiter_chunks_sql("text", delimiter)
+    return f"""
+WITH c AS (SELECT doc_id, {duck_chunks} AS chunks FROM {table})
+SELECT doc_id,
+       CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS chunk_idx,
+       md5(unnest(chunks)) AS chunk_md5,
+       CAST(length(unnest(chunks)) AS BIGINT) AS n_chars
+FROM c"""
+
+
+def fixed_token_chunk_counts_sql(
+    token_limit: int = 32,
+    overlap_rate: float = 0.25,
+    max_chunk_limit: int = 100,
+    table: str = "documents",
+) -> str:
+    """Closed-form window count for FixedTokenLengthChunker semantics
+    [processor/chunker/FixedTokenLengthChunker.java:120-157]: windows of
+    token_limit whitespace tokens stepping token_limit − floor(token_limit
+    × overlap_rate), remainder merged into the max_chunk_limit-th."""
+    import math
+
+    step = token_limit - math.floor(token_limit * overlap_rate)
+    n = "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))"
+    return f"""
+SELECT doc_id,
+       CAST(CASE WHEN {n} = 0 THEN 0
+                 WHEN {n} <= {token_limit} THEN 1
+                 ELSE least(1 + ceil(({n} - {token_limit}) * 1.0 / {step}), {max_chunk_limit})
+            END AS INT) AS n_chunks
+FROM {table}"""
+
+
 def doc_stats_sql(table: str = "documents") -> str:
     _, duck_toks = simple_tokens_sql("text")
     return f"""

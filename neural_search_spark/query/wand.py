@@ -53,21 +53,39 @@ RESULT_SCHEMA = T.StructType(
 
 
 class IndexReader:
-    """Lazy handles on a built index + cached global stats."""
+    """Lazy handles on a built index + cached global stats.
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    DataFrame handles are memoized — Spark's InMemoryFileIndex (file
+    listing + parquet footers) is per-DataFrame, so recreating the frame
+    every query re-lists the whole index. ``cache_hot=True`` additionally
+    persists postings/docmap in memory — the single-JVM analog of a hot
+    page cache on data nodes; leave it off when the index exceeds
+    executor memory (queries then rely on partition/row-group pruning).
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str, cache_hot: bool = False):
         self.spark = spark
         self.index_dir = index_dir
         self.p = paths(index_dir)
         with open(self.p["meta"]) as fh:
             self.meta = json.load(fh)
         self._stats: tuple[int, float] | None = None
+        self._postings: DataFrame | None = None
+        self._docmap: DataFrame | None = None
+        self._dfs: dict[str, int] | None = None
+        self.cache_hot = cache_hot
 
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(self.p["postings"])
+        if self._postings is None:
+            df = self.spark.read.parquet(self.p["postings"])
+            self._postings = df.cache() if self.cache_hot else df
+        return self._postings
 
     def docmap(self) -> DataFrame:
-        return self.spark.read.parquet(self.p["docmap"])
+        if self._docmap is None:
+            df = self.spark.read.parquet(self.p["docmap"])
+            self._docmap = df.cache() if self.cache_hot else df
+        return self._docmap
 
     def manifest(self) -> DataFrame:
         return self.spark.read.parquet(self.p["manifest"])
@@ -83,15 +101,17 @@ class IndexReader:
         return self._stats
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
-        """Global df per query term = Σ blocks' n (each posting is one doc)."""
-        rows = (
-            self.postings()
-            .where(F.col("term").isin(terms))
-            .groupBy("term")
-            .agg(F.sum("n").alias("df"))
-            .collect()
-        )
-        return {r["term"]: int(r["df"]) for r in rows}
+        """Global df per query term = Σ blocks' n (each posting is one doc).
+
+        The full term→df dictionary is one distributed aggregate, computed
+        once per reader and served from driver memory afterwards (a code
+        corpus vocabulary is ~10^5-10^6 terms — dimension-table sized; on
+        a vocabulary too large for the driver, swap the dict for a
+        broadcast-join against the same aggregate)."""
+        if self._dfs is None:
+            rows = self.postings().groupBy("term").agg(F.sum("n").alias("df")).collect()
+            self._dfs = {r["term"]: int(r["df"]) for r in rows}
+        return {t: self._dfs[t] for t in terms if t in self._dfs}
 
 
 def _wand_kernel(
@@ -222,9 +242,18 @@ def bm25_topk_indexed(
         for t in live
     }
     kernel = _wand_kernel(live, idf_by_term, avgdl, k, int(reader.meta["range_block"]), mode, dtype)
+    scan = reader.postings()
+    n_buckets = int(reader.meta.get("term_buckets", 0))
+    if n_buckets > 1:
+        # partition pruning: only the term_bucket directories that can
+        # contain the query terms are listed/read (PartitionFilters in
+        # the scan node) — per-query I/O ∝ query terms, not index size.
+        from ..pipeline.hashing import py_hash64
+
+        buckets = sorted({py_hash64(t) % n_buckets for t in live})
+        scan = scan.where(F.col("term_bucket").isin(buckets))
     per_seg = (
-        reader.postings()
-        .where(F.col("term").isin(live))
+        scan.where(F.col("term").isin(live))
         .groupBy("segment_id")
         .applyInPandas(kernel, schema=RESULT_SCHEMA)
     )
@@ -241,5 +270,8 @@ def _attach_keys(reader: IndexReader, top: DataFrame, k: int) -> DataFrame:
     re-resolved on the external key so results are partition-invariant."""
     key_cols = reader.meta["key_cols"]
     dm = reader.docmap().select("nss_doc_id", *key_cols)
-    out = top.join(dm, "nss_doc_id", "left")
+    # top is <= segments x k rows but its size is opaque to Catalyst
+    # (applyInPandas output) — hint the broadcast explicitly so the join
+    # is a map-side hash probe of docmap, never a sort-merge shuffle.
+    out = dm.join(F.broadcast(top), "nss_doc_id")
     return out.orderBy(F.col("score").desc(), *[F.col(c).asc() for c in key_cols]).limit(k)
