@@ -27,79 +27,52 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.codecs import varint_decode, varint_encode, varint_nbytes
+from ..functions.codecs import varint_decode
 from .builder import POSTINGS_SCHEMA, SEG_SHIFT, paths
 
 
-def _merge_kernel(range_block: int, shift_of: dict[int, int], factor: int):
-    """Kernel over one NEW segment's postings rows (all old segments in
-    the group): decode, re-base doc ids, re-block, re-encode."""
+def _merge_kernel(range_block: int, shift_of: dict[int, int], factor: int, term_buckets: int):
+    """Kernel over one NEW segment's postings rows (one row per old
+    (segment, term)): decode each term's blob, re-base doc ids, then
+    re-group through the same helper the builder uses — the merged
+    segment is byte-compatible with a fresh build by construction."""
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        out_cols = {f.name: [] for f in POSTINGS_SCHEMA.fields}
+        from ..functions.norms import byte4_to_int
+        from .builder import empty_postings_frame, postings_rows_from_flat
+
+        if len(pdf) == 0:
+            return empty_postings_frame()
         new_seg = int(pdf["segment_id"].iloc[0]) // factor
-        # decode every block row into flat (term, doc, tf, norm) streams
         terms_l, docs_l, tfs_l, norms_l = [], [], [], []
         for r in pdf.itertuples():
             deltas = varint_decode(r.docs).astype(np.int64)
-            # delta[0] is relative to the block base (builder kernel), so
-            # cumsum over the block's deltas recovers base-relative ids
-            local = np.int64(r.block_id) * range_block + np.cumsum(deltas)
             tfs = varint_decode(r.tfs).astype(np.int64)
             norms = np.frombuffer(r.norms, dtype=np.uint8)
+            ns = np.asarray(r.block_ns, dtype=np.int64)
+            bids = np.asarray(r.block_ids, dtype=np.int64)
+            starts = np.r_[0, np.cumsum(ns)[:-1]]
+            # segmented cumsum: delta[start] is relative to the block
+            # base, so subtract each block's carried-in prefix
+            cs = np.cumsum(deltas)
+            carry = np.repeat(cs[starts] - deltas[starts], ns)
+            local = np.repeat(bids * range_block, ns) + cs - carry
             rebased = local + shift_of[int(r.segment_id)]
             terms_l.append(np.full(len(rebased), r.term, dtype=object))
             docs_l.append(rebased)
             tfs_l.append(tfs)
             norms_l.append(norms)
-        if not docs_l:
-            return pd.DataFrame(out_cols)
         term = np.concatenate(terms_l)
-        doc = np.concatenate(docs_l)
-        tf = np.concatenate(tfs_l)
         norm = np.concatenate(norms_l)
-        from ..functions.norms import byte4_to_int
-
-        dl_q = byte4_to_int(norm).astype(np.int64)
-        block = (doc // range_block).astype(np.int64)
-        order = np.lexsort((doc, block, term.astype(str)))
-        term, doc, tf, norm, dl_q, block = (
-            term[order], doc[order], tf[order], norm[order], dl_q[order], block[order]
-        )
-        new = np.r_[True, (term[1:] != term[:-1]) | (block[1:] != block[:-1])]
-        starts = np.flatnonzero(new)
-        n_per = np.diff(np.r_[starts, len(term)])
-        deltas = np.empty(len(doc), dtype=np.int64)
-        deltas[1:] = doc[1:] - doc[:-1]
-        deltas[starts] = doc[starts] - block[starts] * range_block
-        doc_bytes = np.frombuffer(varint_encode(deltas), dtype=np.uint8).tobytes()
-        tf_bytes = np.frombuffer(varint_encode(tf), dtype=np.uint8).tobytes()
-        doc_off = np.r_[0, np.cumsum(varint_nbytes(deltas))]
-        tf_off = np.r_[0, np.cumsum(varint_nbytes(tf))]
-        bounds = np.r_[starts, len(term)]
-        norm_b = norm.tobytes()
-        tb = pdf["term_bucket"].to_numpy()
-        tb_of_term = dict(zip(pdf["term"], tb))
-        return pd.DataFrame(
-            {
-                "segment_id": np.full(len(starts), new_seg, dtype=np.int32),
-                "term_bucket": np.array(
-                    [tb_of_term[t] for t in term[starts]], dtype=np.int32
-                ),
-                "term": term[starts],
-                "block_id": block[starts].astype(np.int32),
-                "n": n_per.astype(np.int32),
-                "max_tf": np.maximum.reduceat(tf, starts).astype(np.int32),
-                "min_dl_q": np.minimum.reduceat(dl_q, starts).astype(np.int32),
-                "sum_tf": np.add.reduceat(tf, starts).astype(np.int64),
-                "docs": [
-                    doc_bytes[doc_off[bounds[i]]:doc_off[bounds[i + 1]]] for i in range(len(starts))
-                ],
-                "tfs": [
-                    tf_bytes[tf_off[bounds[i]]:tf_off[bounds[i + 1]]] for i in range(len(starts))
-                ],
-                "norms": [norm_b[bounds[i]:bounds[i + 1]] for i in range(len(starts))],
-            }
+        return postings_rows_from_flat(
+            new_seg,
+            term,
+            np.concatenate(docs_l),
+            np.concatenate(tfs_l),
+            norm,
+            byte4_to_int(norm).astype(np.int64),
+            range_block,
+            term_buckets,
         )
 
     return merge
@@ -128,7 +101,7 @@ def merge_segments(
         prev = sum(counts.get(s, 0) for s in range(group * factor, seg))
         shift_of[seg] = prev
 
-    kernel = _merge_kernel(range_block, shift_of, factor)
+    kernel = _merge_kernel(range_block, shift_of, factor, int(meta.get("term_buckets", 0)))
     merged = (
         spark.read.parquet(p_in["postings"])
         .withColumn("merge_group", (F.col("segment_id") / factor).cast("int"))

@@ -136,31 +136,52 @@ def _wand_kernel(
                 {"segment_id": pd.Series(dtype=np.int32), "nss_doc_id": pd.Series(dtype=np.int64),
                  "score": pd.Series(dtype=np.float64), "matched_terms": pd.Series(dtype=np.int32)}
             )
+        # one row per (segment, term): <= |query terms| rows here. Rows
+        # are processed in sorted-term order so per-doc float sums are
+        # deterministic regardless of storage order.
+        pdf = pdf.sort_values("term", kind="mergesort").reset_index(drop=True)
         seg = int(pdf["segment_id"].iloc[0])
-        idf = np.array([idf_by_term[t] for t in pdf["term"]], dtype=ft)
-        max_tf = pdf["max_tf"].to_numpy(dtype=np.float64).astype(ft)
-        min_dl = pdf["min_dl_q"].to_numpy(dtype=np.float64).astype(ft)
         k1f, bf, av = ft(k1), ft(b), ft(avgdl)
-        ub_row = idf * (max_tf / (max_tf + k1f * (ft(1.0) - bf + bf * min_dl / av)))
+        idf = np.array([idf_by_term[t] for t in pdf["term"]], dtype=ft)
 
-        blocks = pdf["block_id"].to_numpy(dtype=np.int64)
-        uniq_blocks, inv = np.unique(blocks, return_inverse=True)
+        # flatten per-term block arrays → per-(term, block) upper bounds
+        r_bids = [np.asarray(x, dtype=np.int64) for x in pdf["block_ids"]]
+        r_bns = [np.asarray(x, dtype=np.int64) for x in pdf["block_ns"]]
+        r_bmax = [np.asarray(x, dtype=np.float64) for x in pdf["block_max_tf"]]
+        r_bmin = [np.asarray(x, dtype=np.float64) for x in pdf["block_min_dl_q"]]
+        r_doff = [np.asarray(x, dtype=np.int64) for x in pdf["block_doc_off"]]
+        r_toff = [np.asarray(x, dtype=np.int64) for x in pdf["block_tf_off"]]
+        r_noff = [np.r_[0, np.cumsum(ns)] for ns in r_bns]
+        row_of = np.concatenate([np.full(len(x), i, dtype=np.int64) for i, x in enumerate(r_bids)])
+        pos_of = np.concatenate([np.arange(len(x), dtype=np.int64) for x in r_bids])
+        flat_bid = np.concatenate(r_bids)
+        flat_max = np.concatenate(r_bmax).astype(ft)
+        flat_min = np.concatenate(r_bmin).astype(ft)
+        ub_entry = idf[row_of] * (flat_max / (flat_max + k1f * (ft(1.0) - bf + bf * flat_min / av)))
+
+        uniq_blocks, inv = np.unique(flat_bid, return_inverse=True)
         block_ub = np.zeros(len(uniq_blocks), dtype=np.float64)
-        np.add.at(block_ub, inv, ub_row.astype(np.float64))
+        np.add.at(block_ub, inv, ub_entry.astype(np.float64))
         if mode == "and":
             # a range missing any term can't produce a conjunctive match
             tcount = np.zeros(len(uniq_blocks), dtype=np.int64)
             np.add.at(tcount, inv, 1)
             block_ub[tcount < n_terms] = -np.inf
         order = np.argsort(-block_ub, kind="mergesort")
+        # entries grouped by block: sort entry index by (block, row) —
+        # row order is term order, keeping float sums deterministic
+        egrp = np.lexsort((row_of, inv))
+        ebounds = np.r_[0, np.cumsum(np.bincount(inv, minlength=len(uniq_blocks)))]
+        docs_blobs = pdf["docs"].to_numpy()
+        tfs_blobs = pdf["tfs"].to_numpy()
+        norm_blobs = pdf["norms"].to_numpy()
+        doc_ends = [len(x) for x in docs_blobs]
+        tf_ends = [len(x) for x in tfs_blobs]
 
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
         top_counts = np.empty(0, dtype=np.int64)
         theta = -np.inf
-        rows_by_block: dict[int, list[int]] = {}
-        for ri, bi in enumerate(inv):
-            rows_by_block.setdefault(int(bi), []).append(ri)
 
         for bi in order:
             ub = block_ub[bi]
@@ -171,15 +192,18 @@ def _wand_kernel(
             base = int(uniq_blocks[bi]) * range_block
             acc = np.zeros(range_block, dtype=ft)
             cnt = np.zeros(range_block, dtype=np.int32)
-            # accumulate per term in sorted-term order → deterministic sums
-            rlist = sorted(rows_by_block[int(bi)], key=lambda r: term_order[pdf["term"].iloc[r]])
-            for r in rlist:
-                offs = (
-                    np.cumsum(varint_decode(pdf["docs"].iloc[r]).astype(np.int64)) - 0
-                )  # deltas: first is rel to base
-                local = offs  # already relative to block base
-                tfv = varint_decode(pdf["tfs"].iloc[r]).astype(np.float64).astype(ft)
-                dlq = byte4_to_int(np.frombuffer(pdf["norms"].iloc[r], dtype=np.uint8)).astype(ft)
+            for e in egrp[ebounds[bi]:ebounds[bi + 1]]:
+                r, p = int(row_of[e]), int(pos_of[e])
+                ds = int(r_doff[r][p])
+                de = int(r_doff[r][p + 1]) if p + 1 < len(r_doff[r]) else doc_ends[r]
+                local = np.cumsum(varint_decode(docs_blobs[r][ds:de]).astype(np.int64))
+                ts = int(r_toff[r][p])
+                te = int(r_toff[r][p + 1]) if p + 1 < len(r_toff[r]) else tf_ends[r]
+                tfv = varint_decode(tfs_blobs[r][ts:te]).astype(np.float64).astype(ft)
+                ns, ne = int(r_noff[r][p]), int(r_noff[r][p + 1])
+                dlq = byte4_to_int(
+                    np.frombuffer(norm_blobs[r][ns:ne], dtype=np.uint8)
+                ).astype(ft)
                 contrib = idf[r] * (tfv / (tfv + k1f * (ft(1.0) - bf + bf * dlq / av)))
                 acc[local] += contrib
                 cnt[local] += 1

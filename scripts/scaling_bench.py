@@ -59,7 +59,13 @@ def run_level(cpus: int, corpus_dir: str, work_dir: str, pkg_zip: str) -> dict:
         "--index-dir", os.path.join(work_dir, f"index_{cpus}"),
         "--cpus", str(cpus),
     ]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    env = dict(
+        os.environ,
+        MALLOC_TRIM_THRESHOLD_="268435456",
+        MALLOC_MMAP_THRESHOLD_="268435456",
+        MALLOC_ARENA_MAX="4",
+    )
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, env=env)
     for line in reversed(out.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):

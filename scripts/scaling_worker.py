@@ -44,6 +44,8 @@ def main() -> int:
     ap.add_argument("--query-rounds", type=int, default=6)
     ap.add_argument("--query-concurrency", type=int, default=8,
                     help="fixed at both levels so throughput reflects executor capacity")
+    ap.add_argument("--skip-build", action="store_true",
+                    help="reuse an existing index (query-only measurement)")
     args = ap.parse_args()
 
     builder = (
@@ -52,6 +54,11 @@ def main() -> int:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.scheduler.mode", "FAIR")
+        # see session.py: stop glibc munmap/TLB-shootdown storms in the
+        # Arrow workers (dominates sys-time at high core counts)
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "268435456")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "268435456")
+        .config("spark.executorEnv.MALLOC_ARENA_MAX", "4")
         # committer v2: task-side file moves — the v1 driver-side serial
         # commit is a fixed floor that caps strong scaling
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
@@ -67,17 +74,20 @@ def main() -> int:
     corpus = spark.read.parquet(args.corpus)
     n_docs = corpus.count()  # warms FS cache so build timing is compute
 
-    shutil.rmtree(args.index_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    metrics = build_index(
-        spark, corpus, args.index_dir,
-        key_cols=["repo", "path", "commit"], text_col="content", tokenizer="code",
-        num_segments=args.num_segments, range_block=args.range_block,
-        build_id=f"scaling-{args.cpus}",
-    )
-    build_s = time.perf_counter() - t0
-
-    mismatches = verify_sha256(spark, corpus, args.index_dir)
+    if args.skip_build:
+        build_s, mismatches = float("nan"), -1
+        metrics = {"postings": -1, "bytes_compressed": -1, "total_tokens": -1, "phase_sec": {}}
+    else:
+        shutil.rmtree(args.index_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        metrics = build_index(
+            spark, corpus, args.index_dir,
+            key_cols=["repo", "path", "commit"], text_col="content", tokenizer="code",
+            num_segments=args.num_segments, range_block=args.range_block,
+            build_id=f"scaling-{args.cpus}",
+        )
+        build_s = time.perf_counter() - t0
+        mismatches = verify_sha256(spark, corpus, args.index_dir)
 
     reader = IndexReader(spark, args.index_dir, cache_hot=True)
     reader.global_stats()  # cache stats outside the timed loop
@@ -101,8 +111,8 @@ def main() -> int:
             {
                 "cpus": args.cpus,
                 "n_docs": n_docs,
-                "build_sec": round(build_s, 2),
-                "files_per_sec": round(n_docs / build_s, 1),
+                "build_sec": None if args.skip_build else round(build_s, 2),
+                "files_per_sec": None if args.skip_build else round(n_docs / build_s, 1),
                 "sha256_mismatches": mismatches,
                 "n_queries": n_q,
                 "query_sec": round(query_s, 2),
