@@ -241,6 +241,81 @@ def _wand_kernel(
     return kernel
 
 
+def _bulk_kernel(
+    terms: list[str],
+    idf_by_term: dict[str, float],
+    avgdl: float,
+    k: int,
+    range_block: int,
+    mode: str,
+    dtype: str,
+    k1: float = K1,
+    b: float = B,
+):
+    """Per-segment exact top-k by bulk decode: each term's posting blob
+    decodes in ONE varint pass (segmented cumsum over the block offsets
+    recovers absolute ids), contributions accumulate into a dense local
+    array. ~10 numpy calls per term instead of one per (term, block) —
+    wins whenever most ranges would survive pruning anyway (head terms,
+    OR queries). Scores are bit-identical to the WAND kernel: per-doc
+    sums happen in the same sorted-term order."""
+    ft = np.float32 if dtype == "float32" else np.float64
+    n_terms = len(terms)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"segment_id": pd.Series(dtype=np.int32), "nss_doc_id": pd.Series(dtype=np.int64),
+                 "score": pd.Series(dtype=np.float64), "matched_terms": pd.Series(dtype=np.int32)}
+            )
+        pdf = pdf.sort_values("term", kind="mergesort").reset_index(drop=True)
+        seg = int(pdf["segment_id"].iloc[0])
+        k1f, bf, av = ft(k1), ft(b), ft(avgdl)
+        size = 0
+        decoded = []
+        for r in pdf.itertuples():
+            deltas = varint_decode(r.docs).astype(np.int64)
+            ns = np.asarray(r.block_ns, dtype=np.int64)
+            bids = np.asarray(r.block_ids, dtype=np.int64)
+            starts = np.r_[0, np.cumsum(ns)[:-1]]
+            cs = np.cumsum(deltas)
+            carry = np.repeat(cs[starts] - deltas[starts], ns)
+            ids = np.repeat(bids * range_block, ns) + cs - carry
+            tfv = varint_decode(r.tfs).astype(np.float64).astype(ft)
+            dlq = byte4_to_int(np.frombuffer(r.norms, dtype=np.uint8)).astype(ft)
+            idf = ft(idf_by_term[r.term])
+            contrib = idf * (tfv / (tfv + k1f * (ft(1.0) - bf + bf * dlq / av)))
+            decoded.append((ids, contrib))
+            if len(ids):
+                size = max(size, int(ids[-1]) + 1)
+        acc = np.zeros(size, dtype=ft)
+        cnt = np.zeros(size, dtype=np.int32)
+        for ids, contrib in decoded:  # sorted-term order → deterministic
+            acc[ids] += contrib
+            cnt[ids] += 1
+        hit = np.flatnonzero(cnt > 0) if mode != "and" else np.flatnonzero(cnt == n_terms)
+        if len(hit) == 0:
+            return pd.DataFrame(
+                {"segment_id": pd.Series(dtype=np.int32), "nss_doc_id": pd.Series(dtype=np.int64),
+                 "score": pd.Series(dtype=np.float64), "matched_terms": pd.Series(dtype=np.int32)}
+            )
+        scores = acc[hit].astype(np.float64)
+        if len(hit) > k:
+            sel = np.lexsort((hit, -scores))[:k]
+            hit, scores = hit[sel], scores[sel]
+        gid = (np.int64(seg) << SEG_SHIFT) + hit
+        return pd.DataFrame(
+            {
+                "segment_id": np.full(len(gid), seg, dtype=np.int32),
+                "nss_doc_id": gid,
+                "score": scores,
+                "matched_terms": cnt[hit].astype(np.int32),
+            }
+        )
+
+    return kernel
+
+
 def bm25_topk_indexed(
     reader: IndexReader,
     terms: list[str],
@@ -248,6 +323,7 @@ def bm25_topk_indexed(
     mode: str = "or",
     dtype: str = "float64",
     with_keys: bool = True,
+    strategy: str = "bulk",
 ) -> DataFrame:
     """Top-k BM25 via the index: broadcast query stats → per-segment
     block-max kernel → global TakeOrderedAndProject merge."""
@@ -265,7 +341,8 @@ def bm25_topk_indexed(
         t: float(np.log(ftype(1.0) + (ftype(N) - ftype(dfs[t]) + ftype(0.5)) / (ftype(dfs[t]) + ftype(0.5))).astype(ftype))
         for t in live
     }
-    kernel = _wand_kernel(live, idf_by_term, avgdl, k, int(reader.meta["range_block"]), mode, dtype)
+    make = _bulk_kernel if strategy == "bulk" else _wand_kernel
+    kernel = make(live, idf_by_term, avgdl, k, int(reader.meta["range_block"]), mode, dtype)
     scan = reader.postings()
     n_buckets = int(reader.meta.get("term_buckets", 0))
     if n_buckets > 1:
