@@ -148,11 +148,12 @@ HYBRID_WEIGHTS = [0.4, 0.3, 0.3]
 SPARSE_QUERY = {"spark": 1.0, "window": 0.45, "merge": 0.39, "the": 0.1}
 
 
-def _subquery_dfs(spark, sf_dir):
-    from neural_search_spark.query.exhaustive import bm25_scores
+def _tagged_subquery_scores(spark, sf_dir):
+    """All hybrid sub-queries scored in one corpus traversal
+    (exhaustive.bm25_scores_by_group — HybridQueryScorer analog)."""
+    from neural_search_spark.query.exhaustive import bm25_scores_by_group
 
-    docs = _docs(spark, sf_dir)
-    return [bm25_scores(docs, g, round_to=None) for g in HYBRID_GROUPS]
+    return bm25_scores_by_group(_docs(spark, sf_dir), HYBRID_GROUPS)
 
 
 def _q_hybrid_minmax_arith(spark, sf_dir):
@@ -160,10 +161,7 @@ def _q_hybrid_minmax_arith(spark, sf_dir):
 
     from neural_search_spark.query.hybrid import combine, normalize
 
-    tagged = None
-    for i, sq in enumerate(_subquery_dfs(spark, sf_dir)):
-        t = sq.select(F.lit(i).alias("subquery_idx"), "doc_id", "score")
-        tagged = t if tagged is None else tagged.unionByName(t)
+    tagged = _tagged_subquery_scores(spark, sf_dir)
     out = combine(normalize(tagged, "min_max"), "arithmetic_mean", HYBRID_WEIGHTS, 3)
     return out.withColumn("score", F.round("score", 4))
 
@@ -173,10 +171,7 @@ def _q_hybrid_l2_geometric(spark, sf_dir):
 
     from neural_search_spark.query.hybrid import combine, normalize
 
-    tagged = None
-    for i, sq in enumerate(_subquery_dfs(spark, sf_dir)):
-        t = sq.select(F.lit(i).alias("subquery_idx"), "doc_id", "score")
-        tagged = t if tagged is None else tagged.unionByName(t)
+    tagged = _tagged_subquery_scores(spark, sf_dir)
     out = combine(normalize(tagged, "l2"), "geometric_mean", None, 3)
     return out.withColumn("score", F.round("score", 4))
 
@@ -186,10 +181,7 @@ def _q_hybrid_minmax_harmonic(spark, sf_dir):
 
     from neural_search_spark.query.hybrid import combine, normalize
 
-    tagged = None
-    for i, sq in enumerate(_subquery_dfs(spark, sf_dir)):
-        t = sq.select(F.lit(i).alias("subquery_idx"), "doc_id", "score")
-        tagged = t if tagged is None else tagged.unionByName(t)
+    tagged = _tagged_subquery_scores(spark, sf_dir)
     out = combine(normalize(tagged, "min_max"), "harmonic_mean", HYBRID_WEIGHTS, 3)
     return out.withColumn("score", F.round("score", 4))
 

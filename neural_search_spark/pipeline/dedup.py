@@ -115,7 +115,9 @@ def ngram_jaccard_pairs(
     is the exact baseline; a shingle shared by m docs contributes m^2
     candidate rows, so at 100 TB use ``minhash_lsh_pairs`` instead.
     """
-    sh = shingle_sets(docs, n, id_col, text_col)
+    # the shingle table feeds candidate generation, sizes, and the
+    # intersection count — persist so tokenization runs once, not 4x
+    sh = shingle_sets(docs, n, id_col, text_col).persist()
     a = sh.withColumnRenamed("doc_id", "a")
     b = sh.withColumnRenamed("doc_id", "b")
     cands = (
@@ -177,7 +179,16 @@ def minhash_lsh_pairs(
     not O(docs^2). Verification touches candidate pairs only.
     """
     rows = num_perm // bands
-    sig = minhash_signatures(docs, n, num_perm, id_col, text_col)
+    # shared by signatures AND verification (4 scans total) — one
+    # tokenize+explode pass instead of four
+    sh = shingle_sets(docs, n, id_col, text_col).persist()
+    spark_h, _ = hash64_sql("shingle")
+    hashed = sh.withColumn("h", F.expr(spark_h))
+    aggs = [
+        F.min(F.expr(minhash_expr("h", a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(num_perm))
+    ]
+    sig = hashed.groupBy("doc_id").agg(*aggs)
     band_structs = F.array(
         *[
             F.struct(
@@ -200,7 +211,6 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .distinct()
     )
-    sh = shingle_sets(docs, n, id_col, text_col)
     return _verify_jaccard(cands, sh, threshold)
 
 

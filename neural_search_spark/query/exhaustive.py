@@ -71,6 +71,50 @@ def bm25_scores(
     return scored
 
 
+def bm25_scores_by_group(
+    docs: DataFrame,
+    term_groups: list[list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    quantize: bool = True,
+) -> DataFrame:
+    """(subquery_idx, doc_id, score): every hybrid sub-query scored in
+    ONE corpus traversal — the DataFrame analog of HybridQueryScorer
+    iterating all sub-scorers per doc (query/HybridQueryScorer.java:
+    190-208). One tokenize+shuffle for N sub-queries instead of N; the
+    term→sub-query membership is a broadcast dimension table."""
+    spark = docs.sparkSession
+    all_terms = sorted({t for g in term_groups for t in g})
+    membership = spark.createDataFrame(
+        [(i, t) for i, g in enumerate(term_groups) for t in sorted(set(g))],
+        ["subquery_idx", "term"],
+    )
+    tok = tokenized(docs, id_col, text_col)
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("N"),
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dl_expr = quantized_dl_sql("dl") if quantize else "dl"
+    exploded = (
+        tok.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = exploded.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl", k1=k1, b=b)
+    return (
+        exploded.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", F.expr(contrib))
+        .join(F.broadcast(membership), "term")
+        .groupBy("subquery_idx", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+
 def bm25_conjunctive(
     docs: DataFrame,
     terms: list[str],
