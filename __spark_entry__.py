@@ -305,6 +305,113 @@ def _q_chunk_fixed_token_counts(spark, sf_dir):
     return fixed_token_chunk_counts(_docs(spark, sf_dir), token_limit=32, overlap_rate=0.25)
 
 
+def _matched(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.exhaustive import tokenized
+
+    docs = _docs(spark, sf_dir)
+    return (
+        tokenized(docs)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(TERMS_OR))
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def _q_hybrid_sort_by_field(spark, sf_dir):
+    from neural_search_spark.query.paginate import sort_by_fields
+
+    withf = _matched(spark, sf_dir).join(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", "n_chars", "lang"
+    )
+    return sort_by_fields(withf, [("n_chars", "desc"), ("lang", "asc")], k=10)
+
+
+def _q_sort_after_fields(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.paginate import search_after_fields, sort_by_fields
+
+    withf = _matched(spark, sf_dir).join(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", "n_chars"
+    )
+    page1 = sort_by_fields(withf, [("n_chars", "desc")], k=10).collect()
+    last = page1[-1]
+    return search_after_fields(
+        withf, [("n_chars", "desc")], [last["n_chars"]], int(last["doc_id"]), k=10
+    )
+
+
+def _q_hybrid_total_hits(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return _matched(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("total_hits"), F.lit("EQ").alias("relation")
+    )
+
+
+def _q_hybrid_pipeline_aggs(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    buckets = (
+        _matched(spark, sf_dir)
+        .join(_docs(spark, sf_dir), "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("sum_chars"))
+    )
+    w = Window.orderBy(F.col("lang").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    return buckets.select(
+        "lang",
+        "n",
+        F.sum("n").over(w).alias("cum_n"),
+        F.round(F.col("sum_chars") * F.lit(1.0) / F.col("n"), 4).alias("chars_per_doc"),
+    )
+
+
+def _q_hybrid_histogram(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        _matched(spark, sf_dir)
+        .join(_docs(spark, sf_dir), "doc_id")
+        .groupBy((F.floor(F.col("n_chars") / 100) * 100).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_rescore_window(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.exhaustive import bm25_scores
+    from neural_search_spark.query.rerank import rescore
+    from neural_search_spark.query.sparse import sparse_scores
+
+    scores = bm25_scores(_docs(spark, sf_dir), TERMS_OR, round_to=None)
+    win = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(20)
+    rs = sparse_scores(_sparse_features(spark, sf_dir), SPARSE_QUERY)
+    out = rescore(win, rs, weight_original=0.5, weight_rescore=0.5, k=10)
+    return out.withColumn("score", F.round("score", 4))
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _q_events_windowed(spark, sf_dir):
+    from neural_search_spark.streaming.windows import windowed_event_agg
+
+    return windowed_event_agg(_events(spark, sf_dir), window="1 day")
+
+
+def _q_events_sessions(spark, sf_dir):
+    from neural_search_spark.streaming.windows import sessionized_user_stats
+
+    return sessionized_user_stats(_events(spark, sf_dir), gap="12 hours")
+
+
 # --- training-data pipeline layer (dedup / similarity / text / media) --
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,6 +530,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_post_filter": _q_hybrid_post_filter,
         "chunk_delimiter": _q_chunk_delimiter,
         "chunk_fixed_token_counts": _q_chunk_fixed_token_counts,
+        "hybrid_sort_by_field": _q_hybrid_sort_by_field,
+        "sort_after_fields": _q_sort_after_fields,
+        "hybrid_total_hits": _q_hybrid_total_hits,
+        "hybrid_pipeline_aggs": _q_hybrid_pipeline_aggs,
+        "hybrid_histogram": _q_hybrid_histogram,
+        "rescore_window": _q_rescore_window,
+        "events_windowed_agg": _q_events_windowed,
+        "events_sessionization": _q_events_sessions,
         "dedup_exact": _q_dedup_exact,
         "dedup_fingerprint": _q_dedup_fingerprint,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -468,6 +583,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "chunk_delimiter": oracle.delimiter_chunks_oracle_sql(CHUNK_DELIMITER),
         "chunk_fixed_token_counts": oracle.fixed_token_chunk_counts_sql(32, 0.25),
+        "hybrid_sort_by_field": oracle.hybrid_sort_by_field_sql(TERMS_OR, k=10),
+        "sort_after_fields": oracle.sort_after_fields_sql(TERMS_OR, page=2, k=10),
+        "hybrid_total_hits": oracle.hybrid_total_hits_sql(TERMS_OR),
+        "hybrid_pipeline_aggs": oracle.hybrid_pipeline_aggs_sql(TERMS_OR),
+        "hybrid_histogram": oracle.hybrid_histogram_sql(TERMS_OR, width=100),
+        "rescore_window": oracle.rescore_window_sql(TERMS_OR, SPARSE_QUERY, window=20, k=10),
+        "events_windowed_agg": oracle.events_windowed_sql(),
+        "events_sessionization": oracle.events_sessions_sql(gap_hours=12),
         "dedup_exact": poracle.exact_dedup_sql(),
         "dedup_fingerprint": poracle.fingerprint_dedup_sql(),
         "dedup_ngram_jaccard": poracle.ngram_jaccard_sql(n=3, threshold=0.4),

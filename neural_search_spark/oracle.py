@@ -351,6 +351,139 @@ SELECT doc_id,
 FROM {table}"""
 
 
+def _matched_ctes(terms: list[str], table: str = "documents") -> str:
+    return f"""{bm25_base_ctes(terms, table)},
+matched AS (SELECT DISTINCT doc_id FROM tf)"""
+
+
+def hybrid_sort_by_field_sql(
+    terms: list[str], k: int = 10, table: str = "documents"
+) -> str:
+    """Sort hybrid-matched docs by fields with doc-id tiebreak
+    [HybridTopFieldDocSortCollector.java:40-416 → TakeOrderedAndProject]."""
+    return f"""{_matched_ctes(terms, table)}
+SELECT d.doc_id AS doc_id, d.n_chars AS n_chars, d.lang AS lang
+FROM matched m JOIN {table} d USING (doc_id)
+ORDER BY d.n_chars DESC, d.lang ASC, d.doc_id ASC
+LIMIT {k}"""
+
+
+def sort_after_fields_sql(
+    terms: list[str], page: int = 2, k: int = 10, table: str = "documents"
+) -> str:
+    """Keyset field-sort page == OFFSET page for a total order
+    [PagingFieldCollector.java:21-98]."""
+    return f"""{_matched_ctes(terms, table)}
+SELECT d.doc_id AS doc_id, d.n_chars AS n_chars
+FROM matched m JOIN {table} d USING (doc_id)
+ORDER BY d.n_chars DESC, d.doc_id ASC
+LIMIT {k} OFFSET {(page - 1) * k}"""
+
+
+def hybrid_total_hits_sql(terms: list[str], table: str = "documents") -> str:
+    """totalHits + relation [HybridTopScoreDocCollector.java:118-125 —
+    unique matched docs; EQ because we count exactly]."""
+    return f"""{_matched_ctes(terms, table)}
+SELECT count(*) AS total_hits, 'EQ' AS relation FROM matched"""
+
+
+def hybrid_pipeline_aggs_sql(terms: list[str], table: str = "documents", round_to: int = 4) -> str:
+    """Pipeline aggregations over hybrid buckets: cumulative_sum +
+    bucket_script analog (PipelineAggregationsWithHybridQueryIT.java:
+    55-97) — Window cumsum over lang-ordered buckets."""
+    return f"""{_matched_ctes(terms, table)},
+buckets AS (
+  SELECT d.lang AS lang, count(*) AS n, sum(d.n_chars) AS sum_chars
+  FROM matched m JOIN {table} d USING (doc_id) GROUP BY d.lang
+)
+SELECT lang, n,
+       sum(n) OVER (ORDER BY lang ASC ROWS UNBOUNDED PRECEDING) AS cum_n,
+       round(sum_chars * 1.0 / n, {round_to}) AS chars_per_doc
+FROM buckets"""
+
+
+def hybrid_histogram_sql(
+    terms: list[str], width: int = 100, table: str = "documents"
+) -> str:
+    """Histogram bucket aggregation over hybrid-matched docs
+    (BucketAggregationsWithHybridQueryIT.java:70-228)."""
+    return f"""{_matched_ctes(terms, table)}
+SELECT CAST(floor(d.n_chars / {width}) * {width} AS BIGINT) AS bucket, count(*) AS n
+FROM matched m JOIN {table} d USING (doc_id)
+GROUP BY 1"""
+
+
+def rescore_window_sql(
+    terms: list[str],
+    sparse_query: dict[str, float],
+    window: int = 20,
+    k: int = 10,
+    weight_original: float = 0.5,
+    weight_rescore: float = 0.5,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """Rescore the top-`window` BM25 hits with a sparse linear scorer
+    (HybridCollectorManager.rescore, java:200-227; core rescorer
+    query_weight/rescore_query_weight semantics)."""
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    qw = _qw_case(sparse_query)
+    return f"""{bm25_base_ctes(terms, table)},
+scored AS (
+  SELECT tf.doc_id AS doc_id, sum({contrib}) AS score
+  FROM tf JOIN dfreq USING (term), stats GROUP BY tf.doc_id
+),
+win AS (
+  SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id ASC LIMIT {window}
+),
+feat AS (
+  SELECT doc_id, term AS token, CAST(count(*) AS DOUBLE) AS weight
+  FROM (SELECT doc_id, unnest({simple_tokens_sql('text')[1]}) AS term FROM {table})
+  GROUP BY doc_id, term
+),
+rs AS (
+  SELECT doc_id, sum({qw} * weight) AS rscore
+  FROM feat WHERE token IN {_terms_list(sorted(sparse_query))}
+  GROUP BY doc_id
+)
+SELECT w.doc_id AS doc_id,
+       round({weight_original} * w.score + {weight_rescore} * coalesce(rs.rscore, 0.0), {round_to}) AS score
+FROM win w LEFT JOIN rs USING (doc_id)
+ORDER BY ({weight_original} * w.score + {weight_rescore} * coalesce(rs.rscore, 0.0)) DESC, w.doc_id ASC
+LIMIT {k}"""
+
+
+def events_windowed_sql(table: str = "events", round_to: int = 4) -> str:
+    """Tumbling 1-day event-time windows (Spark window() epoch-aligns, so
+    start == date_trunc('day')); oracle twin of streaming/windows.py
+    windowed_event_agg — the same plan runs on readStream with a
+    watermark."""
+    return f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), {round_to}) AS sum_value
+FROM {table}
+GROUP BY 1, 2"""
+
+
+def events_sessions_sql(gap_hours: int = 12, table: str = "events") -> str:
+    """Session windows per user (gap rule == gaps-and-islands lag SQL):
+    a session extends while consecutive events are within the gap."""
+    return f"""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {gap_hours} HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM {table}
+)
+SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+FROM o GROUP BY user_id"""
+
+
 def doc_stats_sql(table: str = "documents") -> str:
     _, duck_toks = simple_tokens_sql("text")
     return f"""

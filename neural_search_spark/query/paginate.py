@@ -32,6 +32,36 @@ def search_after(
     )
 
 
+def search_after_fields(
+    df: DataFrame,
+    sort_cols: list[tuple[str, str]],
+    after_values: list,
+    after_doc_id: int,
+    k: int = 10,
+) -> DataFrame:
+    """Keyset page after a field-sort tuple (PagingFieldCollector
+    semantics: strictly-after in the lexicographic sort order, doc_id
+    as the final ascending tiebreak)."""
+    assert len(sort_cols) == len(after_values)
+    strict = None
+    for i, (c, d) in enumerate(sort_cols):
+        later = (
+            F.col(c) < F.lit(after_values[i])
+            if d.lower() == "desc"
+            else F.col(c) > F.lit(after_values[i])
+        )
+        eq_prefix = F.lit(True)
+        for j in range(i):
+            eq_prefix = eq_prefix & (F.col(sort_cols[j][0]) == F.lit(after_values[j]))
+        clause = eq_prefix & later
+        strict = clause if strict is None else (strict | clause)
+    all_eq = F.lit(True)
+    for i, (c, _) in enumerate(sort_cols):
+        all_eq = all_eq & (F.col(c) == F.lit(after_values[i]))
+    pred = strict | (all_eq & (F.col("doc_id") > F.lit(after_doc_id)))
+    return sort_by_fields(df.where(pred), sort_cols, k)
+
+
 def sort_by_fields(
     scores_with_fields: DataFrame,
     sort_cols: list[tuple[str, str]],

@@ -1,0 +1,80 @@
+"""Structured Streaming: the same windowed-agg plan must produce the
+batch answer when run through readStream + watermark + availableNow."""
+
+import os
+
+import pytest
+
+from neural_search_spark.streaming.windows import (
+    run_stream_available_now,
+    sessionized_user_stats,
+    windowed_event_agg,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_path(tmp_path_factory):
+    # FileStreamSource wants a directory; the driver table is one file
+    import shutil
+
+    src = os.path.join(SF_SMALL, "events.parquet")
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(src, d / "part-0.parquet")
+    return str(d)
+
+
+def _canon(rows):
+    return sorted((r.window_start, r.event_type, r.n, r.sum_value) for r in rows)
+
+
+def test_stream_equals_batch(spark, events_path):
+    batch = windowed_event_agg(spark.read.parquet(events_path))
+    expected = _canon(batch.collect())
+
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    out = windowed_event_agg(stream, with_watermark="2 hours")
+    q = run_stream_available_now(out, "win_agg_test", output_mode="complete")
+    q.awaitTermination(120)
+    got = _canon(spark.table("win_agg_test").collect())
+    assert got == expected and len(got) > 0
+
+
+def test_stream_drops_late_rows(spark, events_path):
+    """Append mode + watermark: only windows the watermark has passed are
+    emitted — the count must be <= the batch window count and the emitted
+    windows must match batch exactly."""
+    batch = {(r.window_start, r.event_type): (r.n, r.sum_value)
+             for r in windowed_event_agg(spark.read.parquet(events_path)).collect()}
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    out = windowed_event_agg(stream, with_watermark="2 hours")
+    q = run_stream_available_now(out, "win_agg_append", output_mode="append")
+    q.awaitTermination(120)
+    got = spark.table("win_agg_append").collect()
+    assert 0 < len(got) <= len(batch)
+    for r in got:
+        assert batch[(r.window_start, r.event_type)] == (r.n, r.sum_value)
+
+
+def test_sessionization_batch_matches_lag_rule(spark, events_path):
+    """session_window gap semantics == gaps-and-islands lag rule."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(events_path).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.user_id: (r.n_sessions, r.n_events)
+           for r in sessionized_user_stats(ev, gap="12 hours").collect()}
+    w = Window.partitionBy("user_id").orderBy("ts")
+    lagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 12 * 3600),
+            1,
+        ).otherwise(0),
+    )
+    exp = {r.user_id: (r.ns, r.ne) for r in lagged.groupBy("user_id").agg(
+        F.sum("new_s").alias("ns"), F.count(F.lit(1)).alias("ne")).collect()}
+    assert got == exp
