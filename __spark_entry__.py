@@ -396,6 +396,18 @@ def _q_rescore_window(spark, sf_dir):
     return out.withColumn("score", F.round("score", 4))
 
 
+def _q_ingest_sparse_encode(spark, sf_dir):
+    from neural_search_spark.operators.encoders import sparse_encode
+
+    return sparse_encode(_docs(spark, sf_dir), top_m=8)
+
+
+def _q_ingest_dense_embed(spark, sf_dir):
+    from neural_search_spark.operators.encoders import dense_embed
+
+    return dense_embed(_docs(spark, sf_dir), dim=16)
+
+
 def _events(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
@@ -538,6 +550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_window": _q_rescore_window,
         "events_windowed_agg": _q_events_windowed,
         "events_sessionization": _q_events_sessions,
+        "ingest_sparse_encode": _q_ingest_sparse_encode,
+        "ingest_dense_embed": _q_ingest_dense_embed,
         "dedup_exact": _q_dedup_exact,
         "dedup_fingerprint": _q_dedup_fingerprint,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -591,6 +605,8 @@ def oracle_sql() -> dict[str, str]:
         "rescore_window": oracle.rescore_window_sql(TERMS_OR, SPARSE_QUERY, window=20, k=10),
         "events_windowed_agg": oracle.events_windowed_sql(),
         "events_sessionization": oracle.events_sessions_sql(gap_hours=12),
+        "ingest_sparse_encode": oracle.sparse_encode_sql(top_m=8),
+        "ingest_dense_embed": oracle.dense_embed_sql(dim=16),
         "dedup_exact": poracle.exact_dedup_sql(),
         "dedup_fingerprint": poracle.fingerprint_dedup_sql(),
         "dedup_ngram_jaccard": poracle.ngram_jaccard_sql(n=3, threshold=0.4),

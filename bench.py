@@ -43,6 +43,9 @@ HEADLINE += [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "text_quality",
+    "rescore_window",
+    "events_windowed_agg",
+    "ingest_dense_embed",
 ]
 
 

@@ -484,6 +484,51 @@ SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
 FROM o GROUP BY user_id"""
 
 
+def sparse_encode_sql(top_m: int = 8, table: str = "documents", round_to: int = 4) -> str:
+    """Oracle twin of operators/encoders.sparse_encode."""
+    _, duck_toks = simple_tokens_sql("text")
+    return f"""
+WITH tok AS (SELECT doc_id, {duck_toks} AS toks FROM {table}),
+tf AS (
+  SELECT doc_id, len(toks) AS dl, term AS token, count(*) AS tf
+  FROM (SELECT doc_id, toks, unnest(toks) AS term FROM tok)
+  GROUP BY doc_id, len(toks), term
+),
+ranked AS (
+  SELECT doc_id, token, tf * 1.0 / dl AS weight,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tf * 1.0 / dl DESC, token ASC) AS rn
+  FROM tf
+)
+SELECT doc_id, token, round(weight, {round_to}) AS weight
+FROM ranked WHERE rn <= {top_m}"""
+
+
+def dense_embed_sql(dim: int = 16, table: str = "documents", round_to: int = 4) -> str:
+    """Oracle twin of operators/encoders.dense_embed (feature hashing)."""
+    from .pipeline.hashing import hash64_sql
+
+    _, duck_toks = simple_tokens_sql("text")
+    _, duck_h = hash64_sql("token")
+    return f"""
+WITH tf AS (
+  SELECT doc_id, term AS token, count(*) AS tf
+  FROM (SELECT doc_id, unnest({duck_toks}) AS term FROM {table})
+  GROUP BY doc_id, term
+),
+hashed AS (
+  SELECT doc_id, tf, {duck_h} AS h FROM tf
+),
+raw AS (
+  SELECT doc_id, h % {dim} AS dim_idx,
+         sum(CASE WHEN (h >> 8) % 2 = 0 THEN tf ELSE -tf END * 1.0) AS v
+  FROM hashed GROUP BY doc_id, h % {dim}
+),
+nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM raw GROUP BY doc_id)
+SELECT raw.doc_id AS doc_id, CAST(dim_idx AS INT) AS dim_idx,
+       round(CASE WHEN nrm = 0.0 THEN 0.0 ELSE v / nrm END, {round_to}) AS val
+FROM raw JOIN nrm USING (doc_id)"""
+
+
 def doc_stats_sql(table: str = "documents") -> str:
     _, duck_toks = simple_tokens_sql("text")
     return f"""
