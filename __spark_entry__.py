@@ -396,6 +396,36 @@ def _q_rescore_window(spark, sf_dir):
     return out.withColumn("score", F.round("score", 4))
 
 
+SUBQ_K = 50  # per-sub-query retained hits (CompoundTopDocs window)
+
+
+def _q_indexed_hybrid_topk(spark, sf_dir):
+    """Hybrid over the segmented index: per-sub-query top-SUBQ_K via the
+    block-max/bulk kernel, then normalize/combine over the RETAINED hits
+    only — the reference's actual shape (CompoundTopDocs holds per-shard
+    top-k, normalization sees only retained hits:
+    NormalizationProcessorWorkflow.java:54-86)."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.hybrid import combine, normalize
+    from neural_search_spark.query.wand import bm25_topk_indexed
+
+    reader = _doc_index(spark, sf_dir)
+    tagged = None
+    for i, terms in enumerate([TERMS_OR, TERMS_AND]):
+        top = bm25_topk_indexed(reader, terms, k=SUBQ_K, mode="or").select(
+            F.lit(i).alias("subquery_idx"), F.col("doc_id"), F.col("score")
+        )
+        tagged = top if tagged is None else tagged.unionByName(top)
+    out = combine(normalize(tagged, "min_max"), "arithmetic_mean", [0.5, 0.5], 2)
+    w_scores = out.withColumn("score", F.round("score", 4))
+    return (
+        w_scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
 def _q_ingest_sparse_encode(spark, sf_dir):
     from neural_search_spark.operators.encoders import sparse_encode
 
@@ -530,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": _q_term_stats,
         "indexed_bm25_topk": _q_indexed_topk,
         "indexed_bm25_and_topk": _q_indexed_and_topk,
+        "indexed_hybrid_topk": _q_indexed_hybrid_topk,
         "hybrid_minmax_arith": _q_hybrid_minmax_arith,
         "hybrid_l2_geometric": _q_hybrid_l2_geometric,
         "hybrid_minmax_harmonic": _q_hybrid_minmax_harmonic,
@@ -583,6 +614,9 @@ def oracle_sql() -> dict[str, str]:
         "term_stats": oracle.term_stats_sql(min_df=50),
         "indexed_bm25_topk": oracle.bm25_topk_sql(TERMS_OR, k=10),
         "indexed_bm25_and_topk": oracle.bm25_and_topk_sql(TERMS_AND, k=10),
+        "indexed_hybrid_topk": oracle.indexed_hybrid_sql(
+            [TERMS_OR, TERMS_AND], subq_k=SUBQ_K, weights=[0.5, 0.5], k=10
+        ),
         "hybrid_minmax_arith": oracle.hybrid_sql(HYBRID_GROUPS, "min_max", "arithmetic_mean", HYBRID_WEIGHTS),
         "hybrid_l2_geometric": oracle.hybrid_sql(HYBRID_GROUPS, "l2", "geometric_mean"),
         "hybrid_minmax_harmonic": oracle.hybrid_sql(HYBRID_GROUPS, "min_max", "harmonic_mean", HYBRID_WEIGHTS),
