@@ -426,6 +426,29 @@ def _q_indexed_hybrid_topk(spark, sf_dir):
     )
 
 
+def _q_events_json_props(spark, sf_dir):
+    """Nested-JSON document handling (the reference's Map<String,Object>
+    doc model, InferenceProcessor.java:297-314 analog): parse the props
+    JSON column JVM-side and aggregate an extracted field."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_indexed_sparse_two_phase(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.sparse import sparse_topk_indexed
+
+    out = sparse_topk_indexed(_doc_index(spark, sf_dir), SPARSE_QUERY, k=10)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_ingest_sparse_encode(spark, sf_dir):
     from neural_search_spark.operators.encoders import sparse_encode
 
@@ -581,6 +604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_window": _q_rescore_window,
         "events_windowed_agg": _q_events_windowed,
         "events_sessionization": _q_events_sessions,
+        "events_json_props": _q_events_json_props,
+        "indexed_sparse_two_phase": _q_indexed_sparse_two_phase,
         "ingest_sparse_encode": _q_ingest_sparse_encode,
         "ingest_dense_embed": _q_ingest_dense_embed,
         "dedup_exact": _q_dedup_exact,
@@ -639,6 +664,10 @@ def oracle_sql() -> dict[str, str]:
         "rescore_window": oracle.rescore_window_sql(TERMS_OR, SPARSE_QUERY, window=20, k=10),
         "events_windowed_agg": oracle.events_windowed_sql(),
         "events_sessionization": oracle.events_sessions_sql(gap_hours=12),
+        "events_json_props": oracle.events_json_props_sql(),
+        # single-phase SQL oracle == the reference's own two-phase score-
+        # equality invariant (NeuralSparseTwoPhaseProcessorIT.java:151)
+        "indexed_sparse_two_phase": oracle.sparse_topk_sql(SPARSE_QUERY, k=10),
         "ingest_sparse_encode": oracle.sparse_encode_sql(top_m=8),
         "ingest_dense_embed": oracle.dense_embed_sql(dim=16),
         "dedup_exact": poracle.exact_dedup_sql(),

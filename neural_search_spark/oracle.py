@@ -533,6 +533,15 @@ SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
 FROM o GROUP BY user_id"""
 
 
+def events_json_props_sql(table: str = "events", round_to: int = 4) -> str:
+    """Nested-JSON field extraction + aggregation (doc-model analog)."""
+    return f"""
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), {round_to}) AS avg_k,
+       count(*) AS n
+FROM {table} GROUP BY event_type"""
+
+
 def sparse_encode_sql(top_m: int = 8, table: str = "documents", round_to: int = 4) -> str:
     """Oracle twin of operators/encoders.sparse_encode."""
     _, duck_toks = simple_tokens_sql("text")

@@ -89,3 +89,117 @@ def sparse_topk_single_phase(
     from .exhaustive import topk
 
     return topk(sparse_scores(features, query), k=k, round_to=round_to)
+
+
+# --- index-backed sparse retrieval -------------------------------------
+
+def _sparse_seg_scores(reader, query: dict[str, float], restrict_ids=None) -> DataFrame:
+    """Per-doc linear scores from the segmented index: the stored tf IS
+    the feature value (rank_features analog); decode each query token's
+    posting blob in one pass (bulk strategy). ``restrict_ids`` limits
+    output to a candidate window (phase-2 rescore)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions.codecs import varint_decode
+    from ..index.builder import SEG_SHIFT
+
+    schema = T.StructType(
+        [
+            T.StructField("nss_doc_id", T.LongType(), False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+    tokens = sorted(query)
+    qw = {t: float(w) for t, w in query.items()}
+    allowed = None if restrict_ids is None else frozenset(int(x) for x in restrict_ids)
+    range_block = int(reader.meta["range_block"])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"nss_doc_id": pd.Series(dtype=np.int64),
+                                 "score": pd.Series(dtype=np.float64)})
+        pdf = pdf.sort_values("term", kind="mergesort")
+        seg = int(pdf["segment_id"].iloc[0])
+        base = np.int64(seg) << SEG_SHIFT
+        allow_arr = (
+            np.fromiter(allowed, dtype=np.int64) if allowed is not None else None
+        )
+        id_parts, c_parts = [], []
+        for r in pdf.itertuples():
+            deltas = varint_decode(r.docs).astype(np.int64)
+            ns = np.asarray(r.block_ns, dtype=np.int64)
+            bids = np.asarray(r.block_ids, dtype=np.int64)
+            starts = np.r_[0, np.cumsum(ns)[:-1]]
+            cs = np.cumsum(deltas)
+            carry = np.repeat(cs[starts] - deltas[starts], ns)
+            ids = base + np.repeat(bids * range_block, ns) + cs - carry
+            contrib = qw[r.term] * varint_decode(r.tfs).astype(np.float64)
+            if allow_arr is not None:
+                keep = np.isin(ids, allow_arr)
+                ids, contrib = ids[keep], contrib[keep]
+            id_parts.append(ids)
+            c_parts.append(contrib)
+        if not id_parts or not sum(len(x) for x in id_parts):
+            return pd.DataFrame({"nss_doc_id": pd.Series(dtype=np.int64),
+                                 "score": pd.Series(dtype=np.float64)})
+        all_ids = np.concatenate(id_parts)
+        all_c = np.concatenate(c_parts)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inv, all_c)  # array order = sorted-term order → deterministic
+        return pd.DataFrame({"nss_doc_id": uniq, "score": acc})
+
+    scan = reader.postings()
+    n_buckets = int(reader.meta.get("term_buckets", 0))
+    if n_buckets > 1:
+        from ..pipeline.hashing import py_hash64
+
+        buckets = sorted({py_hash64(t) % n_buckets for t in tokens})
+        scan = scan.where(F.col("term_bucket").isin(buckets))
+    return (
+        scan.where(F.col("term").isin(tokens))
+        .groupBy("segment_id")
+        .applyInPandas(kernel, schema)
+    )
+
+
+def sparse_topk_indexed(
+    reader,
+    query: dict[str, float],
+    k: int = 10,
+    prune_ratio: float = DEFAULT_PRUNE_RATIO,
+    expansion_rate: float = DEFAULT_EXPANSION_RATE,
+    two_phase: bool = True,
+) -> DataFrame:
+    """Index-backed two-phase sparse top-k: phase 1 scans only the
+    high-weight tokens' (short) postings, phase 2 rescores the candidate
+    window against the low-weight postings — the reference's exact job
+    split, but over our segment files. Final scores equal single-phase
+    (two_phase=False) for window >= k."""
+    key_cols = reader.meta["key_cols"]
+    dm = reader.docmap().select("nss_doc_id", *key_cols)
+    hi, lo = split_query_tokens(query, prune_ratio) if two_phase else (dict(query), {})
+    window = min(int(k * expansion_rate), MAX_WINDOW_SIZE)
+    phase1 = _sparse_seg_scores(reader, hi)
+    cand_rows = (
+        phase1.orderBy(F.col("score").desc(), F.col("nss_doc_id").asc()).limit(window).collect()
+    )
+    if lo and cand_rows:
+        ids = [r.nss_doc_id for r in cand_rows]
+        lo_scores = {
+            r.nss_doc_id: r.score
+            for r in _sparse_seg_scores(reader, lo, restrict_ids=ids).collect()
+        }
+        scored = [(r.nss_doc_id, r.score + lo_scores.get(r.nss_doc_id, 0.0)) for r in cand_rows]
+    else:
+        scored = [(r.nss_doc_id, r.score) for r in cand_rows]
+    spark = reader.spark
+    out = spark.createDataFrame(scored, "nss_doc_id long, score double")
+    joined = dm.join(F.broadcast(out), "nss_doc_id")
+    return (
+        joined.orderBy(F.col("score").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(k)
+        .drop("nss_doc_id")
+    )

@@ -195,3 +195,17 @@ def test_bulk_strategy_identical_to_wand(spark, code_index):
         a = bm25_topk_indexed(code_index, terms, k=10, mode=mode, strategy="wand").collect()
         b = bm25_topk_indexed(code_index, terms, k=10, mode=mode, strategy="bulk").collect()
         assert [(r.nss_doc_id, r.score) for r in a] == [(r.nss_doc_id, r.score) for r in b]
+
+
+def test_indexed_sparse_two_phase_equals_single(spark, doc_index):
+    """Index-backed two-phase sparse == single-phase (the reference's
+    NeuralSparseTwoPhaseProcessorIT invariant, over our segment files)."""
+    from neural_search_spark.query.sparse import sparse_topk_indexed
+
+    q = {"spark": 1.0, "window": 0.45, "merge": 0.39, "the": 0.1}
+    two = sparse_topk_indexed(doc_index, q, k=10, two_phase=True).collect()
+    one = sparse_topk_indexed(doc_index, q, k=10, two_phase=False).collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in two] == [
+        (r.doc_id, round(r.score, 9)) for r in one
+    ]
+    assert len(two) == 10
