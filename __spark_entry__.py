@@ -37,7 +37,9 @@ def _doc_index(spark: SparkSession, sf_dir: str):
     from neural_search_spark.index.builder import build_index
     from neural_search_spark.query.wand import IndexReader
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    from neural_search_spark.index.builder import FORMAT_VERSION
+
+    key = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_v{FORMAT_VERSION}"
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     idx_dir = os.path.join("/tmp/nss_cache", f"docidx_{key}")

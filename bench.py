@@ -86,11 +86,12 @@ def main() -> int:
 
     # Point the entry's index cache at the freshly built index so the
     # indexed_* queries measure query latency, not a second build.
+    from neural_search_spark.index.builder import FORMAT_VERSION
     from neural_search_spark.query.wand import IndexReader
 
     import hashlib
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    key = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_v{FORMAT_VERSION}"
     entry._INDEX_CACHE[key] = IndexReader(spark, idx_dir, cache_hot=True)
 
     qs = entry.queries()

@@ -55,6 +55,9 @@ from ..functions.norms import int_to_byte4
 from ..functions.tokenize import SPLIT_RES, term_freq_frame
 
 SEG_SHIFT = 40  # doc_id = (segment_id << 40) | local_id
+# bump when POSTINGS_SCHEMA changes — cached index dirs embed this so a
+# reader never opens an index written by an incompatible layout
+FORMAT_VERSION = 3
 
 # One row per (segment, term): per-block metadata travels as parallel
 # arrays and the three payload streams are single blobs with per-block
@@ -77,6 +80,12 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("block_min_dl_q", T.ArrayType(T.IntegerType(), False), False),
         T.StructField("block_doc_off", T.ArrayType(T.IntegerType(), False), False),
         T.StructField("block_tf_off", T.ArrayType(T.IntegerType(), False), False),
+        # doc-delta codec per term: pack_bits < 0 -> LEB128 varint;
+        # pack_bits >= 0 -> PFor (b-bit packed low parts, byte-aligned
+        # per block, exceptions patched from exc_pos/exc_high)
+        T.StructField("pack_bits", T.IntegerType(), False),
+        T.StructField("exc_pos", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("exc_high", T.ArrayType(T.LongType(), False), False),
         T.StructField("docs", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("norms", T.BinaryType(), False),
@@ -88,8 +97,68 @@ _EMPTY_POSTINGS = {
     "n": np.int32, "max_tf": np.int32, "min_dl_q": np.int32, "sum_tf": np.int64,
     "block_ids": object, "block_ns": object, "block_max_tf": object,
     "block_min_dl_q": object, "block_doc_off": object, "block_tf_off": object,
+    "pack_bits": np.int32, "exc_pos": object, "exc_high": object,
     "docs": object, "tfs": object, "norms": object,
 }
+
+
+def decode_term_deltas(
+    docs_blob: bytes,
+    block_ns,
+    block_doc_off,
+    pack_bits: int,
+    exc_pos,
+    exc_high,
+) -> np.ndarray:
+    """Whole-term doc-delta stream for any codec (exceptions patched)."""
+    from ..functions.codecs import pfor_decode_group, varint_decode
+
+    if pack_bits < 0:
+        return varint_decode(docs_blob).astype(np.int64)
+    ns = np.asarray(block_ns, dtype=np.int64)
+    offs = np.asarray(block_doc_off, dtype=np.int64)
+    parts = [
+        pfor_decode_group(docs_blob[offs[j]:offs[j] + (int(ns[j]) * pack_bits + 7) // 8],
+                          int(ns[j]), pack_bits)
+        for j in range(len(ns))
+    ]
+    low = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+    ep = np.asarray(exc_pos, dtype=np.int64)
+    if len(ep):
+        low[ep] |= np.asarray(exc_high, dtype=np.uint64) << np.uint64(pack_bits)
+    return low.astype(np.int64)
+
+
+def decode_block_deltas(
+    docs_blob: bytes,
+    pack_bits: int,
+    block_idx: int,
+    block_ns,
+    block_doc_off,
+    exc_pos,
+    exc_high,
+    blob_end: int,
+) -> np.ndarray:
+    """One block's doc-delta chain for any codec (exceptions patched)."""
+    from ..functions.codecs import pfor_decode_group, varint_decode
+
+    ns = np.asarray(block_ns, dtype=np.int64)
+    offs = np.asarray(block_doc_off, dtype=np.int64)
+    s = int(offs[block_idx])
+    if pack_bits < 0:
+        e = int(offs[block_idx + 1]) if block_idx + 1 < len(offs) else blob_end
+        return varint_decode(docs_blob[s:e]).astype(np.int64)
+    n = int(ns[block_idx])
+    low = pfor_decode_group(docs_blob[s:s + (n * pack_bits + 7) // 8], n, pack_bits)
+    ep = np.asarray(exc_pos, dtype=np.int64)
+    if len(ep):
+        p0 = int(ns[:block_idx].sum())
+        sel = (ep >= p0) & (ep < p0 + n)
+        if sel.any():
+            low[ep[sel] - p0] |= (
+                np.asarray(exc_high, dtype=np.uint64)[sel] << np.uint64(pack_bits)
+            )
+    return low.astype(np.int64)
 
 
 def empty_postings_frame() -> pd.DataFrame:
@@ -105,6 +174,7 @@ def postings_rows_from_flat(
     dl_q: np.ndarray,
     range_block: int,
     term_buckets: int,
+    codec: str = "varint",
 ) -> pd.DataFrame:
     """Flat (term, doc_id, tf, norm_byte, dl_q) posting streams (any
     order) -> one POSTINGS_SCHEMA row per term. Shared by the build and
@@ -151,19 +221,41 @@ def postings_rows_from_flat(
     n_terms = len(t_starts)
     terms_out = np.asarray(uniq_terms, dtype=object)[g_code[t_starts]]
 
+    from ..functions.codecs import choose_pfor_width, pfor_encode_groups
+
+    use_pfor = codec == "pfor"
+    empty_i = np.empty(0, dtype=np.int32)
+    empty_l = np.empty(0, dtype=np.int64)
     block_ids, block_ns, block_maxtf, block_mindl = [], [], [], []
     bdoc_off, btf_off, docs_col, tfs_col, norms_col = [], [], [], [], []
+    pack_col = np.full(n_terms, -1, dtype=np.int32)
+    excp_col, exch_col = [], []
     n_col = np.empty(n_terms, dtype=np.int32)
     for j in range(n_terms):
         a, b = t_bounds[j], t_bounds[j + 1]
         p0, p1 = bounds[a], bounds[b]  # posting index range of this term
         block_ids.append(g_block[a:b])
-        block_ns.append(n_per[a:b].astype(np.int32))
+        ns_t = n_per[a:b].astype(np.int32)
+        block_ns.append(ns_t)
         block_maxtf.append(g_maxtf[a:b])
         block_mindl.append(g_mindl[a:b])
-        bdoc_off.append((g_doc_start[a:b] - g_doc_start[a]).astype(np.int32))
         btf_off.append((g_tf_start[a:b] - g_tf_start[a]).astype(np.int32))
-        docs_col.append(doc_b[g_doc_start[a]:doc_off[p1]])
+        if use_pfor:
+            d_t = deltas[p0:p1].astype(np.uint64)
+            bt = choose_pfor_width(d_t)
+            blob, offs, ep, eh = pfor_encode_groups(
+                d_t, (bounds[a:b] - p0).astype(np.int64), ns_t.astype(np.int64), bt
+            )
+            pack_col[j] = bt
+            docs_col.append(blob)
+            bdoc_off.append(offs.astype(np.int32))
+            excp_col.append(ep.astype(np.int32))
+            exch_col.append(eh.astype(np.int64))
+        else:
+            docs_col.append(doc_b[g_doc_start[a]:doc_off[p1]])
+            bdoc_off.append((g_doc_start[a:b] - g_doc_start[a]).astype(np.int32))
+            excp_col.append(empty_i)
+            exch_col.append(empty_l)
         tfs_col.append(tf_b[g_tf_start[a]:tf_off[p1]])
         norms_col.append(norm_b[p0:p1])
         n_col[j] = p1 - p0
@@ -182,6 +274,9 @@ def postings_rows_from_flat(
             "block_min_dl_q": block_mindl,
             "block_doc_off": bdoc_off,
             "block_tf_off": btf_off,
+            "pack_bits": pack_col,
+            "exc_pos": excp_col,
+            "exc_high": exch_col,
             "docs": docs_col,
             "tfs": tfs_col,
             "norms": norms_col,
@@ -218,7 +313,8 @@ def _term_buckets_of(terms: np.ndarray, term_buckets: int) -> np.ndarray:
 
 
 def _build_segment_kernel(
-    tokenizer_name: str, text_col: str, key_cols: list[str], range_block: int, term_buckets: int = 0
+    tokenizer_name: str, text_col: str, key_cols: list[str], range_block: int,
+    term_buckets: int = 0, codec: str = "varint",
 ):
     assert tokenizer_name in TOKENIZERS, tokenizer_name
 
@@ -245,6 +341,7 @@ def _build_segment_kernel(
             quantize_length(dl).astype(np.int64),
             range_block,
             term_buckets,
+            codec,
         )
 
     return build
@@ -285,6 +382,7 @@ def build_index(
     resume: bool = False,
     build_id: str | None = None,
     term_buckets: int = 0,
+    codec: str = "varint",
 ) -> dict:
     """Build (or resume) the index; returns build metrics.
 
@@ -314,7 +412,7 @@ def build_index(
     todo = with_seg.where(~F.col("segment_id").isin(sorted(done))) if done else with_seg
 
     phase_t: dict[str, float] = {}
-    kernel = _build_segment_kernel(tokenizer, text_col, key_cols, range_block, term_buckets)
+    kernel = _build_segment_kernel(tokenizer, text_col, key_cols, range_block, term_buckets, codec)
     postings = todo.select("segment_id", text_col, *key_cols).groupBy("segment_id").applyInPandas(
         kernel, schema=POSTINGS_SCHEMA
     )
@@ -356,6 +454,7 @@ def build_index(
         "range_block": range_block,
         "term_buckets": term_buckets,
         "tokenizer": tokenizer,
+        "codec": codec,
         "key_cols": key_cols,
         "text_col": text_col,
         "seg_shift": SEG_SHIFT,

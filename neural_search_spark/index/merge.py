@@ -31,7 +31,7 @@ from ..functions.codecs import varint_decode
 from .builder import POSTINGS_SCHEMA, SEG_SHIFT, paths
 
 
-def _merge_kernel(range_block: int, shift_of: dict[int, int], factor: int, term_buckets: int):
+def _merge_kernel(range_block: int, shift_of: dict[int, int], factor: int, term_buckets: int, codec: str = "varint"):
     """Kernel over one NEW segment's postings rows (one row per old
     (segment, term)): decode each term's blob, re-base doc ids, then
     re-group through the same helper the builder uses — the merged
@@ -44,9 +44,13 @@ def _merge_kernel(range_block: int, shift_of: dict[int, int], factor: int, term_
         if len(pdf) == 0:
             return empty_postings_frame()
         new_seg = int(pdf["segment_id"].iloc[0]) // factor
+        from .builder import decode_term_deltas
+
         terms_l, docs_l, tfs_l, norms_l = [], [], [], []
         for r in pdf.itertuples():
-            deltas = varint_decode(r.docs).astype(np.int64)
+            deltas = decode_term_deltas(
+                r.docs, r.block_ns, r.block_doc_off, int(r.pack_bits), r.exc_pos, r.exc_high
+            )
             tfs = varint_decode(r.tfs).astype(np.int64)
             norms = np.frombuffer(r.norms, dtype=np.uint8)
             ns = np.asarray(r.block_ns, dtype=np.int64)
@@ -73,6 +77,7 @@ def _merge_kernel(range_block: int, shift_of: dict[int, int], factor: int, term_
             byte4_to_int(norm).astype(np.int64),
             range_block,
             term_buckets,
+            codec,
         )
 
     return merge
@@ -101,7 +106,8 @@ def merge_segments(
         prev = sum(counts.get(s, 0) for s in range(group * factor, seg))
         shift_of[seg] = prev
 
-    kernel = _merge_kernel(range_block, shift_of, factor, int(meta.get("term_buckets", 0)))
+    kernel = _merge_kernel(range_block, shift_of, factor, int(meta.get("term_buckets", 0)),
+                           meta.get("codec", "varint"))
     merged = (
         spark.read.parquet(p_in["postings"])
         .withColumn("merge_group", (F.col("segment_id") / factor).cast("int"))

@@ -126,9 +126,13 @@ def _sparse_seg_scores(reader, query: dict[str, float], restrict_ids=None) -> Da
         allow_arr = (
             np.fromiter(allowed, dtype=np.int64) if allowed is not None else None
         )
+        from ..index.builder import decode_term_deltas
+
         id_parts, c_parts = [], []
         for r in pdf.itertuples():
-            deltas = varint_decode(r.docs).astype(np.int64)
+            deltas = decode_term_deltas(
+                r.docs, r.block_ns, r.block_doc_off, int(r.pack_bits), r.exc_pos, r.exc_high
+            )
             ns = np.asarray(r.block_ns, dtype=np.int64)
             bids = np.asarray(r.block_ids, dtype=np.int64)
             starts = np.r_[0, np.cumsum(ns)[:-1]]

@@ -175,8 +175,12 @@ def _wand_kernel(
         docs_blobs = pdf["docs"].to_numpy()
         tfs_blobs = pdf["tfs"].to_numpy()
         norm_blobs = pdf["norms"].to_numpy()
+        pack_bits = pdf["pack_bits"].to_numpy()
+        r_ep = pdf["exc_pos"].to_numpy()
+        r_eh = pdf["exc_high"].to_numpy()
         doc_ends = [len(x) for x in docs_blobs]
         tf_ends = [len(x) for x in tfs_blobs]
+        from ..index.builder import decode_block_deltas
 
         top_docs = np.empty(0, dtype=np.int64)
         top_scores = np.empty(0, dtype=np.float64)
@@ -194,9 +198,12 @@ def _wand_kernel(
             cnt = np.zeros(range_block, dtype=np.int32)
             for e in egrp[ebounds[bi]:ebounds[bi + 1]]:
                 r, p = int(row_of[e]), int(pos_of[e])
-                ds = int(r_doff[r][p])
-                de = int(r_doff[r][p + 1]) if p + 1 < len(r_doff[r]) else doc_ends[r]
-                local = np.cumsum(varint_decode(docs_blobs[r][ds:de]).astype(np.int64))
+                local = np.cumsum(
+                    decode_block_deltas(
+                        docs_blobs[r], int(pack_bits[r]), p, r_bns[r], r_doff[r],
+                        r_ep[r], r_eh[r], doc_ends[r],
+                    )
+                )
                 ts = int(r_toff[r][p])
                 te = int(r_toff[r][p + 1]) if p + 1 < len(r_toff[r]) else tf_ends[r]
                 tfv = varint_decode(tfs_blobs[r][ts:te]).astype(np.float64).astype(ft)
@@ -271,10 +278,14 @@ def _bulk_kernel(
         pdf = pdf.sort_values("term", kind="mergesort").reset_index(drop=True)
         seg = int(pdf["segment_id"].iloc[0])
         k1f, bf, av = ft(k1), ft(b), ft(avgdl)
+        from ..index.builder import decode_term_deltas
+
         size = 0
         decoded = []
         for r in pdf.itertuples():
-            deltas = varint_decode(r.docs).astype(np.int64)
+            deltas = decode_term_deltas(
+                r.docs, r.block_ns, r.block_doc_off, int(r.pack_bits), r.exc_pos, r.exc_high
+            )
             ns = np.asarray(r.block_ns, dtype=np.int64)
             bids = np.asarray(r.block_ids, dtype=np.int64)
             starts = np.r_[0, np.cumsum(ns)[:-1]]
