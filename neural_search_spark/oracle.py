@@ -446,7 +446,7 @@ buckets AS (
   FROM matched m JOIN {table} d USING (doc_id) GROUP BY d.lang
 )
 SELECT lang, n,
-       sum(n) OVER (ORDER BY lang ASC ROWS UNBOUNDED PRECEDING) AS cum_n,
+       CAST(sum(n) OVER (ORDER BY lang ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
        round(sum_chars * 1.0 / n, {round_to}) AS chars_per_doc
 FROM buckets"""
 
@@ -529,7 +529,7 @@ WITH o AS (
               THEN 1 ELSE 0 END AS new_s
   FROM {table}
 )
-SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM o GROUP BY user_id"""
 
 
@@ -591,7 +591,7 @@ def doc_stats_sql(table: str = "documents") -> str:
     _, duck_toks = simple_tokens_sql("text")
     return f"""
 SELECT count(*) AS n_docs,
-       sum(len({duck_toks})) AS total_tokens,
+       CAST(sum(len({duck_toks})) AS BIGINT) AS total_tokens,
        round(sum(len({duck_toks})) * 1.0 / count(*), 4) AS avgdl
 FROM {table}"""
 
