@@ -428,6 +428,39 @@ def _q_indexed_hybrid_topk(spark, sf_dir):
     )
 
 
+PERCENTILE_PROBS = [0.25, 0.5, 0.75, 0.95]
+
+
+def _q_hybrid_percentiles(spark, sf_dir):
+    """Exact percentiles over matched docs (metric agg 'percentiles' —
+    MetricAggregationsWithHybridQueryIT.java:83-179)."""
+    from pyspark.sql import functions as F
+
+    joined = _matched(spark, sf_dir).join(_docs(spark, sf_dir), "doc_id")
+    probs = ", ".join(str(p) for p in PERCENTILE_PROBS)
+    row = joined.agg(F.expr(f"percentile(n_chars, array({probs}))").alias("vals"))
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(p) for p in PERCENTILE_PROBS]).alias("p"), F.col("vals").alias("value")
+    )
+    return (
+        row.select(F.explode(pairs).alias("e"))
+        .select(F.col("e.p").alias("p"), F.round(F.col("e.value"), 4).alias("value"))
+    )
+
+
+def _q_hybrid_top_hits(spark, sf_dir):
+    """top_hits per lang bucket (bucket sub-aggregation)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    joined = _matched(spark, sf_dir).join(_docs(spark, sf_dir), "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        joined.select("lang", "doc_id", "n_chars", F.row_number().over(w).cast("int").alias("rank"))
+        .where(F.col("rank") <= 2)
+    )
+
+
 def _q_events_json_props(spark, sf_dir):
     """Nested-JSON document handling (the reference's Map<String,Object>
     doc model, InferenceProcessor.java:297-314 analog): parse the props
@@ -603,6 +636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_total_hits": _q_hybrid_total_hits,
         "hybrid_pipeline_aggs": _q_hybrid_pipeline_aggs,
         "hybrid_histogram": _q_hybrid_histogram,
+        "hybrid_percentiles": _q_hybrid_percentiles,
+        "hybrid_top_hits": _q_hybrid_top_hits,
         "rescore_window": _q_rescore_window,
         "events_windowed_agg": _q_events_windowed,
         "events_sessionization": _q_events_sessions,
@@ -663,6 +698,8 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_total_hits": oracle.hybrid_total_hits_sql(TERMS_OR),
         "hybrid_pipeline_aggs": oracle.hybrid_pipeline_aggs_sql(TERMS_OR),
         "hybrid_histogram": oracle.hybrid_histogram_sql(TERMS_OR, width=100),
+        "hybrid_percentiles": oracle.hybrid_percentiles_sql(TERMS_OR, PERCENTILE_PROBS),
+        "hybrid_top_hits": oracle.hybrid_top_hits_sql(TERMS_OR, per_bucket=2),
         "rescore_window": oracle.rescore_window_sql(TERMS_OR, SPARSE_QUERY, window=20, k=10),
         "events_windowed_agg": oracle.events_windowed_sql(),
         "events_sessionization": oracle.events_sessions_sql(gap_hours=12),

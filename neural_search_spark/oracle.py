@@ -533,6 +533,35 @@ SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM o GROUP BY user_id"""
 
 
+def hybrid_percentiles_sql(
+    terms: list[str], probs: list[float], table: str = "documents", round_to: int = 4
+) -> str:
+    """Exact interpolated percentiles of n_chars over hybrid-matched docs
+    (metric agg 'percentiles'; both engines use linear interpolation)."""
+    selects = " UNION ALL ".join(
+        f"SELECT {p} AS p, round(quantile_cont(d.n_chars, {p}), {round_to}) AS value "
+        f"FROM matched m JOIN {table} d USING (doc_id)"
+        for p in probs
+    )
+    return f"""{_matched_ctes(terms, table)}
+{selects}"""
+
+
+def hybrid_top_hits_sql(
+    terms: list[str], per_bucket: int = 2, table: str = "documents"
+) -> str:
+    """top_hits bucket sub-aggregation: best docs per lang bucket by
+    (n_chars desc, doc_id asc)."""
+    return f"""{_matched_ctes(terms, table)},
+ranked AS (
+  SELECT d.lang AS lang, d.doc_id AS doc_id, d.n_chars AS n_chars,
+         row_number() OVER (PARTITION BY d.lang ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM matched m JOIN {table} d USING (doc_id)
+)
+SELECT lang, doc_id, n_chars, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= {per_bucket}"""
+
+
 def events_json_props_sql(table: str = "events", round_to: int = 4) -> str:
     """Nested-JSON field extraction + aggregation (doc-model analog)."""
     return f"""
