@@ -428,6 +428,35 @@ def _q_indexed_hybrid_topk(spark, sf_dir):
     )
 
 
+def _q_hybrid_significant_terms(spark, sf_dir):
+    """significant_terms (JLH) — terms overrepresented in the matched
+    set vs the background corpus
+    (BucketAggregationsWithHybridQueryIT.java:70-228)."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.exhaustive import tokenized
+
+    docs = _docs(spark, sf_dir)
+    tok = tokenized(docs).select("doc_id", F.explode("toks").alias("term")).distinct()
+    matched = _matched(spark, sf_dir)
+    bg = tok.groupBy("term").agg(F.count(F.lit(1)).alias("bg_df"))
+    fg = tok.join(matched, "doc_id").groupBy("term").agg(F.count(F.lit(1)).alias("fg_df"))
+    n_f = matched.count()
+    n_b = docs.count()
+    jlh = (
+        (F.col("fg_df") / F.lit(float(n_f)) - F.col("bg_df") / F.lit(float(n_b)))
+        * ((F.col("fg_df") / F.lit(float(n_f))) / (F.col("bg_df") / F.lit(float(n_b))))
+    )
+    return (
+        fg.join(bg, "term")
+        .where(F.col("fg_df") >= 5)
+        .withColumn("jlh", jlh)
+        .orderBy(F.col("jlh").desc(), F.col("term").asc())
+        .limit(10)
+        .select("term", "fg_df", "bg_df", F.round("jlh", 4).alias("jlh"))
+    )
+
+
 PERCENTILE_PROBS = [0.25, 0.5, 0.75, 0.95]
 
 
@@ -638,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_histogram": _q_hybrid_histogram,
         "hybrid_percentiles": _q_hybrid_percentiles,
         "hybrid_top_hits": _q_hybrid_top_hits,
+        "hybrid_significant_terms": _q_hybrid_significant_terms,
         "rescore_window": _q_rescore_window,
         "events_windowed_agg": _q_events_windowed,
         "events_sessionization": _q_events_sessions,
@@ -700,6 +730,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_histogram": oracle.hybrid_histogram_sql(TERMS_OR, width=100),
         "hybrid_percentiles": oracle.hybrid_percentiles_sql(TERMS_OR, PERCENTILE_PROBS),
         "hybrid_top_hits": oracle.hybrid_top_hits_sql(TERMS_OR, per_bucket=2),
+        "hybrid_significant_terms": oracle.hybrid_significant_terms_sql(TERMS_OR, k=10, min_fg=5),
         "rescore_window": oracle.rescore_window_sql(TERMS_OR, SPARSE_QUERY, window=20, k=10),
         "events_windowed_agg": oracle.events_windowed_sql(),
         "events_sessionization": oracle.events_sessions_sql(gap_hours=12),

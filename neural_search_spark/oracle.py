@@ -533,6 +533,31 @@ SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM o GROUP BY user_id"""
 
 
+def hybrid_significant_terms_sql(
+    terms: list[str], k: int = 10, min_fg: int = 5, table: str = "documents", round_to: int = 4
+) -> str:
+    """significant_terms bucket agg over hybrid-matched docs, JLH score
+    (public OpenSearch/ES heuristic): (fg% − bg%) × (fg% / bg%)."""
+    _, duck_toks = simple_tokens_sql("text")
+    return f"""{_matched_ctes(terms, table)},
+alltok AS (SELECT doc_id, unnest({duck_toks}) AS term FROM {table}),
+bg AS (SELECT term, count(DISTINCT doc_id) AS bg_df FROM alltok GROUP BY term),
+fg AS (
+  SELECT term, count(DISTINCT a.doc_id) AS fg_df
+  FROM alltok a JOIN matched m ON a.doc_id = m.doc_id GROUP BY term
+),
+sizes AS (SELECT (SELECT count(*) FROM matched) AS F, (SELECT count(*) FROM {table}) AS B),
+scored AS (
+  SELECT fg.term AS term, fg_df, bg_df,
+         (fg_df * 1.0 / F - bg_df * 1.0 / B) * ((fg_df * 1.0 / F) / (bg_df * 1.0 / B)) AS jlh
+  FROM fg JOIN bg USING (term), sizes
+  WHERE fg_df >= {min_fg}
+)
+SELECT term, fg_df, bg_df, round(scored.jlh, {round_to}) AS jlh
+FROM scored
+ORDER BY scored.jlh DESC, term ASC LIMIT {k}"""
+
+
 def hybrid_percentiles_sql(
     terms: list[str], probs: list[float], table: str = "documents", round_to: int = 4
 ) -> str:
