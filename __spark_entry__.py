@@ -490,6 +490,43 @@ def _q_hybrid_top_hits(spark, sf_dir):
     )
 
 
+def _q_events_date_histogram(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+def _q_adjacency_matrix(spark, sf_dir):
+    """adjacency_matrix bucket agg: per-filter and pairwise-intersection
+    doc counts (BucketAggregationsWithHybridQueryIT.java:70-228)."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.exhaustive import tokenized
+
+    tok = (
+        tokenized(_docs(spark, sf_dir))
+        .select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(TERMS_OR))
+        .distinct()
+    )
+    singles = tok.groupBy(F.col("term").alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    a = tok.withColumnRenamed("term", "ta")
+    b = tok.withColumnRenamed("term", "tb")
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy(F.concat_ws("&", "ta", "tb").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return singles.unionByName(pairs).where(F.col("n") > 0)
+
+
 def _q_events_json_props(spark, sf_dir):
     """Nested-JSON document handling (the reference's Map<String,Object>
     doc model, InferenceProcessor.java:297-314 analog): parse the props
@@ -672,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_agg": _q_events_windowed,
         "events_sessionization": _q_events_sessions,
         "events_json_props": _q_events_json_props,
+        "events_date_histogram": _q_events_date_histogram,
+        "adjacency_matrix": _q_adjacency_matrix,
         "indexed_sparse_two_phase": _q_indexed_sparse_two_phase,
         "ingest_sparse_encode": _q_ingest_sparse_encode,
         "ingest_dense_embed": _q_ingest_dense_embed,
@@ -735,6 +774,8 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed_agg": oracle.events_windowed_sql(),
         "events_sessionization": oracle.events_sessions_sql(gap_hours=12),
         "events_json_props": oracle.events_json_props_sql(),
+        "events_date_histogram": oracle.events_date_histogram_sql(),
+        "adjacency_matrix": oracle.adjacency_matrix_sql(TERMS_OR),
         # single-phase SQL oracle == the reference's own two-phase score-
         # equality invariant (NeuralSparseTwoPhaseProcessorIT.java:151)
         "indexed_sparse_two_phase": oracle.sparse_topk_sql(SPARSE_QUERY, k=10),

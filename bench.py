@@ -113,7 +113,17 @@ def main() -> int:
         "sf": _sf_of(sf_dir),
         "n_docs": n_docs,
         "index_build_files_per_sec": round(n_docs / build_s, 1),
+        "note": "sf0.1 is 5k docs — build time here is fixed overhead; "
+                "throughput/scaling at 1.2M-2.4M files below",
     }
+    # fold in the N-vs-4N scaling evidence (BENCH/scaling.json, produced
+    # by scripts/scaling_bench.py) so the per-round bench line carries
+    # the BASELINE.json-relevant numbers
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as fh:
+            out["scaling_evidence"] = json.load(fh)
     print(json.dumps(out))
     return 0
 

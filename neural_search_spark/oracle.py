@@ -533,6 +533,37 @@ SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM o GROUP BY user_id"""
 
 
+def events_date_histogram_sql(table: str = "events", round_to: int = 4) -> str:
+    """date_histogram bucket agg (calendar month) over the event stream."""
+    return f"""
+SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+       event_type, count(*) AS n, round(avg(value), {round_to}) AS avg_value
+FROM {table} GROUP BY 1, 2"""
+
+
+def adjacency_matrix_sql(terms: list[str], table: str = "documents") -> str:
+    """adjacency_matrix bucket agg: doc counts for each filter and each
+    pairwise intersection (filters = single-term containment here)."""
+    _, duck_toks = simple_tokens_sql("text")
+    uniq = sorted(set(terms))
+    sets = ", ".join(
+        f"m{i} AS (SELECT DISTINCT doc_id FROM tok2 WHERE term = '{t}')"
+        for i, t in enumerate(uniq)
+    )
+    singles = " UNION ALL ".join(
+        f"SELECT '{t}' AS key, (SELECT count(*) FROM m{i}) AS n" for i, t in enumerate(uniq)
+    )
+    pairs = " UNION ALL ".join(
+        f"SELECT '{uniq[i]}&{uniq[j]}' AS key, "
+        f"(SELECT count(*) FROM m{i} JOIN m{j} USING (doc_id)) AS n"
+        for i in range(len(uniq)) for j in range(i + 1, len(uniq))
+    )
+    return f"""
+WITH tok2 AS (SELECT doc_id, unnest({duck_toks}) AS term FROM {table}),
+{sets}
+SELECT key, n FROM ({singles} UNION ALL {pairs}) WHERE n > 0"""
+
+
 def hybrid_significant_terms_sql(
     terms: list[str], k: int = 10, min_fg: int = 5, table: str = "documents", round_to: int = 4
 ) -> str:
