@@ -69,11 +69,17 @@ def minhash_lsh_sql(
     threshold: float = 0.7,
     table: str = "documents",
 ) -> str:
+    import math
+
     rows = num_perm // bands
     _, duck_h = hash64_sql("shingle")
     mins = ", ".join(
         f"min({minhash_expr('h', a, b)}) AS mh{i}"
         for i, (a, b) in enumerate(minhash_params(num_perm))
+    )
+    est_min = int(math.ceil(max(0.0, threshold - 0.2) * num_perm))
+    est_sum = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {bi} AS band_idx, concat_ws('-', {cols}) AS band_key FROM sig".format(
@@ -85,10 +91,15 @@ def minhash_lsh_sql(
 hashed AS (SELECT doc_id, shingle, {duck_h} AS h FROM sh),
 sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 band AS ({band_selects}),
-cand AS (
+cand0 AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM band x JOIN band y
     ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+),
+cand AS (
+  SELECT c.a, c.b
+  FROM cand0 c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+  WHERE ({est_sum}) >= {est_min}
 ),
 inter AS (
   SELECT c.a, c.b, count(*) AS inter
