@@ -340,6 +340,8 @@ def _q_sort_after_fields(spark, sf_dir):
         "doc_id", "n_chars"
     )
     page1 = sort_by_fields(withf, [("n_chars", "desc")], k=10).collect()
+    if not page1:  # no matches → no page 2 (empty frame, same schema)
+        return withf.limit(0)
     last = page1[-1]
     return search_after_fields(
         withf, [("n_chars", "desc")], [last["n_chars"]], int(last["doc_id"]), k=10
@@ -382,6 +384,88 @@ def _q_hybrid_histogram(spark, sf_dir):
         .groupBy((F.floor(F.col("n_chars") / 100) * 100).cast("long").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+PCTRANK_VALUES = [150, 250, 400]
+RANGE_BOUNDS = [150, 300]
+
+
+def _q_hybrid_cardinality(spark, sf_dir):
+    from neural_search_spark.query.aggs import cardinality_exact
+
+    return cardinality_exact(_matched(spark, sf_dir), _docs(spark, sf_dir), "source")
+
+
+def _q_hybrid_cardinality_hll(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.aggs import cardinality_hll
+
+    ids = _matched(spark, sf_dir).select(F.col("doc_id").cast("string").alias("id_str"))
+    return cardinality_hll(ids, "id_str")
+
+
+def _q_hybrid_percentile_ranks(spark, sf_dir):
+    from neural_search_spark.query.aggs import percentile_ranks
+
+    return percentile_ranks(
+        _matched(spark, sf_dir), _docs(spark, sf_dir), "n_chars", PCTRANK_VALUES
+    )
+
+
+def _q_hybrid_scripted_metric(spark, sf_dir):
+    from neural_search_spark.query.aggs import scripted_metric
+
+    return scripted_metric(_matched(spark, sf_dir), _docs(spark, sf_dir))
+
+
+def _q_hybrid_range(spark, sf_dir):
+    from neural_search_spark.query.aggs import range_buckets
+
+    return range_buckets(_matched(spark, sf_dir), _docs(spark, sf_dir), "n_chars", RANGE_BOUNDS)
+
+
+def _q_hybrid_sampler(spark, sf_dir):
+    from neural_search_spark.query.aggs import sampler_agg
+    from neural_search_spark.query.exhaustive import bm25_scores
+
+    docs = _docs(spark, sf_dir)
+    return sampler_agg(bm25_scores(docs, TERMS_OR, round_to=None), docs, shard_size=100)
+
+
+def _q_hybrid_diversified_sampler(spark, sf_dir):
+    from neural_search_spark.query.aggs import diversified_sampler_agg
+    from neural_search_spark.query.exhaustive import bm25_scores
+
+    docs = _docs(spark, sf_dir)
+    return diversified_sampler_agg(
+        bm25_scores(docs, TERMS_OR, round_to=None), docs,
+        div_field="source", max_docs_per_value=2, shard_size=50,
+    )
+
+
+def _q_hybrid_nested(spark, sf_dir):
+    from neural_search_spark.query.aggs import nested_chunks_agg
+
+    return nested_chunks_agg(_matched(spark, sf_dir), _docs(spark, sf_dir), CHUNK_DELIMITER)
+
+
+def _q_hybrid_global(spark, sf_dir):
+    from neural_search_spark.query.aggs import global_agg
+
+    return global_agg(_matched(spark, sf_dir), _docs(spark, sf_dir))
+
+
+def _q_hybrid_bucket_stats(spark, sf_dir):
+    from neural_search_spark.query.aggs import bucket_stats
+
+    return bucket_stats(_matched(spark, sf_dir), _docs(spark, sf_dir))
+
+
+def _q_hybrid_bucket_sort(spark, sf_dir):
+    from neural_search_spark.query.aggs import bucket_sort
+
+    return bucket_sort(_matched(spark, sf_dir), _docs(spark, sf_dir), size=3, frm=1)
 
 
 def _q_rescore_window(spark, sf_dir):
@@ -441,14 +525,18 @@ def _q_hybrid_significant_terms(spark, sf_dir):
     matched = _matched(spark, sf_dir)
     bg = tok.groupBy("term").agg(F.count(F.lit(1)).alias("bg_df"))
     fg = tok.join(matched, "doc_id").groupBy("term").agg(F.count(F.lit(1)).alias("fg_df"))
-    n_f = matched.count()
-    n_b = docs.count()
+    # fg/bg set sizes ride along as a broadcast 1-row frame — zero extra
+    # driver actions (was two .count() jobs per query)
+    totals = matched.agg(F.count(F.lit(1)).cast("double").alias("n_f")).crossJoin(
+        docs.agg(F.count(F.lit(1)).cast("double").alias("n_b"))
+    )
     jlh = (
-        (F.col("fg_df") / F.lit(float(n_f)) - F.col("bg_df") / F.lit(float(n_b)))
-        * ((F.col("fg_df") / F.lit(float(n_f))) / (F.col("bg_df") / F.lit(float(n_b))))
+        (F.col("fg_df") / F.col("n_f") - F.col("bg_df") / F.col("n_b"))
+        * ((F.col("fg_df") / F.col("n_f")) / (F.col("bg_df") / F.col("n_b")))
     )
     return (
         fg.join(bg, "term")
+        .crossJoin(F.broadcast(totals))
         .where(F.col("fg_df") >= 5)
         .withColumn("jlh", jlh)
         .orderBy(F.col("jlh").desc(), F.col("term").asc())
@@ -705,6 +793,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_percentiles": _q_hybrid_percentiles,
         "hybrid_top_hits": _q_hybrid_top_hits,
         "hybrid_significant_terms": _q_hybrid_significant_terms,
+        "hybrid_cardinality": _q_hybrid_cardinality,
+        "hybrid_cardinality_hll": _q_hybrid_cardinality_hll,
+        "hybrid_percentile_ranks": _q_hybrid_percentile_ranks,
+        "hybrid_scripted_metric": _q_hybrid_scripted_metric,
+        "hybrid_range": _q_hybrid_range,
+        "hybrid_sampler": _q_hybrid_sampler,
+        "hybrid_diversified_sampler": _q_hybrid_diversified_sampler,
+        "hybrid_nested": _q_hybrid_nested,
+        "hybrid_global": _q_hybrid_global,
+        "hybrid_bucket_stats": _q_hybrid_bucket_stats,
+        "hybrid_bucket_sort": _q_hybrid_bucket_sort,
         "rescore_window": _q_rescore_window,
         "events_windowed_agg": _q_events_windowed,
         "events_sessionization": _q_events_sessions,
@@ -770,6 +869,21 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_percentiles": oracle.hybrid_percentiles_sql(TERMS_OR, PERCENTILE_PROBS),
         "hybrid_top_hits": oracle.hybrid_top_hits_sql(TERMS_OR, per_bucket=2),
         "hybrid_significant_terms": oracle.hybrid_significant_terms_sql(TERMS_OR, k=10, min_fg=5),
+        "hybrid_cardinality": oracle.hybrid_cardinality_sql(TERMS_OR, "source"),
+        "hybrid_cardinality_hll": oracle.hybrid_cardinality_hll_sql(TERMS_OR),
+        "hybrid_percentile_ranks": oracle.hybrid_percentile_ranks_sql(
+            TERMS_OR, "n_chars", PCTRANK_VALUES
+        ),
+        "hybrid_scripted_metric": oracle.hybrid_scripted_metric_sql(TERMS_OR),
+        "hybrid_range": oracle.hybrid_range_sql(TERMS_OR, "n_chars", RANGE_BOUNDS),
+        "hybrid_sampler": oracle.hybrid_sampler_sql(TERMS_OR, shard_size=100),
+        "hybrid_diversified_sampler": oracle.hybrid_diversified_sampler_sql(
+            TERMS_OR, div_field="source", max_docs_per_value=2, shard_size=50
+        ),
+        "hybrid_nested": oracle.hybrid_nested_sql(TERMS_OR, CHUNK_DELIMITER),
+        "hybrid_global": oracle.hybrid_global_sql(TERMS_OR),
+        "hybrid_bucket_stats": oracle.hybrid_bucket_stats_sql(TERMS_OR),
+        "hybrid_bucket_sort": oracle.hybrid_bucket_sort_sql(TERMS_OR, size=3, frm=1),
         "rescore_window": oracle.rescore_window_sql(TERMS_OR, SPARSE_QUERY, window=20, k=10),
         "events_windowed_agg": oracle.events_windowed_sql(),
         "events_sessionization": oracle.events_sessions_sql(gap_hours=12),

@@ -130,6 +130,17 @@ def merge_segments(
     )
     dm_new.write.mode("overwrite").partitionBy("segment_id").parquet(p_out["docmap"])
 
+    # invariant stats (docs/tokens/postings) sum from the old manifest;
+    # layout stats (blocks, bytes_compressed) are recomputed from the
+    # RE-ENCODED postings — merge re-blocks them, so the old numbers no
+    # longer describe what is on disk (same aggregate build_index uses)
+    merged_read = spark.read.parquet(p_out["postings"])
+    layout = merged_read.groupBy("segment_id").agg(
+        F.sum(F.size("block_ids")).alias("blocks"),
+        (
+            F.sum(F.length("docs")) + F.sum(F.length("tfs")) + F.sum(F.length("norms"))
+        ).alias("bytes_compressed"),
+    )
     man = spark.read.parquet(p_in["manifest"])
     man_new = (
         man.withColumn("segment_id", (F.col("segment_id") / factor).cast("int"))
@@ -137,10 +148,10 @@ def merge_segments(
         .agg(
             F.sum("total_tokens").alias("total_tokens"),
             F.sum("postings_emitted").alias("postings_emitted"),
-            F.sum("blocks").alias("blocks"),
-            F.sum("bytes_compressed").alias("bytes_compressed"),
             F.sum("docs_tokenized").alias("docs_tokenized"),
         )
+        .join(layout, "segment_id", "left")
+        .na.fill(0, ["blocks", "bytes_compressed"])
         .withColumn("build_id", F.lit(f"merge-{int(t0)}"))
         .withColumn("built_at_unix", F.lit(int(t0)))
         .withColumn("tokenizer", F.lit(meta["tokenizer"]))

@@ -688,3 +688,175 @@ def term_stats_sql(min_df: int = 50, table: str = "documents") -> str:
 WITH tok AS (SELECT doc_id, unnest({duck_toks}) AS term FROM {table})
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
 FROM tok GROUP BY term HAVING count(DISTINCT doc_id) >= {min_df}"""
+
+
+# --- §2.10 aggregation families (round 2) -----------------------------
+# Reference ITs: MetricAggregationsWithHybridQueryIT.java:83-207,
+# BucketAggregationsWithHybridQueryIT.java:70-410,
+# PipelineAggregationsWithHybridQueryIT.java:55-97.
+
+def hybrid_cardinality_sql(terms: list[str], field: str = "source", table: str = "documents") -> str:
+    return f"""{_matched_ctes(terms, table)}
+SELECT count(DISTINCT d.{field}) AS cardinality
+FROM matched m JOIN {table} d USING (doc_id)"""
+
+
+def hybrid_cardinality_hll_sql(terms: list[str], table: str = "documents") -> str:
+    from .query.aggs import HLL_M, HLL_MAX_RHO, hll_estimate_sql, hll_parts_sql
+
+    parts = hll_parts_sql("CAST(doc_id AS VARCHAR)")["duck"]
+    return f"""{_matched_ctes(terms, table)},
+hashed AS (SELECT {parts['bucket']} AS bucket, {parts['rho']} AS rho FROM matched),
+regs AS (SELECT bucket, max(rho) AS M FROM hashed GROUP BY bucket),
+z AS (
+  SELECT CAST(sum(1::BIGINT << ({HLL_MAX_RHO} - M)) AS BIGINT) AS z_present,
+         count(*) AS nonzero
+  FROM regs
+),
+zz AS (
+  SELECT z_present + ({HLL_M} - nonzero) * {1 << HLL_MAX_RHO}::BIGINT AS z_total,
+         {HLL_M} - nonzero AS v, nonzero AS nonzero_registers
+  FROM z
+),
+exact AS (SELECT count(DISTINCT doc_id) AS exact FROM matched)
+SELECT round({hll_estimate_sql('z_total', 'v')}, 4) AS hll_estimate,
+       exact, CAST(nonzero_registers AS BIGINT) AS nonzero_registers
+FROM zz, exact"""
+
+
+def hybrid_percentile_ranks_sql(
+    terms: list[str], field: str, values: list[int], table: str = "documents"
+) -> str:
+    vals = ", ".join(str(int(v)) for v in values)
+    return f"""{_matched_ctes(terms, table)}
+SELECT CAST(v.value AS BIGINT) AS value,
+       round(avg(CASE WHEN d.{field} <= v.value THEN 1.0 ELSE 0.0 END) * 100, 4) AS pct
+FROM matched m JOIN {table} d USING (doc_id), (SELECT unnest([{vals}]) AS value) v
+GROUP BY v.value"""
+
+
+SCRIPT_LANG_WEIGHT_SQL = "(CASE WHEN lang = 'en' THEN 1.0 WHEN lang = 'de' THEN 0.8 WHEN lang = 'fr' THEN 0.6 ELSE 0.5 END)"
+
+
+def hybrid_scripted_metric_sql(terms: list[str], table: str = "documents") -> str:
+    return f"""{_matched_ctes(terms, table)}
+SELECT round(sum(d.n_chars * {SCRIPT_LANG_WEIGHT_SQL}), 4) AS script_value,
+       count(*) AS n
+FROM matched m JOIN {table} d USING (doc_id)"""
+
+
+def hybrid_range_sql(
+    terms: list[str], field: str, bounds: list[int], table: str = "documents"
+) -> str:
+    whens = []
+    edges = [None, *bounds, None]
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        cond = []
+        if lo is not None:
+            cond.append(f"d.{field} >= {lo}")
+        if hi is not None:
+            cond.append(f"d.{field} < {hi}")
+        whens.append(f"WHEN {' AND '.join(cond) or 'TRUE'} THEN '{key}'")
+    bucket = f"(CASE {' '.join(whens)} END)"
+    return f"""{_matched_ctes(terms, table)}
+SELECT {bucket} AS bucket, count(*) AS n, round(avg(d.{field}), 4) AS avg_val
+FROM matched m JOIN {table} d USING (doc_id)
+GROUP BY 1"""
+
+
+def _scored_cte(terms: list[str], table: str = "documents") -> str:
+    """Unrounded BM25 scores CTE (matches bm25_scores(round_to=None))."""
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    return f"""{bm25_base_ctes(terms, table)},
+scored AS (
+  SELECT tf.doc_id AS doc_id, sum({contrib}) AS score
+  FROM tf JOIN dfreq USING (term), stats
+  GROUP BY tf.doc_id
+)"""
+
+
+def hybrid_sampler_sql(
+    terms: list[str], shard_size: int = 100, table: str = "documents"
+) -> str:
+    return f"""{_scored_cte(terms, table)},
+sample AS (
+  SELECT doc_id FROM scored ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {shard_size}
+)
+SELECT d.lang AS lang, count(*) AS n, round(avg(d.n_chars), 4) AS avg_chars
+FROM sample s JOIN {table} d USING (doc_id)
+GROUP BY d.lang"""
+
+
+def hybrid_diversified_sampler_sql(
+    terms: list[str],
+    div_field: str = "source",
+    max_docs_per_value: int = 2,
+    shard_size: int = 50,
+    table: str = "documents",
+) -> str:
+    return f"""{_scored_cte(terms, table)},
+diversified AS (
+  SELECT doc_id, score FROM (
+    SELECT s.doc_id, s.score,
+           row_number() OVER (PARTITION BY d.{div_field}
+                              ORDER BY round(s.score, 4) DESC, s.doc_id ASC) AS rn
+    FROM scored s JOIN {table} d USING (doc_id)
+  ) WHERE rn <= {max_docs_per_value}
+),
+sample AS (
+  SELECT doc_id FROM diversified ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {shard_size}
+)
+SELECT d.lang AS lang, count(*) AS n, round(avg(d.n_chars), 4) AS avg_chars
+FROM sample s JOIN {table} d USING (doc_id)
+GROUP BY d.lang"""
+
+
+def hybrid_nested_sql(terms: list[str], delimiter: str, table: str = "documents") -> str:
+    from .operators.chunkers import delimiter_chunks_sql
+
+    _, duck_chunks = delimiter_chunks_sql("d.text", delimiter)
+    return f"""{_matched_ctes(terms, table)},
+chunks AS (
+  SELECT d.lang AS lang, unnest({duck_chunks}) AS chunk
+  FROM matched m JOIN {table} d USING (doc_id)
+)
+SELECT lang, count(*) AS n_chunks, round(avg(length(chunk)), 4) AS avg_chunk_chars
+FROM chunks GROUP BY lang"""
+
+
+def hybrid_global_sql(terms: list[str], table: str = "documents") -> str:
+    return f"""{_matched_ctes(terms, table)},
+m AS (
+  SELECT count(*) AS n_matched, round(avg(d.n_chars), 4) AS avg_chars_matched
+  FROM matched mm JOIN {table} d USING (doc_id)
+),
+g AS (SELECT count(*) AS n_global, round(avg(n_chars), 4) AS avg_chars_global FROM {table})
+SELECT n_matched, avg_chars_matched, n_global, avg_chars_global FROM m, g"""
+
+
+def _lang_buckets_cte(terms: list[str], table: str = "documents") -> str:
+    return f"""{_matched_ctes(terms, table)},
+buckets AS (
+  SELECT d.lang AS lang, count(*) AS n, round(avg(d.n_chars), 4) AS avg_chars
+  FROM matched m JOIN {table} d USING (doc_id) GROUP BY d.lang
+)"""
+
+
+def hybrid_bucket_stats_sql(terms: list[str], table: str = "documents") -> str:
+    return f"""{_lang_buckets_cte(terms, table)}
+SELECT min(n) AS min_n, max(n) AS max_n, round(avg(n), 4) AS avg_n,
+       CAST(sum(n) AS BIGINT) AS sum_n, count(*) AS n_buckets
+FROM buckets"""
+
+
+def hybrid_bucket_sort_sql(
+    terms: list[str], size: int = 3, frm: int = 1, table: str = "documents"
+) -> str:
+    return f"""{_lang_buckets_cte(terms, table)}
+SELECT lang, n, avg_chars,
+       CAST(row_number() OVER (ORDER BY avg_chars DESC, lang ASC) AS INT) AS pos
+FROM buckets
+ORDER BY avg_chars DESC, lang ASC
+LIMIT {size} OFFSET {frm}"""

@@ -235,7 +235,19 @@ def minhash_lsh_pairs(
 
 
 SIMHASH_BITS = 48  # stays exact in signed int64 in both engines
-SIMHASH_CHUNKS = 4  # 4 x 12-bit chunks for near-dup banding
+SIMHASH_CHUNKS = 4  # default banding for max_hamming <= 3
+
+
+def simhash_chunks_for(max_hamming: int, bits: int = SIMHASH_BITS) -> int:
+    """Smallest chunk count with *complete* recall at the requested
+    radius: pigeonhole needs chunks >= max_hamming + 1, and the chunk
+    width must tile ``bits`` exactly, so take the smallest divisor of
+    ``bits`` that clears the bound."""
+    need = max_hamming + 1
+    for c in range(need, bits + 1):
+        if bits % c == 0:
+            return c
+    return bits
 
 
 def simhash(
@@ -275,11 +287,17 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = SIMHASH_BITS,
-    chunks: int = SIMHASH_CHUNKS,
+    chunks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share >= 1 of ``chunks``
     equal bit-chunks (pigeonhole: any pair within max_hamming <= chunks-1
-    differing bits collides on some chunk), verified by exact Hamming."""
+    differing bits collides on some chunk), verified by exact Hamming.
+    ``chunks`` defaults to the smallest divisor of ``bits`` that makes
+    the banding complete at the requested radius (chunks >= max_hamming+1
+    — e.g. radius 6 over 48 bits → 8 x 6-bit chunks); passing a smaller
+    value explicitly trades recall for fewer candidates."""
+    if chunks is None:
+        chunks = simhash_chunks_for(max_hamming, bits)
     width = bits // chunks
     mask = (1 << width) - 1
     sh = simhash(docs, id_col, text_col, bits)

@@ -139,8 +139,10 @@ def simhash_pairs_sql(
     max_hamming: int = 3,
     table: str = "documents",
     bits: int = _dedup.SIMHASH_BITS,
-    chunks: int = _dedup.SIMHASH_CHUNKS,
+    chunks: int | None = None,
 ) -> str:
+    if chunks is None:
+        chunks = _dedup.simhash_chunks_for(max_hamming, bits)
     width = bits // chunks
     mask = (1 << width) - 1
     chunk_selects = " UNION ALL ".join(

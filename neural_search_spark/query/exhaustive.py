@@ -123,19 +123,38 @@ def bm25_conjunctive(
     round_to: int | None = 4,
     **kw,
 ) -> DataFrame:
-    """AND semantics: only docs containing *all* terms, BM25-scored."""
+    """AND semantics: only docs containing *all* terms, BM25-scored.
+
+    One corpus traversal: the matched-all predicate is a countDistinct
+    in the same per-doc aggregate that sums the score — no second
+    tokenize pass."""
     uniq = sorted(set(terms))
-    scored = bm25_scores(docs, uniq, id_col, text_col, round_to=None, **kw)
+    quantize = kw.pop("quantize", True)
+    k1 = kw.pop("k1", K1)
+    b = kw.pop("b", B)
     tok = tokenized(docs, id_col, text_col)
-    matched_all = (
-        tok.select("doc_id", F.explode("toks").alias("term"))
-        .where(F.col("term").isin(uniq))
-        .groupBy("doc_id")
-        .agg(F.countDistinct("term").alias("nt"))
-        .where(F.col("nt") == len(uniq))
-        .select("doc_id")
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("N"),
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
     )
-    out = scored.join(matched_all, "doc_id")
+    dl_expr = quantized_dl_sql("dl") if quantize else "dl"
+    exploded = (
+        tok.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(uniq))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = exploded.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl", k1=k1, b=b)
+    out = (
+        exploded.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", F.expr(contrib))
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"), F.countDistinct("term").alias("nt"))
+        .where(F.col("nt") == len(uniq))
+        .select("doc_id", "score")
+    )
     if round_to is not None:
         out = out.withColumn("score", F.round("score", round_to))
     return out

@@ -93,11 +93,15 @@ def sparse_topk_single_phase(
 
 # --- index-backed sparse retrieval -------------------------------------
 
-def _sparse_seg_scores(reader, query: dict[str, float], restrict_ids=None) -> DataFrame:
+def _sparse_seg_scores(reader, query: dict[str, float], restrict_df: DataFrame | None = None) -> DataFrame:
     """Per-doc linear scores from the segmented index: the stored tf IS
     the feature value (rank_features analog); decode each query token's
-    posting blob in one pass (bulk strategy). ``restrict_ids`` limits
-    output to a candidate window (phase-2 rescore)."""
+    posting blob in one pass (bulk strategy). ``restrict_df`` (a frame
+    with an ``nss_doc_id`` column) limits output to a candidate window
+    (phase-2 rescore) — delivered to each segment's kernel via a
+    cogrouped applyInPandas, so the window never round-trips through the
+    driver and the restriction list a task sees is only that segment's
+    slice of the window."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -113,19 +117,16 @@ def _sparse_seg_scores(reader, query: dict[str, float], restrict_ids=None) -> Da
     )
     tokens = sorted(query)
     qw = {t: float(w) for t, w in query.items()}
-    allowed = None if restrict_ids is None else frozenset(int(x) for x in restrict_ids)
     range_block = int(reader.meta["range_block"])
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame({"nss_doc_id": pd.Series(dtype=np.int64),
-                                 "score": pd.Series(dtype=np.float64)})
+    def score_rows(pdf: pd.DataFrame, allow_arr) -> pd.DataFrame:
+        empty = pd.DataFrame({"nss_doc_id": pd.Series(dtype=np.int64),
+                              "score": pd.Series(dtype=np.float64)})
+        if len(pdf) == 0 or (allow_arr is not None and len(allow_arr) == 0):
+            return empty
         pdf = pdf.sort_values("term", kind="mergesort")
         seg = int(pdf["segment_id"].iloc[0])
         base = np.int64(seg) << SEG_SHIFT
-        allow_arr = (
-            np.fromiter(allowed, dtype=np.int64) if allowed is not None else None
-        )
         from ..index.builder import decode_term_deltas
 
         id_parts, c_parts = [], []
@@ -146,8 +147,7 @@ def _sparse_seg_scores(reader, query: dict[str, float], restrict_ids=None) -> Da
             id_parts.append(ids)
             c_parts.append(contrib)
         if not id_parts or not sum(len(x) for x in id_parts):
-            return pd.DataFrame({"nss_doc_id": pd.Series(dtype=np.int64),
-                                 "score": pd.Series(dtype=np.float64)})
+            return empty
         all_ids = np.concatenate(id_parts)
         all_c = np.concatenate(c_parts)
         uniq, inv = np.unique(all_ids, return_inverse=True)
@@ -162,10 +162,25 @@ def _sparse_seg_scores(reader, query: dict[str, float], restrict_ids=None) -> Da
 
         buckets = sorted({py_hash64(t) % n_buckets for t in tokens})
         scan = scan.where(F.col("term_bucket").isin(buckets))
+    scan = scan.where(F.col("term").isin(tokens))
+    if restrict_df is None:
+        return scan.groupBy("segment_id").applyInPandas(
+            lambda pdf: score_rows(pdf, None), schema
+        )
+
+    cand = restrict_df.select(
+        F.col("nss_doc_id"),
+        F.shiftright("nss_doc_id", SEG_SHIFT).cast("int").alias("segment_id"),
+    )
+
+    def cokernel(post_pdf: pd.DataFrame, cand_pdf: pd.DataFrame) -> pd.DataFrame:
+        allow = cand_pdf["nss_doc_id"].to_numpy(dtype=np.int64)
+        return score_rows(post_pdf, allow)
+
     return (
-        scan.where(F.col("term").isin(tokens))
-        .groupBy("segment_id")
-        .applyInPandas(kernel, schema)
+        scan.groupby("segment_id")
+        .cogroup(cand.groupby("segment_id"))
+        .applyInPandas(cokernel, schema)
     )
 
 
@@ -180,28 +195,39 @@ def sparse_topk_indexed(
     """Index-backed two-phase sparse top-k: phase 1 scans only the
     high-weight tokens' (short) postings, phase 2 rescores the candidate
     window against the low-weight postings — the reference's exact job
-    split, but over our segment files. Final scores equal single-phase
-    (two_phase=False) for window >= k."""
+    split (NeuralSparseTwoPhaseProcessor.java:127-155), but over our
+    segment files, fully distributed: the candidate window is a
+    DataFrame throughout (no driver materialization); phase 2 is a
+    cogrouped kernel restricted to each segment's slice of the window,
+    then a broadcast join adds the lo contributions.
+
+    Final scores equal single-phase (two_phase=False) when the hi-token
+    scores determine the window — i.e. every true top-k doc matches at
+    least one hi token and the window is wide enough that lo-token mass
+    can't promote a doc from beyond it. Docs matching ONLY lo tokens
+    never enter the phase-1 window (the reference shares this recall
+    property by construction); pass two_phase=False for exact linear
+    scoring."""
     key_cols = reader.meta["key_cols"]
     dm = reader.docmap().select("nss_doc_id", *key_cols)
     hi, lo = split_query_tokens(query, prune_ratio) if two_phase else (dict(query), {})
     window = min(int(k * expansion_rate), MAX_WINDOW_SIZE)
     phase1 = _sparse_seg_scores(reader, hi)
-    cand_rows = (
-        phase1.orderBy(F.col("score").desc(), F.col("nss_doc_id").asc()).limit(window).collect()
-    )
-    if lo and cand_rows:
-        ids = [r.nss_doc_id for r in cand_rows]
-        lo_scores = {
-            r.nss_doc_id: r.score
-            for r in _sparse_seg_scores(reader, lo, restrict_ids=ids).collect()
-        }
-        scored = [(r.nss_doc_id, r.score + lo_scores.get(r.nss_doc_id, 0.0)) for r in cand_rows]
-    else:
-        scored = [(r.nss_doc_id, r.score) for r in cand_rows]
-    spark = reader.spark
-    out = spark.createDataFrame(scored, "nss_doc_id long, score double")
-    joined = dm.join(F.broadcast(out), "nss_doc_id")
+    cand = phase1.orderBy(F.col("score").desc(), F.col("nss_doc_id").asc()).limit(window)
+    if lo:
+        # the window is <= MAX_WINDOW_SIZE rows — cache so the cogroup
+        # pass and the final join see the identical cut without
+        # recomputing phase 1, then broadcast it into the join
+        cand = cand.localCheckpoint(eager=False)
+        lo_scores = _sparse_seg_scores(reader, lo, restrict_df=cand).withColumnRenamed(
+            "score", "lo_score"
+        )
+        cand = (
+            cand.join(F.broadcast(lo_scores), "nss_doc_id", "left")
+            .withColumn("score", F.col("score") + F.coalesce(F.col("lo_score"), F.lit(0.0)))
+            .drop("lo_score")
+        )
+    joined = dm.join(F.broadcast(cand), "nss_doc_id")
     return (
         joined.orderBy(F.col("score").desc(), *[F.col(c).asc() for c in key_cols])
         .limit(k)

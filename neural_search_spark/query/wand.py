@@ -103,15 +103,35 @@ class IndexReader:
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Global df per query term = Σ blocks' n (each posting is one doc).
 
-        The full term→df dictionary is one distributed aggregate, computed
-        once per reader and served from driver memory afterwards (a code
-        corpus vocabulary is ~10^5-10^6 terms — dimension-table sized; on
-        a vocabulary too large for the driver, swap the dict for a
-        broadcast-join against the same aggregate)."""
+        Computed by a *query-pruned* aggregate: the scan is filtered to
+        the query terms (and, when the index is term-bucketed, to their
+        bucket directories — partition pruning) BEFORE the groupBy, so
+        per-query work is O(|query terms| × segments) rows, independent
+        of vocabulary size. Results memoize incrementally per reader —
+        repeat terms never re-scan; driver memory holds only terms ever
+        queried, never the full vocabulary."""
         if self._dfs is None:
-            rows = self.postings().groupBy("term").agg(F.sum("n").alias("df")).collect()
-            self._dfs = {r["term"]: int(r["df"]) for r in rows}
-        return {t: self._dfs[t] for t in terms if t in self._dfs}
+            self._dfs = {}
+        missing = sorted(t for t in set(terms) if t not in self._dfs)
+        if missing:
+            scan = self.postings()
+            n_buckets = int(self.meta.get("term_buckets", 0))
+            if n_buckets > 1:
+                from ..pipeline.hashing import py_hash64
+
+                buckets = sorted({py_hash64(t) % n_buckets for t in missing})
+                scan = scan.where(F.col("term_bucket").isin(buckets))
+            rows = (
+                scan.where(F.col("term").isin(missing))
+                .groupBy("term")
+                .agg(F.sum("n").alias("df"))
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                # memoize absence too (df=0) so repeats don't re-scan
+                self._dfs[t] = found.get(t, 0)
+        return {t: self._dfs[t] for t in terms if self._dfs.get(t, 0) > 0}
 
 
 def _wand_kernel(
