@@ -388,6 +388,57 @@ def _q_hybrid_histogram(spark, sf_dir):
 
 PCTRANK_VALUES = [150, 250, 400]
 RANGE_BOUNDS = [150, 300]
+TOTAL_HITS_THRESHOLD = 100
+
+
+def _q_indexed_bm25_filtered(spark, sf_dir):
+    """Filtered retrieval over the INDEXED path: the filter predicate is
+    pushed into the docs scan, mapped to per-segment allow-lists through
+    docmap, and AND-ed into the kernel (FILTER occur — non-scoring)."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.wand import bm25_topk_indexed
+
+    reader = _doc_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    allowed = reader.docmap().join(docs.where(F.expr(FILTER_PRED)), "doc_id").select(
+        "nss_doc_id"
+    )
+    top = bm25_topk_indexed(reader, TERMS_OR, k=10, mode="or", allowed=allowed)
+    return _ranked(top)
+
+
+def _q_indexed_sort_by_field(spark, sf_dir):
+    """Field-sort collectors over the INDEXED match stream
+    (HybridTopFieldDocSortCollector analog on segments)."""
+    from neural_search_spark.query.paginate import sort_by_fields
+    from neural_search_spark.query.wand import matched_ids_indexed
+
+    reader = _doc_index(spark, sf_dir)
+    m = matched_ids_indexed(reader, TERMS_OR, mode="or")
+    keys = reader.docmap().select("nss_doc_id", "doc_id")
+    withf = (
+        m.join(keys, "nss_doc_id")
+        .join(_docs(spark, sf_dir), "doc_id")
+        .select("doc_id", "n_chars", "lang")
+    )
+    return sort_by_fields(withf, [("n_chars", "desc"), ("lang", "asc")], k=10)
+
+
+def _q_indexed_total_hits_tracked(spark, sf_dir):
+    """track_total_hits over the indexed match stream: exact count up to
+    the threshold, (threshold, GTE) beyond it
+    [HitsThresholdChecker.java:17-40]."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.wand import matched_ids_indexed
+
+    m = matched_ids_indexed(_doc_index(spark, sf_dir), TERMS_OR, mode="or")
+    thr = TOTAL_HITS_THRESHOLD
+    return m.agg(F.count(F.lit(1)).alias("n")).select(
+        F.when(F.col("n") > thr, F.lit(thr)).otherwise(F.col("n")).cast("long").alias("total_hits"),
+        F.when(F.col("n") > thr, F.lit("GTE")).otherwise(F.lit("EQ")).alias("relation"),
+    )
 
 
 def _q_hybrid_cardinality(spark, sf_dir):
@@ -480,6 +531,21 @@ def _q_rescore_window(spark, sf_dir):
     rs = sparse_scores(_sparse_features(spark, sf_dir), SPARSE_QUERY)
     out = rescore(win, rs, weight_original=0.5, weight_rescore=0.5, k=10)
     return out.withColumn("score", F.round("score", 4))
+
+
+CE_QUERY = ["spark", "window", "merge", "data"]
+
+
+def _q_cross_encoder_rerank(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.exhaustive import bm25_scores
+    from neural_search_spark.query.rerank import cross_encoder_rerank
+
+    docs = _docs(spark, sf_dir)
+    scores = bm25_scores(docs, TERMS_OR, round_to=None)
+    win = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(20)
+    return cross_encoder_rerank(win, docs, CE_QUERY, k=10)
 
 
 SUBQ_K = 50  # per-sub-query retained hits (CompoundTopDocs window)
@@ -638,6 +704,13 @@ def _q_indexed_sparse_two_phase(spark, sf_dir):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def _q_ingest_nested_chunk_encode(spark, sf_dir):
+    from neural_search_spark.operators.nested import nested_chunk_encode, nested_doc_json
+
+    nested = nested_doc_json(_docs(spark, sf_dir))
+    return nested_chunk_encode(nested, path="$.sec.body", delimiter=CHUNK_DELIMITER, top_m=8)
+
+
 def _q_ingest_sparse_encode(spark, sf_dir):
     from neural_search_spark.operators.encoders import sparse_encode
 
@@ -719,6 +792,35 @@ def _q_dedup_embedding(spark, sf_dir):
     return embedding_near_dup(_emb(spark, sf_dir), threshold=NEAR_DUP_COS)
 
 
+LSH_DEDUP_DIM = 16
+LSH_DEDUP_COS = 0.98
+
+
+def _q_dedup_embedding_lsh(spark, sf_dir):
+    """Scale path for embedding dedup: sign-random-projection LSH over
+    dense_embed-derived doc vectors (duplicate docs → identical vectors
+    → cosine 1.0), candidates only from band-bucket collisions — no
+    crossJoin (replaces the all-pairs baseline dedup_embedding_cosine)."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.operators.encoders import dense_embed
+    from neural_search_spark.pipeline.dedup import embedding_lsh_pairs
+
+    d = LSH_DEDUP_DIM
+    emb_long = dense_embed(_docs(spark, sf_dir), dim=d)
+    vecs = (
+        emb_long.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("dim_idx", "val"))).alias("m"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {d - 1}), d -> coalesce(element_at(m, d), CAST(0.0 AS DOUBLE)))"
+            ).alias("v"),
+        )
+    )
+    return embedding_lsh_pairs(vecs, threshold=LSH_DEDUP_COS, dim=d)
+
+
 def _q_ann_cosine_topk(spark, sf_dir):
     from neural_search_spark.pipeline.similarity import cosine_topk
 
@@ -729,6 +831,15 @@ def _q_ann_ivf_topk(spark, sf_dir):
     from neural_search_spark.pipeline.similarity import ivf_topk
 
     return ivf_topk(_emb(spark, sf_dir), ANN_QUERY_ID, k=10, nprobe=2)
+
+
+RADIAL_MIN_SCORE = 0.3
+
+
+def _q_ann_radial(spark, sf_dir):
+    from neural_search_spark.pipeline.similarity import radial_search
+
+    return radial_search(_emb(spark, sf_dir), ANN_QUERY_ID, min_score=RADIAL_MIN_SCORE)
 
 
 def _q_text_token_counts(spark, sf_dir):
@@ -773,6 +884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_bm25_topk": _q_indexed_topk,
         "indexed_bm25_and_topk": _q_indexed_and_topk,
         "indexed_hybrid_topk": _q_indexed_hybrid_topk,
+        "indexed_bm25_filtered": _q_indexed_bm25_filtered,
+        "indexed_sort_by_field": _q_indexed_sort_by_field,
+        "indexed_total_hits_tracked": _q_indexed_total_hits_tracked,
         "hybrid_minmax_arith": _q_hybrid_minmax_arith,
         "hybrid_l2_geometric": _q_hybrid_l2_geometric,
         "hybrid_minmax_harmonic": _q_hybrid_minmax_harmonic,
@@ -805,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_bucket_stats": _q_hybrid_bucket_stats,
         "hybrid_bucket_sort": _q_hybrid_bucket_sort,
         "rescore_window": _q_rescore_window,
+        "cross_encoder_rerank": _q_cross_encoder_rerank,
         "events_windowed_agg": _q_events_windowed,
         "events_sessionization": _q_events_sessions,
         "events_json_props": _q_events_json_props,
@@ -812,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_matrix": _q_adjacency_matrix,
         "indexed_sparse_two_phase": _q_indexed_sparse_two_phase,
         "ingest_sparse_encode": _q_ingest_sparse_encode,
+        "ingest_nested_chunk_encode": _q_ingest_nested_chunk_encode,
         "ingest_dense_embed": _q_ingest_dense_embed,
         "dedup_exact": _q_dedup_exact,
         "dedup_fingerprint": _q_dedup_fingerprint,
@@ -820,8 +936,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_embedding_cosine": _q_dedup_embedding,
+        "dedup_embedding_lsh": _q_dedup_embedding_lsh,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_radial": _q_ann_radial,
         "text_token_counts": _q_text_token_counts,
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
@@ -846,6 +964,11 @@ def oracle_sql() -> dict[str, str]:
         "indexed_bm25_and_topk": oracle.bm25_and_topk_sql(TERMS_AND, k=10),
         "indexed_hybrid_topk": oracle.indexed_hybrid_sql(
             [TERMS_OR, TERMS_AND], subq_k=SUBQ_K, weights=[0.5, 0.5], k=10
+        ),
+        "indexed_bm25_filtered": oracle.bm25_filtered_topk_sql(TERMS_OR, FILTER_PRED, k=10),
+        "indexed_sort_by_field": oracle.hybrid_sort_by_field_sql(TERMS_OR, k=10),
+        "indexed_total_hits_tracked": oracle.hybrid_total_hits_tracked_sql(
+            TERMS_OR, TOTAL_HITS_THRESHOLD
         ),
         "hybrid_minmax_arith": oracle.hybrid_sql(HYBRID_GROUPS, "min_max", "arithmetic_mean", HYBRID_WEIGHTS),
         "hybrid_l2_geometric": oracle.hybrid_sql(HYBRID_GROUPS, "l2", "geometric_mean"),
@@ -885,6 +1008,9 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_bucket_stats": oracle.hybrid_bucket_stats_sql(TERMS_OR),
         "hybrid_bucket_sort": oracle.hybrid_bucket_sort_sql(TERMS_OR, size=3, frm=1),
         "rescore_window": oracle.rescore_window_sql(TERMS_OR, SPARSE_QUERY, window=20, k=10),
+        "cross_encoder_rerank": oracle.cross_encoder_rerank_sql(
+            TERMS_OR, CE_QUERY, window=20, k=10
+        ),
         "events_windowed_agg": oracle.events_windowed_sql(),
         "events_sessionization": oracle.events_sessions_sql(gap_hours=12),
         "events_json_props": oracle.events_json_props_sql(),
@@ -894,6 +1020,9 @@ def oracle_sql() -> dict[str, str]:
         # equality invariant (NeuralSparseTwoPhaseProcessorIT.java:151)
         "indexed_sparse_two_phase": oracle.sparse_topk_sql(SPARSE_QUERY, k=10),
         "ingest_sparse_encode": oracle.sparse_encode_sql(top_m=8),
+        "ingest_nested_chunk_encode": oracle.nested_chunk_encode_sql(
+            path="$.sec.body", delimiter=CHUNK_DELIMITER, top_m=8
+        ),
         "ingest_dense_embed": oracle.dense_embed_sql(dim=16),
         "dedup_exact": poracle.exact_dedup_sql(),
         "dedup_fingerprint": poracle.fingerprint_dedup_sql(),
@@ -902,8 +1031,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": poracle.simhash_sql(),
         "dedup_simhash_pairs": poracle.simhash_pairs_sql(SIMHASH_MAX_HAMMING),
         "dedup_embedding_cosine": poracle.embedding_near_dup_sql(NEAR_DUP_COS),
+        "dedup_embedding_lsh": poracle.embedding_lsh_sql(LSH_DEDUP_COS, dim=LSH_DEDUP_DIM),
         "ann_cosine_topk": poracle.cosine_topk_sql(ANN_QUERY_ID, k=10),
         "ann_ivf_topk": poracle.ivf_topk_sql(ANN_QUERY_ID, k=10, nprobe=2),
+        "ann_radial": poracle.radial_search_sql(ANN_QUERY_ID, RADIAL_MIN_SCORE),
         "text_token_counts": poracle.token_counts_sql(),
         "text_quality": poracle.quality_scores_sql(),
         "text_lang_id": poracle.lang_id_sql(),

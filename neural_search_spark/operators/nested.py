@@ -1,0 +1,95 @@
+"""Nested-document ingest — the reference's recursive field-map walk.
+
+The reference's InferenceProcessor builds embeddings for fields
+addressed by dotted paths inside nested Map documents
+(processor/InferenceProcessor.java:297-367 — buildMapWithTargetKeys /
+processMapEntryValue) and TextChunkingProcessor chunks nested string
+fields in place (processor/TextChunkingProcessor.java:238-270).
+
+Spark analog: documents arrive as JSON (or struct) columns; a dotted
+path selects the nested text field JVM-side (``get_json_object`` —
+no Python), the selected text runs through the delimiter chunker, and
+each chunk is sparse-encoded (top-m length-normalized tf — the
+deterministic stand-in model of operators/encoders.py). Everything is
+Catalyst-expressible, so the DuckDB oracle reproduces it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .chunkers import delimiter_chunks_sql
+
+# chunk_idx is folded into a composite id for the per-chunk encode
+# groupBy; max_chunk_limit is 100, so a factor of 1000 never collides
+CHUNK_ID_FACTOR = 1000
+
+
+def nested_doc_json(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, doc_json): a genuinely nested JSON document built from
+    the flat table — {"meta": {"lang", "source"}, "sec": {"title",
+    "body"}} — standing in for the reference's Map<String,Object> doc."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.to_json(
+            F.struct(
+                F.struct(F.col("lang"), F.col("source")).alias("meta"),
+                F.struct(
+                    F.substring("text", 1, 40).alias("title"), F.col("text").alias("body")
+                ).alias("sec"),
+            )
+        ).alias("doc_json"),
+    )
+
+
+def nested_chunk_encode(
+    nested: DataFrame,
+    path: str = "$.sec.body",
+    delimiter: str = "\n\n",
+    top_m: int = 8,
+    round_to: int = 4,
+) -> DataFrame:
+    """(doc_id, chunk_idx, token, weight): dotted-path extract →
+    delimiter chunk → per-chunk sparse encode, end-to-end JVM-side.
+
+    At 100 TB this is one narrow projection + one explode + one
+    groupBy on (doc, chunk) — the encode aggregate partial-combines
+    map-side; no shuffle is keyed on anything skewed."""
+    from ..functions.tokenize import simple_tokens_sql
+
+    body = nested.select(
+        "doc_id", F.get_json_object("doc_json", path).alias("text")
+    )
+    spark_chunks, _ = delimiter_chunks_sql("text", delimiter)
+    chunks = body.select(
+        "doc_id", F.posexplode(F.expr(spark_chunks)).alias("chunk_idx", "chunk")
+    )
+    spark_toks, _ = simple_tokens_sql("chunk")
+    tf = (
+        chunks.select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.expr(spark_toks).alias("toks"),
+        )
+        .select(
+            "doc_id", "chunk_idx", F.size("toks").alias("dl"), F.explode("toks").alias("token")
+        )
+        .groupBy("doc_id", "chunk_idx", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "chunk_idx").orderBy(
+        (F.col("tf") / F.col("dl")).desc(), F.col("token").asc()
+    )
+    return (
+        tf.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_m)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "token",
+            F.round(F.col("tf") / F.col("dl"), round_to).alias("weight"),
+        )
+    )

@@ -860,3 +860,107 @@ SELECT lang, n, avg_chars,
 FROM buckets
 ORDER BY avg_chars DESC, lang ASC
 LIMIT {size} OFFSET {frm}"""
+
+
+def bm25_filtered_topk_sql(
+    terms: list[str], pred: str, k: int = 10, table: str = "documents", round_to: int = 4
+) -> str:
+    """Filtered top-k: filter is FILTER-occur (non-scoring, does not
+    alter index stats) — HybridQuery.java:48-59. Oracle for the
+    indexed filtered path."""
+    return f"""{_scored_cte(terms, table)},
+kept AS (
+  SELECT s.doc_id AS doc_id, s.score AS score
+  FROM scored s JOIN {table} d ON s.doc_id = d.doc_id
+  WHERE {pred}
+)
+SELECT doc_id, round(score, {round_to}) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM kept ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def hybrid_total_hits_tracked_sql(
+    terms: list[str], threshold: int, table: str = "documents"
+) -> str:
+    """track_total_hits semantics [HitsThresholdChecker.java:17-40]:
+    exact count up to the threshold, then reported as
+    (threshold, GTE)."""
+    return f"""{_matched_ctes(terms, table)},
+c AS (SELECT count(*) AS n FROM matched)
+SELECT CASE WHEN n > {threshold} THEN {threshold} ELSE n END AS total_hits,
+       CASE WHEN n > {threshold} THEN 'GTE' ELSE 'EQ' END AS relation
+FROM c"""
+
+
+def cross_encoder_rerank_sql(
+    terms: list[str],
+    ce_query: list[str],
+    window: int = 20,
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """Oracle for the cross-encoder rerank slot: BM25 top-``window``
+    docs rescored by the stand-in pair model |q∩d| / sqrt(|q|·|d|),
+    scores REPLACED, desc re-sort [MLOpenSearchRerankProcessor.java:
+    23-83]."""
+    q = sorted(set(ce_query))
+    _, duck_toks = simple_tokens_sql("text")
+    qlist = ", ".join("'" + t.replace("'", "''") + "'" for t in q)
+    return f"""{_scored_cte(terms, table)},
+win AS (SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC LIMIT {window}),
+dt AS (
+  SELECT d.doc_id AS doc_id, list_distinct({duck_toks}) AS dtoks
+  FROM {table} d JOIN win USING (doc_id)
+),
+ce AS (
+  SELECT doc_id,
+         round(len(list_filter(dtoks, t -> t IN ({qlist})))
+               / sqrt({float(len(q))!r} * len(dtoks)), 4) AS score
+  FROM dt
+)
+SELECT doc_id, score FROM ce ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def nested_chunk_encode_sql(
+    path: str = "$.sec.body",
+    delimiter: str = "\n\n",
+    top_m: int = 8,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """Oracle for the nested-field ingest walk: build the SAME nested
+    JSON doc, extract the dotted path, chunk, sparse-encode per chunk
+    [InferenceProcessor.java:297-367, TextChunkingProcessor.java:
+    238-270]."""
+    from .operators.chunkers import delimiter_chunks_sql
+
+    _, duck_chunks = delimiter_chunks_sql("text", delimiter)
+    _, duck_toks = simple_tokens_sql("chunk")
+    return f"""
+WITH nested AS (
+  SELECT doc_id,
+         to_json(struct_pack(
+           meta := struct_pack(lang := lang, source := source),
+           sec := struct_pack(title := substr(text, 1, 40), body := text)
+         )) AS doc_json
+  FROM {table}
+),
+body AS (SELECT doc_id, json_extract_string(doc_json, '{path}') AS text FROM nested),
+c AS (SELECT doc_id, {duck_chunks} AS chunks FROM body),
+chunk_rows AS (
+  SELECT doc_id, CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS chunk_idx,
+         unnest(chunks) AS chunk
+  FROM c
+),
+tf AS (
+  SELECT doc_id, chunk_idx, dl, token, count(*) AS tf
+  FROM (SELECT doc_id, chunk_idx, len({duck_toks}) AS dl, unnest({duck_toks}) AS token
+        FROM chunk_rows)
+  GROUP BY doc_id, chunk_idx, dl, token
+)
+SELECT doc_id, chunk_idx, token, round(tf * 1.0 / dl, {round_to}) AS weight
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, chunk_idx
+                               ORDER BY tf * 1.0 / dl DESC, token ASC) AS rn
+  FROM tf
+) WHERE rn <= {top_m}"""

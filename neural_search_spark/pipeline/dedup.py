@@ -359,3 +359,106 @@ def embedding_near_dup(
         .where(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 4).alias("cos"))
     )
+
+
+# --- random-hyperplane LSH over embedding vectors ----------------------
+
+RHP_BANDS = 8
+RHP_BITS = 16
+
+
+def rhp_sign(band: int, bit: int, d: int) -> float:
+    """Deterministic ±1 hyperplane entry (md5-derived — dual-dialect
+    constants, so Spark, DuckDB, and tests share the exact planes)."""
+    from .hashing import py_hash64
+
+    return 1.0 if py_hash64(f"rhp-{band}-{bit}-{d}") % 2 == 0 else -1.0
+
+
+def rhp_band_key_exprs(
+    vec_col: str, dim: int, bands: int, bits: int, one_based: bool
+) -> list[str]:
+    """Per-band integer bucket keys: bit r of band b is the sign of
+    v · h_{b,r} (Charikar 2002 sign-random-projection); the ±1
+    hyperplanes inline as constants so the whole thing is one codegen'd
+    expression — no UDF, no stored model."""
+    keys = []
+    for b in range(bands):
+        bits_sql = []
+        for r in range(bits):
+            terms = " + ".join(
+                f"{vec_col}[{d + (1 if one_based else 0)}] * {rhp_sign(b, r, d)!r}"
+                for d in range(dim)
+            )
+            bits_sql.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << r} ELSE 0 END)")
+        keys.append("(" + " + ".join(bits_sql) + ")")
+    return keys
+
+
+def embedding_lsh_pairs(
+    vecs: DataFrame,
+    threshold: float = 0.98,
+    bands: int = RHP_BANDS,
+    bits: int = RHP_BITS,
+    dim: int | None = None,
+    id_col: str = "doc_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(a, b, cos) near-dup pairs via sign-random-projection LSH —
+    the scale path for embedding dedup (replaces the all-pairs
+    crossJoin of ``embedding_near_dup``).
+
+    Candidates = pairs agreeing on ALL ``bits`` signs in >= 1 of
+    ``bands`` bands; cosine verified exactly on candidates only. Bit
+    agreement probability is 1 - θ/π (Charikar 2002): at the dedup
+    regime (cos >= 0.98, θ <= 11.5°) a 16-bit band collides with
+    p >= 0.35 and 8 bands give >= 97% recall, while random pairs
+    (θ≈90°, p≈0.5 per bit) collide at ~2^-16 per band — candidate
+    volume is a vanishing fraction of n². One explode + one
+    equi-shuffle-join on uniform (band, key); no crossJoin anywhere.
+    Zero-norm vectors are excluded (cosine undefined)."""
+    if dim is None:
+        raise ValueError("dim is required (vector length)")
+    nonzero = "aggregate({v}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x) > 0.0"
+    base = vecs.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    ).where(F.expr(nonzero.format(v=vec_col if vec_col == "v" else "v")))
+    keys = rhp_band_key_exprs("v", dim, bands, bits, one_based=False)
+    # band keys become plain columns BEFORE the explode: the projection
+    # is codegen-splittable per expression, while one giant
+    # explode(array(struct(<8 × 16-plane dot products>))) exceeds
+    # Janino's method-size limit and silently de-codegens the stage
+    keyed = base.select(
+        "vid", *[F.expr(k).alias(f"_bk{b}") for b, k in enumerate(keys)]
+    )
+    banded = keyed.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"_bk{b}").alias("band_key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select("vid", "bd.band_idx", "bd.band_key")
+    a = banded.withColumnRenamed("vid", "a")
+    b = banded.withColumnRenamed("vid", "b")
+    cands = (
+        a.join(b, ["band_idx", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = base.select(F.col("vid").alias("a"), F.col("v").alias("va"))
+    vb = base.select(F.col("vid").alias("b"), F.col("v").alias("vb"))
+    dot = "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    na = "sqrt(aggregate(va, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
+    nb = "sqrt(aggregate(vb, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
+    return (
+        cands.join(va, "a")
+        .join(vb, "b")
+        .withColumn("cos", F.round(F.expr(f"{dot} / ({na} * {nb})"), 6))
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 4).alias("cos"))
+    )

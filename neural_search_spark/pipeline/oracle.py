@@ -294,3 +294,59 @@ SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
        md5(text) AS payload_md5
 FROM {table}"""
+
+
+def embedding_lsh_sql(
+    threshold: float = 0.98,
+    bands: int = _dedup.RHP_BANDS,
+    bits: int = _dedup.RHP_BITS,
+    dim: int = 16,
+    table: str = "documents",
+) -> str:
+    """Oracle for embedding_lsh_pairs over dense_embed-derived document
+    vectors: identical hyperplanes (md5-derived ±1 constants), identical
+    banding, identical cosine verify."""
+    from ..oracle import dense_embed_sql
+
+    vec_cols = ", ".join(
+        f"coalesce(max(CASE WHEN dim_idx = {d} THEN val END), 0.0)" for d in range(dim)
+    )
+    keys = _dedup.rhp_band_key_exprs("v", dim, bands, bits, one_based=True)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, {k} AS band_key FROM nz"
+        for b, k in enumerate(keys)
+    )
+    return f"""
+WITH emb_long AS (SELECT * FROM ({dense_embed_sql(dim=dim, table=table)})),
+vecs AS (SELECT doc_id, [{vec_cols}] AS v FROM emb_long GROUP BY doc_id),
+nz AS (SELECT doc_id, v FROM vecs WHERE list_dot_product(v, v) > 0.0),
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+)
+SELECT c.a, c.b,
+       round(round(list_dot_product(va.v, vb.v)
+             / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 6), 4) AS cos
+FROM cand c JOIN nz va ON va.doc_id = c.a JOIN nz vb ON vb.doc_id = c.b
+WHERE round(list_dot_product(va.v, vb.v)
+      / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 6) >= {threshold}"""
+
+
+def radial_search_sql(
+    query_vec_id: int, min_score: float, table: str = "embeddings"
+) -> str:
+    """Oracle for radial ANN (min_score variant)
+    [query/NeuralQueryBuilder.java:300-354]."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id})
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+FROM e, q
+WHERE vec_id <> {query_vec_id}
+  AND round(list_dot_product(v, qv)
+      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) >= {min_score}
+ORDER BY cos DESC, vec_id ASC"""

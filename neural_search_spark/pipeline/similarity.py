@@ -131,3 +131,36 @@ def ivf_topk(
     top = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
     w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return top.select("vec_id", "cos", F.row_number().over(w).cast("int").alias("rank"))
+
+
+def radial_search(
+    emb: DataFrame,
+    query_vec_id: int,
+    min_score: float | None = None,
+    max_distance: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radial ANN: ALL neighbors within a similarity radius instead of a
+    count — the reference's max_distance / min_score kNN variants
+    (query/NeuralQueryBuilder.java:300-354). Exactly one of
+    ``min_score`` (cosine floor) or ``max_distance`` (cosine distance
+    1 − cos ceiling) must be set; the two are equivalent and normalize
+    to a cosine floor. Same broadcast-query/codegen-scan shape as
+    ``cosine_topk`` but the cut is a WHERE (pushed ahead of the sort),
+    so result size is radius-driven, not k-driven."""
+    if (min_score is None) == (max_distance is None):
+        raise ValueError("set exactly one of min_score / max_distance")
+    floor = min_score if min_score is not None else 1.0 - max_distance
+    v = _as_double(emb, id_col, vec_col, "vec_id", "v")
+    q = v.where(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
+    dot = DOT.format(a="v", b="qv")
+    na, nq = NORM.format(a="v"), NORM.format(a="qv")
+    return (
+        v.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos", F.round(F.expr(dot) / (F.expr(na) * F.expr(nq)), 6))
+        .where(F.col("cos") >= floor)
+        .select("vec_id", "cos")
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    )

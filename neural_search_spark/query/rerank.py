@@ -52,3 +52,45 @@ def rescore(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
     return out.limit(k) if k else out
+
+
+def cross_encoder_rerank(
+    hits: DataFrame,
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-encoder rerank slot [processor/rerank/
+    MLOpenSearchRerankProcessor.java:23-83]: scores each (query, doc)
+    PAIR jointly and REPLACES the window's scores, then re-sorts desc.
+
+    The model is a deterministic stand-in (same pattern as
+    operators/encoders.py): score = |q ∩ d| / sqrt(|q| · |d_distinct|)
+    — the binary-token-cosine of the pair, a genuinely joint function
+    of query and document that a bi-encoder cannot express. Swap in a
+    real cross-encoder by replacing the score expression with an
+    Arrow-batched pandas UDF over (query, text) pairs; the window
+    plumbing (score only the top-k window, never the corpus —
+    broadcast semi-join) is the production shape.
+    """
+    from ..functions.tokenize import simple_tokens_sql
+
+    q = sorted(set(query_terms))
+    spark_toks, _ = simple_tokens_sql(text_col)
+    qlist = ", ".join("'" + t.replace("'", "''") + "'" for t in q)
+    window_docs = docs.join(F.broadcast(hits.select(id_col)), id_col)
+    scored = window_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"array_distinct({spark_toks})").alias("dtoks"),
+    ).select(
+        "doc_id",
+        F.round(
+            F.expr(f"size(filter(dtoks, t -> t IN ({qlist})))")
+            / F.sqrt(F.lit(float(len(q))) * F.expr("size(dtoks)")),
+            4,
+        ).alias("score"),
+    )
+    out = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return out.limit(k) if k else out

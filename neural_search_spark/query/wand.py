@@ -145,12 +145,18 @@ def _wand_kernel(
     k1: float = K1,
     b: float = B,
 ):
-    """Per-segment kernel: exact top-k with block-max range pruning."""
+    """Per-segment kernel: exact top-k with block-max range pruning.
+
+    ``kernel(pdf, allow)``: ``allow`` is an optional int64 array of
+    LOCAL doc ids allowed by a filter (reference ANDs filters into every
+    sub-query as FILTER occur — HybridQuery.java:48-59; a filter never
+    contributes to the score, so block upper bounds stay valid and the
+    pruning stays exact)."""
     ft = np.float32 if dtype == "float32" else np.float64
     n_terms = len(terms)
     term_order = {t: i for i, t in enumerate(sorted(terms))}
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf: pd.DataFrame, allow: np.ndarray | None = None) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame(
                 {"segment_id": pd.Series(dtype=np.int32), "nss_doc_id": pd.Series(dtype=np.int64),
@@ -238,6 +244,11 @@ def _wand_kernel(
             if len(hit) == 0:
                 continue
             docs = base + hit
+            if allow is not None:
+                keep = np.isin(docs, allow)
+                if not keep.any():
+                    continue
+                docs, hit = docs[keep], hit[keep]
             scores = acc[hit].astype(np.float64)
             counts = cnt[hit].astype(np.int64)
             top_docs = np.concatenate([top_docs, docs])
@@ -285,11 +296,12 @@ def _bulk_kernel(
     array. ~10 numpy calls per term instead of one per (term, block) —
     wins whenever most ranges would survive pruning anyway (head terms,
     OR queries). Scores are bit-identical to the WAND kernel: per-doc
-    sums happen in the same sorted-term order."""
+    sums happen in the same sorted-term order. ``allow`` (optional int64
+    array of local doc ids) restricts hits — FILTER-occur semantics."""
     ft = np.float32 if dtype == "float32" else np.float64
     n_terms = len(terms)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(pdf: pd.DataFrame, allow: np.ndarray | None = None) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame(
                 {"segment_id": pd.Series(dtype=np.int32), "nss_doc_id": pd.Series(dtype=np.int64),
@@ -325,6 +337,11 @@ def _bulk_kernel(
             acc[ids] += contrib
             cnt[ids] += 1
         hit = np.flatnonzero(cnt > 0) if mode != "and" else np.flatnonzero(cnt == n_terms)
+        if allow is not None and len(hit):
+            mask = np.zeros(size, dtype=bool)
+            in_range = allow[(allow >= 0) & (allow < size)]
+            mask[in_range] = True
+            hit = hit[mask[hit]]
         if len(hit) == 0:
             return pd.DataFrame(
                 {"segment_id": pd.Series(dtype=np.int32), "nss_doc_id": pd.Series(dtype=np.int64),
@@ -355,9 +372,19 @@ def bm25_topk_indexed(
     dtype: str = "float64",
     with_keys: bool = True,
     strategy: str = "bulk",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 via the index: broadcast query stats → per-segment
-    block-max kernel → global TakeOrderedAndProject merge."""
+    block-max kernel → global TakeOrderedAndProject merge.
+
+    ``allowed`` (a frame with an ``nss_doc_id`` column, e.g. docmap
+    joined against a filtered attribute table) restricts results to
+    those docs without touching the scoring — the reference's
+    FILTER-occur semantics (HybridQuery.java:48-59: filters AND-ed into
+    every sub-query, non-scoring). Delivered per-segment via a cogrouped
+    applyInPandas, so each task sees only its segment's slice of the
+    allow-list; global stats (N, avgdl, df) stay UNfiltered, matching
+    Lucene (filters don't alter index statistics)."""
     terms = sorted(set(terms))
     N, avgdl = reader.global_stats()
     dfs = reader.term_dfs(terms)
@@ -384,17 +411,105 @@ def bm25_topk_indexed(
 
         buckets = sorted({py_hash64(t) % n_buckets for t in live})
         scan = scan.where(F.col("term_bucket").isin(buckets))
-    per_seg = (
-        scan.where(F.col("term").isin(live))
-        .groupBy("segment_id")
-        .applyInPandas(kernel, schema=RESULT_SCHEMA)
-    )
+    scan = scan.where(F.col("term").isin(live))
+    if allowed is None:
+        # NB: single-arg wrapper — applyInPandas dispatches 2-arg
+        # callables as (key, pdf), which would swallow the allow param
+        per_seg = scan.groupBy("segment_id").applyInPandas(
+            lambda pdf: kernel(pdf), schema=RESULT_SCHEMA
+        )
+    else:
+        local_mask = (1 << SEG_SHIFT) - 1
+        allow_df = allowed.select(
+            (F.col("nss_doc_id").bitwiseAND(F.lit(local_mask))).alias("local_id"),
+            F.shiftright("nss_doc_id", SEG_SHIFT).cast("int").alias("segment_id"),
+        )
+
+        def cokernel(post_pdf: pd.DataFrame, allow_pdf: pd.DataFrame) -> pd.DataFrame:
+            allow = allow_pdf["local_id"].to_numpy(dtype=np.int64)
+            return kernel(post_pdf, allow)
+
+        per_seg = (
+            scan.groupby("segment_id")
+            .cogroup(allow_df.groupby("segment_id"))
+            .applyInPandas(cokernel, schema=RESULT_SCHEMA)
+        )
     if not with_keys:
         return per_seg.orderBy(F.col("score").desc(), F.col("nss_doc_id").asc()).limit(k)
     # keys must be attached BEFORE the final cut: score ties at the k
     # boundary are resolved on the external key (partition-invariant),
     # and internal ids only order correctly *within* a segment.
     return _attach_keys(reader, per_seg, k)
+
+
+def matched_ids_indexed(reader: IndexReader, terms: list[str], mode: str = "or") -> DataFrame:
+    """All matched doc ids from the index — no top-k cut, no scoring.
+
+    The per-segment kernel decodes only the doc-id stream (tf/norm blobs
+    untouched), unions (OR) or intersects (AND) the query terms'
+    postings, and emits (segment_id, nss_doc_id). Feeds field-sort /
+    keyset-paging / total-hits collectors over the INDEXED path — the
+    reference's field collectors iterate exactly this per-segment match
+    stream (HybridTopFieldDocSortCollector.java:40-416)."""
+    terms = sorted(set(terms))
+    dfs = reader.term_dfs(terms)
+    live = [t for t in terms if t in dfs]
+    spark = reader.spark
+    out_schema = T.StructType(
+        [
+            T.StructField("segment_id", T.IntegerType(), False),
+            T.StructField("nss_doc_id", T.LongType(), False),
+        ]
+    )
+    if not live or (mode == "and" and len(live) < len(terms)):
+        return spark.createDataFrame([], out_schema)
+    n_terms = len(live)
+    range_block = int(reader.meta["range_block"])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"segment_id": pd.Series(dtype=np.int32),
+                                 "nss_doc_id": pd.Series(dtype=np.int64)})
+        seg = int(pdf["segment_id"].iloc[0])
+        from ..index.builder import decode_term_deltas
+
+        parts = []
+        for r in pdf.itertuples():
+            deltas = decode_term_deltas(
+                r.docs, r.block_ns, r.block_doc_off, int(r.pack_bits), r.exc_pos, r.exc_high
+            )
+            ns = np.asarray(r.block_ns, dtype=np.int64)
+            bids = np.asarray(r.block_ids, dtype=np.int64)
+            starts = np.r_[0, np.cumsum(ns)[:-1]]
+            cs = np.cumsum(deltas)
+            carry = np.repeat(cs[starts] - deltas[starts], ns)
+            parts.append(np.repeat(bids * range_block, ns) + cs - carry)
+        if not parts:
+            return pd.DataFrame({"segment_id": pd.Series(dtype=np.int32),
+                                 "nss_doc_id": pd.Series(dtype=np.int64)})
+        all_ids = np.concatenate(parts)
+        if mode == "and":
+            uniq, counts = np.unique(all_ids, return_counts=True)
+            ids = uniq[counts == n_terms]
+        else:
+            ids = np.unique(all_ids)
+        gid = (np.int64(seg) << SEG_SHIFT) + ids
+        return pd.DataFrame(
+            {"segment_id": np.full(len(gid), seg, dtype=np.int32), "nss_doc_id": gid}
+        )
+
+    scan = reader.postings()
+    n_buckets = int(reader.meta.get("term_buckets", 0))
+    if n_buckets > 1:
+        from ..pipeline.hashing import py_hash64
+
+        buckets = sorted({py_hash64(t) % n_buckets for t in live})
+        scan = scan.where(F.col("term_bucket").isin(buckets))
+    return (
+        scan.where(F.col("term").isin(live))
+        .groupBy("segment_id")
+        .applyInPandas(kernel, schema=out_schema)
+    )
 
 
 def _attach_keys(reader: IndexReader, top: DataFrame, k: int) -> DataFrame:
