@@ -578,6 +578,21 @@ def _q_indexed_hybrid_topk(spark, sf_dir):
     )
 
 
+MSEARCH_BATCH = [(TERMS_OR, "or"), (TERMS_AND, "and"), (TERM_RARE, "or")]
+
+
+def _q_indexed_msearch(spark, sf_dir):
+    """msearch-style batch: all queries in ONE kernel pass + ONE docmap
+    join (2 jobs per batch instead of ~2 per query) — bit-identical per
+    query to bm25_topk_indexed (pytest-asserted)."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.wand import bm25_topk_indexed_multi
+
+    out = bm25_topk_indexed_multi(_doc_index(spark, sf_dir), MSEARCH_BATCH, k=10)
+    return out.select("query_idx", "doc_id", F.round("score", 4).alias("score"), "rank")
+
+
 def _q_hybrid_significant_terms(spark, sf_dir):
     """significant_terms (JLH) — terms overrepresented in the matched
     set vs the background corpus
@@ -872,6 +887,12 @@ def _q_multimodal_features(spark, sf_dir):
     return multimodal_features(_docs(spark, sf_dir))
 
 
+def _q_multimodal_joint_embed(spark, sf_dir):
+    from neural_search_spark.pipeline.multimodal import joint_embed
+
+    return joint_embed(_docs(spark, sf_dir), dim=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_or_scores": _q_bm25_or,
@@ -887,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_bm25_filtered": _q_indexed_bm25_filtered,
         "indexed_sort_by_field": _q_indexed_sort_by_field,
         "indexed_total_hits_tracked": _q_indexed_total_hits_tracked,
+        "indexed_msearch": _q_indexed_msearch,
         "hybrid_minmax_arith": _q_hybrid_minmax_arith,
         "hybrid_l2_geometric": _q_hybrid_l2_geometric,
         "hybrid_minmax_harmonic": _q_hybrid_minmax_harmonic,
@@ -945,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_text_lang_id,
         "text_fingerprints": _q_text_fingerprints,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_joint_embed": _q_multimodal_joint_embed,
     }
 
 
@@ -970,6 +993,7 @@ def oracle_sql() -> dict[str, str]:
         "indexed_total_hits_tracked": oracle.hybrid_total_hits_tracked_sql(
             TERMS_OR, TOTAL_HITS_THRESHOLD
         ),
+        "indexed_msearch": oracle.msearch_sql(MSEARCH_BATCH, k=10),
         "hybrid_minmax_arith": oracle.hybrid_sql(HYBRID_GROUPS, "min_max", "arithmetic_mean", HYBRID_WEIGHTS),
         "hybrid_l2_geometric": oracle.hybrid_sql(HYBRID_GROUPS, "l2", "geometric_mean"),
         "hybrid_minmax_harmonic": oracle.hybrid_sql(HYBRID_GROUPS, "min_max", "harmonic_mean", HYBRID_WEIGHTS),
@@ -1040,4 +1064,5 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": poracle.lang_id_sql(),
         "text_fingerprints": poracle.fingerprints_sql(),
         "multimodal_features": poracle.multimodal_features_sql(),
+        "multimodal_joint_embed": oracle.joint_embed_sql(dim=16),
     }

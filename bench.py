@@ -31,6 +31,8 @@ HEADLINE = [
     "bm25_topk",             # TakeOrderedAndProject top-k
     "indexed_bm25_topk",     # segmented index + block-max WAND kernel
     "indexed_bm25_and_topk",
+    "indexed_bm25_filtered", # FILTER-occur via cogrouped allow-list
+    "indexed_msearch",       # 3-query batch in one kernel pass
     "hybrid_minmax_arith",   # normalization/combination layer
     "sparse_two_phase_topk", # two-phase sparse retrieval
     "hybrid_aggs",           # aggregations over matched docs
@@ -40,6 +42,8 @@ HEADLINE = [
 HEADLINE += [
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
+    "hybrid_cardinality_hll",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "text_quality",

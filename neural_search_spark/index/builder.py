@@ -396,6 +396,12 @@ def build_index(
     layout lever that matters at 10^12 files. Leave 0 for small indexes
     where extra directories cost more than pruning saves.
     """
+    from .mappings import validate_index_spec
+
+    validate_index_spec(
+        corpus.schema, key_cols, text_col, tokenizer, num_segments,
+        range_block, term_buckets, codec,
+    )
     p = paths(index_dir)
     done: set[int] = set()
     if resume and os.path.exists(p["manifest"]):

@@ -67,16 +67,11 @@ def sparse_encode(
     )
 
 
-def dense_embed(
-    docs: DataFrame,
-    dim: int = DEFAULT_DIM,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    round_to: int = 4,
-) -> DataFrame:
-    """(doc_id, dim_idx, val): L2-normalized feature-hashing embedding in
-    long form — Catalyst-only (whole-stage codegen), oracle-checkable."""
-    tf = _tf(docs, id_col, text_col)
+def hash_embed_from_tf(tf: DataFrame, dim: int = DEFAULT_DIM, round_to: int = 4) -> DataFrame:
+    """(doc_id, dim_idx, val) from any (doc_id, token, tf) frame:
+    the feature-hashing ladder (bucket = md5_56 % dim, sign from the
+    next hash bit, L2 normalize) — shared by the text-only and the
+    joint text+image embedders."""
     spark_h, _ = hash64_sql("token")
     tf = tf.withColumn("h", F.expr(spark_h))
     tf = tf.withColumn("bucket", F.col("h") % dim).withColumn(
@@ -97,6 +92,20 @@ def dense_embed(
                 round_to,
             ).alias("val"),
         )
+    )
+
+
+def dense_embed(
+    docs: DataFrame,
+    dim: int = DEFAULT_DIM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """(doc_id, dim_idx, val): L2-normalized feature-hashing embedding in
+    long form — Catalyst-only (whole-stage codegen), oracle-checkable."""
+    return hash_embed_from_tf(
+        _tf(docs, id_col, text_col).select("doc_id", "token", "tf"), dim, round_to
     )
 
 

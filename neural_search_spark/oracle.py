@@ -964,3 +964,61 @@ FROM (
                                ORDER BY tf * 1.0 / dl DESC, token ASC) AS rn
   FROM tf
 ) WHERE rn <= {top_m}"""
+
+
+def msearch_sql(
+    query_batch: list[tuple[list[str], str]], k: int = 10, table: str = "documents"
+) -> str:
+    """Oracle for the msearch-style batch API: per-query top-k, each
+    branch its own scored subquery, UNION ALL with the query index."""
+    branches = []
+    for qi, (terms, mode) in enumerate(query_batch):
+        uniq = sorted(set(terms))
+        inner = (
+            bm25_and_topk_sql(uniq, k=k, table=table)
+            if mode == "and"
+            else bm25_topk_sql(uniq, k=k, table=table)
+        )
+        branches.append(
+            f"SELECT CAST({qi} AS INT) AS query_idx, doc_id, score, rank FROM ({inner})"
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+def joint_embed_sql(dim: int = 16, table: str = "documents", round_to: int = 4) -> str:
+    """Oracle twin of pipeline/multimodal.joint_embed: text tokens ∪
+    image pseudo-tokens (md5-of-payload 4-hex grams, "img:" prefix) →
+    one feature-hashing + L2 pass
+    [TextImageEmbeddingProcessor.java:37-189]."""
+    from .pipeline.hashing import hash64_sql
+    from .pipeline.multimodal import IMG_GRAMS
+
+    _, duck_toks = simple_tokens_sql("text")
+    _, duck_h = hash64_sql("token")
+    grams = ", ".join(
+        f"'img:' || substr(md5(text), {i * 4 + 1}, 4)" for i in range(IMG_GRAMS)
+    )
+    return f"""
+WITH text_tf AS (
+  SELECT doc_id, term AS token, count(*) AS tf
+  FROM (SELECT doc_id, unnest({duck_toks}) AS term FROM {table})
+  GROUP BY doc_id, term
+),
+img_tf AS (
+  SELECT doc_id, g AS token, count(*) AS tf
+  FROM (SELECT doc_id, unnest([{grams}]) AS g FROM {table})
+  GROUP BY doc_id, g
+),
+tf AS (SELECT * FROM text_tf UNION ALL SELECT * FROM img_tf),
+hashed AS (
+  SELECT doc_id, tf, {duck_h} AS h FROM tf
+),
+raw AS (
+  SELECT doc_id, h % {dim} AS dim_idx,
+         sum(CASE WHEN (h >> 8) % 2 = 0 THEN tf ELSE -tf END * 1.0) AS v
+  FROM hashed GROUP BY doc_id, h % {dim}
+),
+nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM raw GROUP BY doc_id)
+SELECT raw.doc_id AS doc_id, CAST(dim_idx AS INT) AS dim_idx,
+       round(CASE WHEN nrm = 0.0 THEN 0.0 ELSE v / nrm END, {round_to}) AS val
+FROM raw JOIN nrm USING (doc_id)"""

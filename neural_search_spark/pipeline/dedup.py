@@ -419,10 +419,12 @@ def embedding_lsh_pairs(
     Zero-norm vectors are excluded (cosine undefined)."""
     if dim is None:
         raise ValueError("dim is required (vector length)")
-    nonzero = "aggregate({v}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x) > 0.0"
+    nonzero = "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x) > 0.0"
+    # base feeds banding AND both sides of the verification join —
+    # persist so an upstream embedding pipeline computes once, not 3x
     base = vecs.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
-    ).where(F.expr(nonzero.format(v=vec_col if vec_col == "v" else "v")))
+    ).where(F.expr(nonzero)).persist()
     keys = rhp_band_key_exprs("v", dim, bands, bits, one_based=False)
     # band keys become plain columns BEFORE the explode: the projection
     # is codegen-splittable per expression, while one giant

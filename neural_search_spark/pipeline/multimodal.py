@@ -82,3 +82,50 @@ def multimodal_features(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     equals DuckDB's md5 of the same text, proving the binary column
     survives the Arrow batch transfer byte-exactly."""
     return extract_features(attach_payload(docs, id_col, text_col))
+
+
+IMG_GRAMS = 8  # 32-hex md5 → 8 pseudo-tokens of 4 hex chars
+
+
+def joint_embed(
+    docs: DataFrame,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """(doc_id, dim_idx, val): ONE embedding from BOTH modalities — the
+    TextImageEmbeddingProcessor semantics (processor/
+    TextImageEmbeddingProcessor.java:37-189 builds a single vector from
+    the {text, image} inference map, one knn field for both).
+
+    Stand-in model: the text contributes its tokens (tf-weighted), the
+    image payload contributes ``IMG_GRAMS`` pseudo-tokens ("img:" +
+    4-hex-char grams of the payload md5 — i.e. features of the BYTES,
+    standing in for visual features); both feed one feature-hashing +
+    L2-normalize pass (operators/encoders.hash_embed_from_tf). The
+    payload here is the UTF-8 text bytes (attach_payload), which keeps
+    the whole op Catalyst-expressible and lets the DuckDB oracle verify
+    the exact fusion — swap the gram extractor for a real image encoder
+    UDF in prod without touching the fusion/normalization."""
+    from ..functions.tokenize import simple_tokens_sql
+    from ..operators.encoders import hash_embed_from_tf
+
+    spark_toks, _ = simple_tokens_sql(text_col)
+    text_tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.expr(spark_toks).alias("toks"))
+        .select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    grams = ", ".join(
+        f"concat('img:', substring(md5({text_col}), {i * 4 + 1}, 4))" for i in range(IMG_GRAMS)
+    )
+    img_tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(F.expr(f"array({grams})")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return hash_embed_from_tf(text_tf.unionByName(img_tf), dim, round_to)

@@ -162,7 +162,9 @@ def _sparse_seg_scores(reader, query: dict[str, float], restrict_df: DataFrame |
 
         buckets = sorted({py_hash64(t) % n_buckets for t in tokens})
         scan = scan.where(F.col("term_bucket").isin(buckets))
-    scan = scan.where(F.col("term").isin(tokens))
+    from .wand import DECODE_COLS
+
+    scan = scan.where(F.col("term").isin(tokens)).select(*DECODE_COLS, "tfs")
     if restrict_df is None:
         return scan.groupBy("segment_id").applyInPandas(
             lambda pdf: score_rows(pdf, None), schema

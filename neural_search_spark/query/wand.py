@@ -42,6 +42,15 @@ from ..functions.norms import byte4_to_int
 from ..index.builder import SEG_SHIFT, paths
 from .bm25 import B, K1
 
+# column sets per kernel — pruning the applyInPandas input to what the
+# kernel touches shrinks the JVM→python Arrow transfer (ReadSchema
+# minimality: the block-max metadata only feeds the WAND kernel; the
+# match-only kernel needs neither tf nor norm blobs)
+DECODE_COLS = ["segment_id", "term", "block_ids", "block_ns", "block_doc_off",
+               "pack_bits", "exc_pos", "exc_high", "docs"]
+BULK_COLS = [*DECODE_COLS, "tfs", "norms"]
+WAND_COLS = [*BULK_COLS, "block_max_tf", "block_min_dl_q", "block_tf_off"]
+
 RESULT_SCHEMA = T.StructType(
     [
         T.StructField("segment_id", T.IntegerType(), False),
@@ -411,7 +420,9 @@ def bm25_topk_indexed(
 
         buckets = sorted({py_hash64(t) % n_buckets for t in live})
         scan = scan.where(F.col("term_bucket").isin(buckets))
-    scan = scan.where(F.col("term").isin(live))
+    scan = scan.where(F.col("term").isin(live)).select(
+        *(BULK_COLS if strategy == "bulk" else WAND_COLS)
+    )
     if allowed is None:
         # NB: single-arg wrapper — applyInPandas dispatches 2-arg
         # callables as (key, pdf), which would swallow the allow param
@@ -507,6 +518,7 @@ def matched_ids_indexed(reader: IndexReader, terms: list[str], mode: str = "or")
         scan = scan.where(F.col("term_bucket").isin(buckets))
     return (
         scan.where(F.col("term").isin(live))
+        .select(*DECODE_COLS)
         .groupBy("segment_id")
         .applyInPandas(kernel, schema=out_schema)
     )
@@ -522,3 +534,162 @@ def _attach_keys(reader: IndexReader, top: DataFrame, k: int) -> DataFrame:
     # is a map-side hash probe of docmap, never a sort-merge shuffle.
     out = dm.join(F.broadcast(top), "nss_doc_id")
     return out.orderBy(F.col("score").desc(), *[F.col(c).asc() for c in key_cols]).limit(k)
+
+
+# --- multi-query (msearch-style) batch execution -----------------------
+
+MULTI_SCHEMA = T.StructType(
+    [
+        T.StructField("query_idx", T.IntegerType(), False),
+        T.StructField("segment_id", T.IntegerType(), False),
+        T.StructField("nss_doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+        T.StructField("matched_terms", T.IntegerType(), False),
+    ]
+)
+
+
+def _bulk_kernel_multi(
+    query_specs: list[tuple[list[str], str, int]],
+    idf_by_term: dict[str, float],
+    avgdl: float,
+    range_block: int,
+    dtype: str,
+    k1: float = K1,
+    b: float = B,
+):
+    """Per-segment kernel scoring ALL queries of a batch in one postings
+    pass: each term's posting blob decodes ONCE and its per-doc BM25
+    contribution (idf · tf-part — identical whichever query references
+    the term) is cached, then each query accumulates its own terms'
+    contributions in sorted-term order — bit-identical to running the
+    single-query bulk kernel per query, at 1/Q the decode work for
+    shared terms and 1/Q the job-scheduling overhead. The DataFrame
+    analog of the reference's multi-search + HybridQueryScorer
+    sub-query iteration (query/HybridQueryScorer.java:190-208)."""
+    ft = np.float32 if dtype == "float32" else np.float64
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_idx": pd.Series(dtype=np.int32),
+             "segment_id": pd.Series(dtype=np.int32),
+             "nss_doc_id": pd.Series(dtype=np.int64),
+             "score": pd.Series(dtype=np.float64),
+             "matched_terms": pd.Series(dtype=np.int32)}
+        )
+        if len(pdf) == 0:
+            return empty
+        pdf = pdf.sort_values("term", kind="mergesort").reset_index(drop=True)
+        seg = int(pdf["segment_id"].iloc[0])
+        k1f, bf, av = ft(k1), ft(b), ft(avgdl)
+        from ..index.builder import decode_term_deltas
+
+        decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        size = 0
+        for r in pdf.itertuples():
+            deltas = decode_term_deltas(
+                r.docs, r.block_ns, r.block_doc_off, int(r.pack_bits), r.exc_pos, r.exc_high
+            )
+            ns = np.asarray(r.block_ns, dtype=np.int64)
+            bids = np.asarray(r.block_ids, dtype=np.int64)
+            starts = np.r_[0, np.cumsum(ns)[:-1]]
+            cs = np.cumsum(deltas)
+            carry = np.repeat(cs[starts] - deltas[starts], ns)
+            ids = np.repeat(bids * range_block, ns) + cs - carry
+            tfv = varint_decode(r.tfs).astype(np.float64).astype(ft)
+            dlq = byte4_to_int(np.frombuffer(r.norms, dtype=np.uint8)).astype(ft)
+            idf = ft(idf_by_term[r.term])
+            contrib = idf * (tfv / (tfv + k1f * (ft(1.0) - bf + bf * dlq / av)))
+            decoded[r.term] = (ids, contrib)
+            if len(ids):
+                size = max(size, int(ids[-1]) + 1)
+        if size == 0:
+            return empty
+        frames = []
+        acc = np.zeros(size, dtype=ft)
+        cnt = np.zeros(size, dtype=np.int32)
+        for qi, (terms, mode, k) in enumerate(query_specs):
+            live = [t for t in terms if t in decoded]
+            if not live or (mode == "and" and len(live) < len(terms)):
+                continue
+            acc[:] = 0
+            cnt[:] = 0
+            for t in live:  # sorted-term order → deterministic sums
+                ids, contrib = decoded[t]
+                acc[ids] += contrib
+                cnt[ids] += 1
+            hit = np.flatnonzero(cnt > 0) if mode != "and" else np.flatnonzero(cnt == len(terms))
+            if len(hit) == 0:
+                continue
+            scores = acc[hit].astype(np.float64)
+            if len(hit) > k:
+                sel = np.lexsort((hit, -scores))[:k]
+                hit, scores = hit[sel], scores[sel]
+            gid = (np.int64(seg) << SEG_SHIFT) + hit
+            frames.append(pd.DataFrame(
+                {"query_idx": np.full(len(gid), qi, dtype=np.int32),
+                 "segment_id": np.full(len(gid), seg, dtype=np.int32),
+                 "nss_doc_id": gid,
+                 "score": scores,
+                 "matched_terms": cnt[hit].astype(np.int32)}
+            ))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    return kernel
+
+
+def bm25_topk_indexed_multi(
+    reader: IndexReader,
+    queries: list[tuple[list[str], str]],
+    k: int = 10,
+    dtype: str = "float64",
+) -> DataFrame:
+    """Execute a BATCH of (terms, mode) queries through the index in
+    one pass: union-of-terms pruned scan → multi-query kernel → one
+    docmap join → per-query top-k cut. 2 Spark jobs for the whole batch
+    instead of ~2 per query — the driver-orchestration floor (the
+    measured ~0.2 s/query serial cost) amortizes across the batch.
+    Results are bit-identical per query to ``bm25_topk_indexed``
+    (asserted in tests). Returns (query_idx, <key_cols>, score, rank)."""
+    specs = [(sorted(set(terms)), mode, k) for terms, mode in queries]
+    union_terms = sorted({t for terms, _, _ in specs for t in terms})
+    N, avgdl = reader.global_stats()
+    dfs = reader.term_dfs(union_terms)
+    spark = reader.spark
+    key_cols = reader.meta["key_cols"]
+    live_union = [t for t in union_terms if t in dfs]
+    ftype = np.float32 if dtype == "float32" else np.float64
+    idf_by_term = {
+        t: float(np.log(ftype(1.0) + (ftype(N) - ftype(dfs[t]) + ftype(0.5)) / (ftype(dfs[t]) + ftype(0.5))).astype(ftype))
+        for t in live_union
+    }
+    live_specs = [([t for t in terms if t in dfs] if mode != "and" else terms, mode, k)
+                  for terms, mode, k in specs]
+    kernel = _bulk_kernel_multi(
+        live_specs, idf_by_term, avgdl, int(reader.meta["range_block"]), dtype
+    )
+    scan = reader.postings()
+    n_buckets = int(reader.meta.get("term_buckets", 0))
+    if n_buckets > 1:
+        from ..pipeline.hashing import py_hash64
+
+        buckets = sorted({py_hash64(t) % n_buckets for t in live_union})
+        scan = scan.where(F.col("term_bucket").isin(buckets))
+    per_seg = (
+        scan.where(F.col("term").isin(live_union))
+        .select(*BULK_COLS)
+        .groupBy("segment_id")
+        .applyInPandas(lambda pdf: kernel(pdf), schema=MULTI_SCHEMA)
+    )
+    dm = reader.docmap().select("nss_doc_id", *key_cols)
+    joined = dm.join(F.broadcast(per_seg), "nss_doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_idx").orderBy(
+        F.col("score").desc(), *[F.col(c).asc() for c in key_cols]
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_idx", *key_cols, "score", "rank")
+    )

@@ -222,3 +222,58 @@ def test_radial_search_variants(spark):
         radial_search(emb, 0)
     with pytest.raises(ValueError):
         radial_search(emb, 0, min_score=0.3, max_distance=0.7)
+
+
+def test_multi_query_matches_single(tiny_docs, tmp_path):
+    """The batched kernel must be bit-identical per query to the
+    single-query bulk path (same sorted-term accumulation order)."""
+    from neural_search_spark.index.builder import build_index
+    from neural_search_spark.query.wand import (
+        IndexReader, bm25_topk_indexed, bm25_topk_indexed_multi)
+
+    spark = tiny_docs.sparkSession
+    idx = str(tmp_path / "tiny_idx_mq")
+    build_index(spark, tiny_docs, idx, key_cols=["doc_id"], text_col="text",
+                tokenizer="simple", num_segments=2, range_block=4)
+    reader = IndexReader(spark, idx)
+    batch = [(["apple"], "or"), (["apple", "cherry"], "or"),
+             (["apple", "cherry"], "and"), (["zzz_absent"], "or"),
+             (["banana", "zzz_absent"], "and")]
+    multi = bm25_topk_indexed_multi(reader, batch, k=3)
+    rows = multi.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_idx"], {})[r["doc_id"]] = r["score"]
+    for qi, (terms, mode) in enumerate(batch):
+        single = {
+            r["doc_id"]: r["score"]
+            for r in bm25_topk_indexed(reader, terms, k=3, mode=mode)
+            .select("doc_id", "score").collect()
+        }
+        assert by_q.get(qi, {}) == single, (qi, terms, mode)
+
+
+def test_index_spec_validation(tiny_docs, tmp_path):
+    """Mapping-style validation rejects bad builds BEFORE any job runs
+    (the reference's index-creation-time mapping checks)."""
+    from neural_search_spark.index.builder import build_index
+    from neural_search_spark.index.mappings import IndexSpecError
+
+    spark = tiny_docs.sparkSession
+
+    def bad(**kw):
+        args = dict(key_cols=["doc_id"], text_col="text", tokenizer="simple",
+                    num_segments=2, range_block=4)
+        args.update(kw)
+        with pytest.raises(IndexSpecError):
+            build_index(spark, tiny_docs, str(tmp_path / "x"), **args)
+
+    bad(key_cols=[])
+    bad(key_cols=["doc_id", "doc_id"])
+    bad(key_cols=["nope"])
+    bad(text_col="doc_id")           # non-string text col
+    bad(text_col="text", key_cols=["text"])
+    bad(tokenizer="[unclosed")       # invalid custom regex
+    bad(num_segments=0)
+    bad(range_block=1)
+    bad(codec="lz4")

@@ -78,3 +78,29 @@ def test_sessionization_batch_matches_lag_rule(spark, events_path):
     exp = {r.user_id: (r.ns, r.ne) for r in lagged.groupBy("user_id").agg(
         F.sum("new_s").alias("ns"), F.count(F.lit(1)).alias("ne")).collect()}
     assert got == exp
+
+
+def test_stateful_dedup_stream_equals_batch(spark, events_path):
+    """applyInPandasWithState running dedup counts: the LAST update per
+    user emitted by the stream must equal the batch aggregate."""
+    from neural_search_spark.streaming.stateful import (
+        dedup_counts_batch, streaming_dedup_counts)
+
+    batch = {
+        r["user_id"]: (r["n_events"], r["n_distinct"])
+        for r in dedup_counts_batch(spark.read.parquet(events_path)).collect()
+    }
+
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    out = streaming_dedup_counts(stream)
+    q = run_stream_available_now(out, "dedup_state_test", output_mode="update")
+    q.awaitTermination(120)
+    got = {}
+    for r in spark.table("dedup_state_test").collect():
+        prev = got.get(r["user_id"], (0, 0))
+        # update mode appends one row per (user, micro-batch); counts
+        # are monotone, so the row with the max n_events is the final one
+        if r["n_events"] >= prev[0]:
+            got[r["user_id"]] = (r["n_events"], r["n_distinct"])
+    assert got == batch
