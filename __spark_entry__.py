@@ -348,6 +348,67 @@ def _q_sort_after_fields(spark, sf_dir):
     )
 
 
+RANGE_SUBQ_PRED = "n_chars BETWEEN 200 AND 400"
+
+
+def _q_hybrid_heterogeneous(spark, sf_dir):
+    """Hybrid over HETEROGENEOUS sub-queries — the reference mixes
+    term/match/range/bool clauses inside one hybrid query
+    (HybridQueryIT.java imports; range scored as constant 1.0 like
+    Lucene's ConstantScore for non-scoring clauses): subquery 0 = BM25
+    OR, subquery 1 = range filter (constant score), subquery 2 = sparse
+    linear. One normalization/combination pass over the union."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.exhaustive import bm25_scores
+    from neural_search_spark.query.hybrid import combine, normalize
+    from neural_search_spark.query.sparse import sparse_scores
+
+    docs = _docs(spark, sf_dir)
+    s0 = bm25_scores(docs, TERMS_OR, round_to=None).select(
+        F.lit(0).alias("subquery_idx"), "doc_id", "score"
+    )
+    s1 = docs.where(RANGE_SUBQ_PRED).select(
+        F.lit(1).alias("subquery_idx"), "doc_id", F.lit(1.0).cast("double").alias("score")
+    )
+    s2 = sparse_scores(_sparse_features(spark, sf_dir), SPARSE_QUERY).select(
+        F.lit(2).alias("subquery_idx"), "doc_id", "score"
+    )
+    tagged = s0.unionByName(s1).unionByName(s2)
+    out = combine(normalize(tagged, "min_max"), "arithmetic_mean", [0.5, 0.2, 0.3], 3)
+    return out.withColumn("score", F.round("score", 4))
+
+
+def _q_hybrid_extended_stats(spark, sf_dir):
+    """extended_stats metric agg over matched docs
+    [MetricAggregationsWithHybridQueryIT.java:83-179]: count, min, max,
+    avg, sum, sum_of_squares, variance, std deviation + bounds."""
+    from pyspark.sql import functions as F
+
+    j = _matched(spark, sf_dir).join(_docs(spark, sf_dir), "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_chars").alias("min_v"),
+        F.max("n_chars").alias("max_v"),
+        F.round(F.avg("n_chars"), 4).alias("avg_v"),
+        F.sum("n_chars").alias("sum_v"),
+        F.sum(F.expr("CAST(n_chars AS DOUBLE) * n_chars")).alias("sum_sq"),
+        F.round(F.var_pop("n_chars"), 4).alias("variance"),
+        F.round(F.stddev_pop("n_chars"), 4).alias("std_dev"),
+        F.round(F.avg("n_chars") + 2 * F.stddev_pop("n_chars"), 4).alias("std_upper"),
+        F.round(F.avg("n_chars") - 2 * F.stddev_pop("n_chars"), 4).alias("std_lower"),
+    )
+
+
+def _q_hybrid_collapse(spark, sf_dir):
+    from neural_search_spark.query.exhaustive import bm25_scores
+    from neural_search_spark.query.paginate import field_collapse
+
+    docs = _docs(spark, sf_dir)
+    scores = bm25_scores(docs, TERMS_OR, round_to=None)
+    return field_collapse(scores, docs, "source", k=10)
+
+
 def _q_hybrid_total_hits(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -881,6 +942,34 @@ def _q_text_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+def _q_text_repetition(spark, sf_dir):
+    from neural_search_spark.pipeline.textstats import repetition_scores
+
+    return repetition_scores(_docs(spark, sf_dir))
+
+
+def _q_indexed_sort_after(spark, sf_dir):
+    """Keyset field-paging over the INDEXED match stream (page 2)."""
+    from neural_search_spark.query.paginate import search_after_fields, sort_by_fields
+    from neural_search_spark.query.wand import matched_ids_indexed
+
+    reader = _doc_index(spark, sf_dir)
+    m = matched_ids_indexed(reader, TERMS_OR, mode="or")
+    keys = reader.docmap().select("nss_doc_id", "doc_id")
+    withf = (
+        m.join(keys, "nss_doc_id")
+        .join(_docs(spark, sf_dir), "doc_id")
+        .select("doc_id", "n_chars")
+    )
+    page1 = sort_by_fields(withf, [("n_chars", "desc")], k=10).collect()
+    if not page1:
+        return withf.limit(0)
+    last = page1[-1]
+    return search_after_fields(
+        withf, [("n_chars", "desc")], [last["n_chars"]], int(last["doc_id"]), k=10
+    )
+
+
 def _q_multimodal_features(spark, sf_dir):
     from neural_search_spark.pipeline.multimodal import multimodal_features
 
@@ -924,6 +1013,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_sort_by_field": _q_hybrid_sort_by_field,
         "sort_after_fields": _q_sort_after_fields,
         "hybrid_total_hits": _q_hybrid_total_hits,
+        "hybrid_collapse": _q_hybrid_collapse,
+        "hybrid_heterogeneous": _q_hybrid_heterogeneous,
+        "hybrid_extended_stats": _q_hybrid_extended_stats,
         "hybrid_pipeline_aggs": _q_hybrid_pipeline_aggs,
         "hybrid_histogram": _q_hybrid_histogram,
         "hybrid_percentiles": _q_hybrid_percentiles,
@@ -966,6 +1058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
         "text_fingerprints": _q_text_fingerprints,
+        "text_repetition": _q_text_repetition,
+        "indexed_sort_after": _q_indexed_sort_after,
         "multimodal_features": _q_multimodal_features,
         "multimodal_joint_embed": _q_multimodal_joint_embed,
     }
@@ -1011,6 +1105,11 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_sort_by_field": oracle.hybrid_sort_by_field_sql(TERMS_OR, k=10),
         "sort_after_fields": oracle.sort_after_fields_sql(TERMS_OR, page=2, k=10),
         "hybrid_total_hits": oracle.hybrid_total_hits_sql(TERMS_OR),
+        "hybrid_collapse": oracle.field_collapse_sql(TERMS_OR, "source", k=10),
+        "hybrid_heterogeneous": oracle.hybrid_heterogeneous_sql(
+            TERMS_OR, RANGE_SUBQ_PRED, SPARSE_QUERY, [0.5, 0.2, 0.3]
+        ),
+        "hybrid_extended_stats": oracle.hybrid_extended_stats_sql(TERMS_OR),
         "hybrid_pipeline_aggs": oracle.hybrid_pipeline_aggs_sql(TERMS_OR),
         "hybrid_histogram": oracle.hybrid_histogram_sql(TERMS_OR, width=100),
         "hybrid_percentiles": oracle.hybrid_percentiles_sql(TERMS_OR, PERCENTILE_PROBS),
@@ -1063,6 +1162,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": poracle.quality_scores_sql(),
         "text_lang_id": poracle.lang_id_sql(),
         "text_fingerprints": poracle.fingerprints_sql(),
+        "text_repetition": poracle.repetition_scores_sql(),
+        "indexed_sort_after": oracle.sort_after_fields_sql(TERMS_OR, page=2, k=10),
         "multimodal_features": poracle.multimodal_features_sql(),
         "multimodal_joint_embed": oracle.joint_embed_sql(dim=16),
     }

@@ -1022,3 +1022,88 @@ nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM raw GROUP BY doc_id)
 SELECT raw.doc_id AS doc_id, CAST(dim_idx AS INT) AS dim_idx,
        round(CASE WHEN nrm = 0.0 THEN 0.0 ELSE v / nrm END, {round_to}) AS val
 FROM raw JOIN nrm USING (doc_id)"""
+
+
+def field_collapse_sql(
+    terms: list[str], collapse_field: str = "source", k: int = 10, table: str = "documents"
+) -> str:
+    """Oracle for field collapsing: best hit per collapse value, top-k
+    of the collapsed set [RescoringRerankProcessor.java:87-88]."""
+    return f"""{_scored_cte(terms, table)},
+best AS (
+  SELECT doc_id, {collapse_field}, score FROM (
+    SELECT s.doc_id, d.{collapse_field}, s.score,
+           row_number() OVER (PARTITION BY d.{collapse_field}
+                              ORDER BY round(s.score, 4) DESC, s.doc_id ASC) AS rn
+    FROM scored s JOIN {table} d USING (doc_id)
+  ) WHERE rn = 1
+)
+SELECT doc_id, {collapse_field}, round(score, 4) AS score
+FROM best ORDER BY round(score, 4) DESC, doc_id ASC LIMIT {k}"""
+
+
+def hybrid_heterogeneous_sql(
+    terms: list[str],
+    range_pred: str,
+    sparse_query: dict[str, float],
+    weights: list[float],
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """Oracle for hybrid over heterogeneous sub-queries: BM25 OR (sub 0),
+    constant-score range (sub 1), sparse linear (sub 2) — min_max +
+    weighted arithmetic mean [HybridQueryIT mixes clause types]."""
+    _, duck_toks = simple_tokens_sql("text")
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    wexpr = _weight_case(weights)
+    return f"""{bm25_base_ctes(sorted(set(terms)), table)},
+feat AS (
+  SELECT doc_id, term AS token, CAST(count(*) AS DOUBLE) AS weight
+  FROM (SELECT doc_id, unnest({duck_toks}) AS term FROM {table})
+  GROUP BY doc_id, term
+),
+sub0 AS (
+  SELECT doc_id, sum({contrib}) AS score
+  FROM tf JOIN dfreq USING (term), stats GROUP BY doc_id
+),
+sub1 AS (SELECT doc_id, 1.0 AS score FROM {table} WHERE {range_pred}),
+sub2 AS (
+  SELECT doc_id, sum({_qw_case(sparse_query)} * weight) AS score
+  FROM feat WHERE token IN {_terms_list(sorted(sparse_query))}
+  GROUP BY doc_id
+),
+allsub AS (
+  SELECT 0 AS subquery_idx, doc_id, score FROM sub0
+  UNION ALL SELECT 1, doc_id, score FROM sub1
+  UNION ALL SELECT 2, doc_id, score FROM sub2
+),
+nstats AS (
+  SELECT subquery_idx, min(score) AS mn, max(score) AS mx FROM allsub GROUP BY subquery_idx
+),
+normed AS (
+  SELECT a.doc_id, a.subquery_idx,
+         CASE WHEN mx = mn THEN 1.0
+              WHEN (a.score - mn) / (mx - mn) = 0.0 THEN 0.001
+              ELSE (a.score - mn) / (mx - mn) END AS nscore
+  FROM allsub a JOIN nstats USING (subquery_idx)
+)
+SELECT doc_id, round(sum({wexpr} * nscore) / {float(sum(weights))!r}, {round_to}) AS score
+FROM normed WHERE nscore >= 0.0 GROUP BY doc_id"""
+
+
+def hybrid_extended_stats_sql(terms: list[str], table: str = "documents") -> str:
+    """extended_stats over matched docs
+    [MetricAggregationsWithHybridQueryIT.java:83-179]."""
+    return f"""{_matched_ctes(terms, table)}
+SELECT count(*) AS n,
+       min(d.n_chars) AS min_v,
+       max(d.n_chars) AS max_v,
+       round(avg(d.n_chars), 4) AS avg_v,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_v,
+       sum(CAST(d.n_chars AS DOUBLE) * d.n_chars) AS sum_sq,
+       round(var_pop(d.n_chars), 4) AS variance,
+       round(stddev_pop(d.n_chars), 4) AS std_dev,
+       round(avg(d.n_chars) + 2 * stddev_pop(d.n_chars), 4) AS std_upper,
+       round(avg(d.n_chars) - 2 * stddev_pop(d.n_chars), 4) AS std_lower
+FROM matched m JOIN {table} d USING (doc_id)"""

@@ -416,7 +416,18 @@ def embedding_lsh_pairs(
     (θ≈90°, p≈0.5 per bit) collide at ~2^-16 per band — candidate
     volume is a vanishing fraction of n². One explode + one
     equi-shuffle-join on uniform (band, key); no crossJoin anywhere.
-    Zero-norm vectors are excluded (cosine undefined)."""
+    Zero-norm vectors are excluded (cosine undefined).
+
+    Before the exact-cosine verification, a sign-Hamming PREFILTER
+    (the minhash signature-estimate trick transposed to hyperplane
+    bits): the band join already carries BOTH sides' full sign words,
+    so each candidate's total disagreeing-bit count costs a few xor/
+    popcounts inline — pairs whose estimated angle (hamming/total_bits
+    × π) sits far above acos(threshold) never touch the vector arrays.
+    Margin 0.1·π keeps P(drop a true >=threshold pair) negligible
+    (E[hamming] at the threshold is ~6% of bits); deterministic — the
+    DuckDB oracle applies the identical prefilter."""
+    import math
     if dim is None:
         raise ValueError("dim is required (vector length)")
     nonzero = "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x) > 0.0"
@@ -433,8 +444,10 @@ def embedding_lsh_pairs(
     keyed = base.select(
         "vid", *[F.expr(k).alias(f"_bk{b}") for b, k in enumerate(keys)]
     )
+    kcols = [f"_bk{b}" for b in range(bands)]
     banded = keyed.select(
         "vid",
+        *kcols,
         F.explode(
             F.array(
                 *[
@@ -443,12 +456,21 @@ def embedding_lsh_pairs(
                 ]
             )
         ).alias("bd"),
-    ).select("vid", "bd.band_idx", "bd.band_key")
-    a = banded.withColumnRenamed("vid", "a")
-    b = banded.withColumnRenamed("vid", "b")
+    ).select("vid", *kcols, "bd.band_idx", "bd.band_key")
+    a = banded.select(
+        F.col("vid").alias("a"), *[F.col(c).alias(f"a{c}") for c in kcols],
+        "band_idx", "band_key",
+    )
+    b = banded.select(
+        F.col("vid").alias("b"), *[F.col(c).alias(f"b{c}") for c in kcols],
+        "band_idx", "band_key",
+    )
+    hamming = " + ".join(f"bit_count(a_bk{i} ^ b_bk{i})" for i in range(bands))
+    max_ham = int(math.ceil((math.acos(threshold) / math.pi + 0.1) * bands * bits))
     cands = (
         a.join(b, ["band_idx", "band_key"])
         .where(F.col("a") < F.col("b"))
+        .where(F.expr(hamming) <= max_ham)
         .select("a", "b")
         .distinct()
     )

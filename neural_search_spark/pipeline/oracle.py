@@ -311,20 +311,28 @@ def embedding_lsh_sql(
     vec_cols = ", ".join(
         f"coalesce(max(CASE WHEN dim_idx = {d} THEN val END), 0.0)" for d in range(dim)
     )
+    import math
+
     keys = _dedup.rhp_band_key_exprs("v", dim, bands, bits, one_based=True)
+    key_cols = ", ".join(f"{k} AS _bk{b}" for b, k in enumerate(keys))
     band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, {k} AS band_key FROM nz"
-        for b, k in enumerate(keys)
+        f"SELECT doc_id, {', '.join(f'_bk{i}' for i in range(bands))}, "
+        f"{b} AS band_idx, _bk{b} AS band_key FROM keyed"
+        for b in range(bands)
     )
+    hamming = " + ".join(f"bit_count(xor(x._bk{i}, y._bk{i}))" for i in range(bands))
+    max_ham = int(math.ceil((math.acos(threshold) / math.pi + 0.1) * bands * bits))
     return f"""
 WITH emb_long AS (SELECT * FROM ({dense_embed_sql(dim=dim, table=table)})),
 vecs AS (SELECT doc_id, [{vec_cols}] AS v FROM emb_long GROUP BY doc_id),
 nz AS (SELECT doc_id, v FROM vecs WHERE list_dot_product(v, v) > 0.0),
+keyed AS (SELECT doc_id, v, {key_cols} FROM nz),
 banded AS ({band_selects}),
 cand AS (
   SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
   FROM banded x JOIN banded y
     ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+  WHERE ({hamming}) <= {max_ham}
 )
 SELECT c.a, c.b,
        round(round(list_dot_product(va.v, vb.v)
@@ -350,3 +358,26 @@ WHERE vec_id <> {query_vec_id}
   AND round(list_dot_product(v, qv)
       / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) >= {min_score}
 ORDER BY cos DESC, vec_id ASC"""
+
+
+def repetition_scores_sql(table: str = "documents") -> str:
+    """Oracle twin of textstats.repetition_scores (Gopher/C4-style
+    repetition filters, token-level)."""
+    def top_count(arr: str) -> str:
+        return (
+            f"(CASE WHEN len({arr}) = 0 THEN 0 ELSE "
+            f"list_max(list_transform(list_distinct({arr}), d -> "
+            f"len(list_filter({arr}, x -> x = d)))) END)"
+        )
+
+    bis = "(CASE WHEN len(toks) >= 2 THEN [toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))] ELSE [] END)"
+    tris = ("(CASE WHEN len(toks) >= 3 THEN [toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] "
+            "for i in range(1, len(toks) - 1)] ELSE [] END)")
+    return f"""
+WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM {table}),
+g AS (SELECT doc_id, toks, {bis} AS bis, {tris} AS tris FROM t)
+SELECT doc_id,
+       round({top_count('toks')} * 1.0 / greatest(len(toks), 1), 4) AS top_unigram_frac,
+       round({top_count('bis')} * 1.0 / greatest(len(bis), 1), 4) AS top_bigram_frac,
+       round((len(tris) - len(list_distinct(tris))) * 1.0 / greatest(len(tris), 1), 4) AS dup_trigram_frac
+FROM g"""

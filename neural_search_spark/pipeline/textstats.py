@@ -135,3 +135,56 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct("toks")))).alias("fp_tokenset"),
         F.expr(winnow).alias("fp_winnow"),
     )
+
+
+def repetition_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, top_unigram_frac, top_bigram_frac, dup_trigram_frac):
+    repetition-based quality signals, the token-level analogs of the
+    published Gopher/C4 repetition filters (fraction of content owned
+    by the most frequent n-gram; fraction of n-gram occurrences that
+    are repeats). High values flag boilerplate/degenerate docs for the
+    training-data pipeline. All JVM-side: tokenize → n-gram transform →
+    groupBy-free aggregates via higher-order functions (per-doc arrays
+    stay inside one task — no shuffle at all)."""
+    spark_toks, _ = simple_tokens_sql(text_col)
+    spark_tri_all = (
+        "(CASE WHEN size(toks) >= 3 THEN "
+        "transform(sequence(0, size(toks) - 3), i -> "
+        "concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) "
+        "ELSE array() END)"
+    )
+    # max multiplicity of an element of arr, computed without explode:
+    # count each element's occurrences via filter, take array_max
+    def top_count(arr: str) -> str:
+        return (
+            f"(CASE WHEN size({arr}) = 0 THEN 0 ELSE "
+            f"array_max(transform(array_distinct({arr}), d -> "
+            f"size(filter({arr}, x -> x = d)))) END)"
+        )
+
+    tok = docs.select(F.col(id_col).alias("doc_id"), F.expr(spark_toks).alias("toks"))
+    bi_all = (
+        "(CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i + 1])) "
+        "ELSE array() END)"
+    )
+    out = tok.select(
+        "doc_id",
+        F.col("toks"),
+        F.expr(bi_all).alias("bis"),
+        F.expr(spark_tri_all).alias("tris"),
+    )
+    return out.select(
+        "doc_id",
+        F.round(
+            F.expr(top_count("toks")) / F.greatest(F.size("toks"), F.lit(1)), 4
+        ).alias("top_unigram_frac"),
+        F.round(
+            F.expr(top_count("bis")) / F.greatest(F.size("bis"), F.lit(1)), 4
+        ).alias("top_bigram_frac"),
+        F.round(
+            (F.size("tris") - F.size(F.array_distinct("tris")))
+            / F.greatest(F.size("tris"), F.lit(1)),
+            4,
+        ).alias("dup_trigram_frac"),
+    )

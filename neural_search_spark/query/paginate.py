@@ -74,3 +74,26 @@ def sort_by_fields(
         (F.col(c).desc() if d.lower() == "desc" else F.col(c).asc()) for c, d in sort_cols
     ] + [F.col("doc_id").asc()]
     return scores_with_fields.orderBy(*order).limit(k)
+
+
+def field_collapse(scores, docs, collapse_field: str, k: int = 10, id_col: str = "doc_id"):
+    """Field collapsing: keep only the best hit per ``collapse_field``
+    value, then top-k of the collapsed set. The reference carries
+    collapse field/values through its processor pipeline
+    (processor/rerank/RescoringRerankProcessor.java:87-88 preserves
+    them across rescoring) — here the collapse itself is one window
+    per group (partial top-1 per partition, no extra shuffle beyond
+    the group key) + a TakeOrderedAndProject."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    joined = scores.join(docs.select(id_col, collapse_field), id_col)
+    w = Window.partitionBy(collapse_field).orderBy(
+        F.round("score", 4).desc(), F.col(id_col).asc()
+    )
+    best = joined.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    return (
+        best.orderBy(F.round("score", 4).desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, collapse_field, F.round("score", 4).alias("score"))
+    )

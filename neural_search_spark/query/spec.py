@@ -64,3 +64,24 @@ class HybridSpec:
 
     def effective_weights(self) -> list[float]:
         return self.weights if self.weights is not None else [1.0] * self.n_subqueries
+
+
+def validate_sort_spec(sorts: list[tuple[str, str]], track_scores: bool = False) -> None:
+    """Hybrid sort rules [HybridCollectorManager.java:265-293,
+    HybridQuerySortIT.java:182-236]: `_score` may not be combined with
+    field sorts; directions must be asc/desc; `track_scores` is only
+    meaningful with a field sort (scores are implicit otherwise)."""
+    if not sorts:
+        raise HybridSpecError("sort spec must name at least one sort key")
+    fields = [f for f, _ in sorts]
+    if "_score" in fields and len(fields) > 1:
+        raise HybridSpecError(
+            "_score sort cannot be combined with field sorts in hybrid query"
+        )
+    for f, d in sorts:
+        if d not in ("asc", "desc"):
+            raise HybridSpecError(f"invalid sort direction [{d}] for [{f}]")
+    if track_scores and fields == ["_score"]:
+        raise HybridSpecError(
+            "track_scores is redundant when sorting by _score"
+        )

@@ -277,3 +277,43 @@ def test_index_spec_validation(tiny_docs, tmp_path):
     bad(num_segments=0)
     bad(range_block=1)
     bad(codec="lz4")
+
+
+def test_corpus_source_adapter(spark, tmp_path):
+    from neural_search_spark.corpus import corpus_df
+    from neural_search_spark.sources.corpus_table import (
+        CorpusSourceError, iceberg_available, load_corpus, write_corpus)
+
+    df = corpus_df(spark, 200, partitions=2)
+    p = str(tmp_path / "corpus_pq")
+    write_corpus(df, p, mode="overwrite")
+    back = load_corpus(spark, p)
+    assert back.count() == 200
+    assert {f.name for f in back.schema.fields} >= {"repo", "path", "commit", "lang", "content"}
+
+    # snapshot pinning is Iceberg-only
+    with pytest.raises(CorpusSourceError):
+        load_corpus(spark, p, snapshot_id=1)
+    # schema contract enforced
+    with pytest.raises(CorpusSourceError):
+        write_corpus(df.drop("content"), str(tmp_path / "bad"))
+    # iceberg path: clean error when the runtime jar is absent
+    if not iceberg_available(spark):
+        with pytest.raises(CorpusSourceError):
+            load_corpus(spark, "iceberg:cat.db.corpus")
+
+
+def test_sort_spec_validation():
+    from neural_search_spark.query.spec import HybridSpecError, validate_sort_spec
+
+    validate_sort_spec([("n_chars", "desc"), ("lang", "asc")])
+    validate_sort_spec([("_score", "desc")])
+    validate_sort_spec([("n_chars", "desc")], track_scores=True)
+    with pytest.raises(HybridSpecError):
+        validate_sort_spec([("_score", "desc"), ("n_chars", "asc")])
+    with pytest.raises(HybridSpecError):
+        validate_sort_spec([("n_chars", "sideways")])
+    with pytest.raises(HybridSpecError):
+        validate_sort_spec([])
+    with pytest.raises(HybridSpecError):
+        validate_sort_spec([("_score", "desc")], track_scores=True)

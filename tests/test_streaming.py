@@ -104,3 +104,43 @@ def test_stateful_dedup_stream_equals_batch(spark, events_path):
         if r["n_events"] >= prev[0]:
             got[r["user_id"]] = (r["n_events"], r["n_distinct"])
     assert got == batch
+
+
+def test_streaming_segment_append_equals_full_build(spark, tmp_path):
+    """Stream-appended segments + base index == one-shot full build:
+    identical BM25 scores per doc key (global stats/df aggregate over
+    the union of segments)."""
+    from neural_search_spark.corpus import corpus_df
+    from neural_search_spark.index.builder import build_index
+    from neural_search_spark.index.live import streaming_index_ingest
+    from neural_search_spark.query.wand import IndexReader, bm25_topk_indexed
+
+    full = corpus_df(spark, 300, partitions=2).cache()
+    base = full.where("pmod(xxhash64(path), 3) < 2")
+    tail = full.subtract(base)
+
+    live_dir = str(tmp_path / "live_idx")
+    build_index(spark, base, live_dir, key_cols=["repo", "path", "commit"],
+                text_col="content", tokenizer="code", num_segments=4, range_block=64)
+
+    tail_dir = str(tmp_path / "tail_src")
+    tail.write.parquet(tail_dir)
+    stream = spark.readStream.schema(tail.schema).option("maxFilesPerTrigger", 1).parquet(tail_dir)
+    q = streaming_index_ingest(stream, live_dir, base_segment_id=4,
+                               checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    ref_dir = str(tmp_path / "ref_idx")
+    build_index(spark, full, ref_dir, key_cols=["repo", "path", "commit"],
+                text_col="content", tokenizer="code", num_segments=4, range_block=64)
+
+    live, ref = IndexReader(spark, live_dir), IndexReader(spark, ref_dir)
+    assert live.global_stats() == ref.global_stats()
+    for terms, mode in [(["def", "return"], "or"), (["import"], "or")]:
+        got = {(r["repo"], r["path"]): r["score"]
+               for r in bm25_topk_indexed(live, terms, k=10, mode=mode)
+               .select("repo", "path", "score").collect()}
+        exp = {(r["repo"], r["path"]): r["score"]
+               for r in bm25_topk_indexed(ref, terms, k=10, mode=mode)
+               .select("repo", "path", "score").collect()}
+        assert got == exp
