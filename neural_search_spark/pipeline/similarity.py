@@ -164,3 +164,79 @@ def radial_search(
         .select("vec_id", "cos")
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     )
+
+
+def ivf_train_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_ids: list[int] | None = None,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer:
+    seeded from fixed vector ids (DEFAULT_CENTROID_IDS — reproducible,
+    no RNG), ``iters`` rounds of assign (broadcast centroids, codegen
+    cosine) → per-cluster mean (one map-side-combined groupBy). Each
+    round is 2 small jobs; k and iters are tiny constants, so the
+    driver loop is not a scale concern. Returns the centroid vectors
+    (driver-side list: k × dim floats — broadcast-sized by
+    construction). Replaces the fixed-seed stand-in with trained
+    centroids without touching the query path: pass the result as
+    literal centroid vectors to a bucketing column at ingest.
+    Public algorithm (Lloyd 1982); empty clusters keep their previous
+    centroid (standard fix)."""
+    ids = seed_ids or DEFAULT_CENTROID_IDS
+    v = _as_double(emb, id_col, vec_col, "vec_id", "v")
+    cents = [
+        r["v"] for r in v.where(F.col("vec_id").isin(ids))
+        .orderBy("vec_id").select("v").collect()
+    ][:k]
+    spark = emb.sparkSession
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "centroid_id int, cv array<double>"
+        )
+        dot = DOT.format(a="v", b="cv")
+        na, nc = NORM.format(a="v"), NORM.format(a="cv")
+        sim = v.crossJoin(F.broadcast(cdf)).withColumn(
+            "csim", F.round(F.expr(dot) / (F.expr(na) * F.expr(nc)), 6)
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("centroid_id").asc())
+        assigned = sim.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        means = (
+            assigned.select("centroid_id", F.posexplode("v").alias("d", "x"))
+            .groupBy("centroid_id", "d")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.map_from_entries(F.collect_list(F.struct("d", "m"))).alias("mm"))
+            .collect()
+        )
+        new_cents = list(cents)
+        dim = len(cents[0])
+        for r in means:
+            mm = r["mm"]
+            new_cents[r["centroid_id"]] = [float(mm.get(d, 0.0)) for d in range(dim)]
+        cents = new_cents
+    return cents
+
+
+def ivf_recall_at_k(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nprobe: int = 2,
+    centroid_ids: list[int] | None = None,
+) -> float:
+    """Measured recall@k of the IVF path vs brute force over a query
+    set — the 'measure, don't guess' harness for ANN quality."""
+    hit = tot = 0
+    for qid in query_ids:
+        exact = {r["vec_id"] for r in cosine_topk(emb, qid, k=k).collect()}
+        approx = {r["vec_id"] for r in ivf_topk(emb, qid, k=k, nprobe=nprobe,
+                                                centroid_ids=centroid_ids).collect()}
+        hit += len(exact & approx)
+        tot += len(exact)
+    return hit / tot if tot else 1.0

@@ -20,14 +20,22 @@ def by_field_rerank(
     target_field: str,
     id_col: str = "doc_id",
     keep_previous_score: bool = False,
+    remove_target_field: bool = False,
     k: int | None = None,
 ) -> DataFrame:
-    """hits(doc_id, score) × docs(doc_id, <fields>) → re-ranked by field."""
+    """hits(doc_id, score) × docs(doc_id, <fields>) → re-ranked by field.
+
+    ``remove_target_field`` drops the consumed field from the output
+    hits, ``keep_previous_score`` carries the pre-rerank score — the
+    reference's two processor options
+    (ByFieldRerankProcessor.java:69-189)."""
     side = docs.select(F.col(id_col).alias("doc_id"), F.col(target_field).alias("_new_score"))
     out = hits.join(side, "doc_id")
     if keep_previous_score:
         out = out.withColumn("previous_score", F.col("score"))
     out = out.withColumn("score", F.col("_new_score").cast("double")).drop("_new_score")
+    if remove_target_field and target_field in out.columns:
+        out = out.drop(target_field)
     out = out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return out.limit(k) if k else out
 

@@ -317,3 +317,40 @@ def test_sort_spec_validation():
         validate_sort_spec([])
     with pytest.raises(HybridSpecError):
         validate_sort_spec([("_score", "desc")], track_scores=True)
+
+
+def test_by_field_rerank_options(spark):
+    import os
+
+    from neural_search_spark.query.exhaustive import bm25_scores, topk
+    from neural_search_spark.query.rerank import by_field_rerank
+    from tests.conftest import SF_MED
+
+    docs = spark.read.parquet(os.path.join(SF_MED, "documents.parquet"))
+    hits = topk(bm25_scores(docs, ["spark"], round_to=None), k=5, round_to=None).drop("rank")
+    out = by_field_rerank(hits, docs, "n_chars", keep_previous_score=True,
+                          remove_target_field=True, k=5)
+    cols = out.columns
+    assert "previous_score" in cols and "n_chars" not in cols
+    rows = out.collect()
+    assert all(rows[i]["score"] >= rows[i + 1]["score"] for i in range(len(rows) - 1))
+
+
+def test_ivf_kmeans_training_and_recall(spark):
+    import os
+
+    from neural_search_spark.pipeline.similarity import (
+        ivf_recall_at_k, ivf_train_centroids)
+    from tests.conftest import SF_MED
+
+    emb = spark.read.parquet(os.path.join(SF_MED, "embeddings.parquet"))
+    cents = ivf_train_centroids(emb, k=8, iters=2)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    # deterministic: same inputs -> same centroids
+    again = ivf_train_centroids(emb, k=8, iters=2)
+    assert cents == again
+    # measured recall of the probe path vs brute force (fixed seeds)
+    rec = ivf_recall_at_k(emb, query_ids=[0, 5, 9], k=10, nprobe=2)
+    assert 0.0 <= rec <= 1.0
+    rec_all = ivf_recall_at_k(emb, query_ids=[0], k=10, nprobe=8)
+    assert rec_all == 1.0  # probing every bucket == exhaustive
