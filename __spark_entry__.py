@@ -654,6 +654,35 @@ def _q_indexed_msearch(spark, sf_dir):
     return out.select("query_idx", "doc_id", F.round("score", 4).alias("score"), "rank")
 
 
+def _q_indexed_hybrid_filtered(spark, sf_dir):
+    """Hybrid over the index WITH a filter AND-ed into every sub-query
+    (FILTER occur, HybridQuery.java:48-59): each sub-query's kernel gets
+    the same docmap-derived allow-list; scores/stats untouched."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.hybrid import combine, normalize
+    from neural_search_spark.query.wand import bm25_topk_indexed
+
+    reader = _doc_index(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    allowed = reader.docmap().join(docs.where(F.expr(FILTER_PRED)), "doc_id").select(
+        "nss_doc_id"
+    )
+    tagged = None
+    for i, terms in enumerate([TERMS_OR, TERMS_AND]):
+        top = bm25_topk_indexed(reader, terms, k=SUBQ_K, mode="or", allowed=allowed).select(
+            F.lit(i).alias("subquery_idx"), F.col("doc_id"), F.col("score")
+        )
+        tagged = top if tagged is None else tagged.unionByName(top)
+    out = combine(normalize(tagged, "min_max"), "arithmetic_mean", [0.5, 0.5], 2)
+    w_scores = out.withColumn("score", F.round("score", 4))
+    return (
+        w_scores.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
 def _q_hybrid_significant_terms(spark, sf_dir):
     """significant_terms (JLH) — terms overrepresented in the matched
     set vs the background corpus
@@ -998,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_sort_by_field": _q_indexed_sort_by_field,
         "indexed_total_hits_tracked": _q_indexed_total_hits_tracked,
         "indexed_msearch": _q_indexed_msearch,
+        "indexed_hybrid_filtered": _q_indexed_hybrid_filtered,
         "hybrid_minmax_arith": _q_hybrid_minmax_arith,
         "hybrid_l2_geometric": _q_hybrid_l2_geometric,
         "hybrid_minmax_harmonic": _q_hybrid_minmax_harmonic,
@@ -1088,6 +1118,9 @@ def oracle_sql() -> dict[str, str]:
             TERMS_OR, TOTAL_HITS_THRESHOLD
         ),
         "indexed_msearch": oracle.msearch_sql(MSEARCH_BATCH, k=10),
+        "indexed_hybrid_filtered": oracle.indexed_hybrid_filtered_sql(
+            [TERMS_OR, TERMS_AND], FILTER_PRED, subq_k=SUBQ_K, weights=[0.5, 0.5], k=10
+        ),
         "hybrid_minmax_arith": oracle.hybrid_sql(HYBRID_GROUPS, "min_max", "arithmetic_mean", HYBRID_WEIGHTS),
         "hybrid_l2_geometric": oracle.hybrid_sql(HYBRID_GROUPS, "l2", "geometric_mean"),
         "hybrid_minmax_harmonic": oracle.hybrid_sql(HYBRID_GROUPS, "min_max", "harmonic_mean", HYBRID_WEIGHTS),

@@ -1107,3 +1107,53 @@ SELECT count(*) AS n,
        round(avg(d.n_chars) + 2 * stddev_pop(d.n_chars), 4) AS std_upper,
        round(avg(d.n_chars) - 2 * stddev_pop(d.n_chars), 4) AS std_lower
 FROM matched m JOIN {table} d USING (doc_id)"""
+
+
+def indexed_hybrid_filtered_sql(
+    term_groups: list[list[str]],
+    pred: str,
+    subq_k: int = 50,
+    weights: list[float] | None = None,
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """indexed_hybrid_sql with a FILTER-occur predicate AND-ed into
+    every sub-query (HybridQuery.java:48-59): the filter restricts each
+    sub-query's retained window but never alters scores/stats."""
+    all_terms = sorted({t for g in term_groups for t in g})
+    w = weights if weights is not None else [1.0] * len(term_groups)
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    subs = []
+    for i, g in enumerate(term_groups):
+        subs.append(
+            f"sub{i} AS (SELECT doc_id, sum({contrib}) AS score "
+            f"FROM tf JOIN dfreq USING (term), stats WHERE tf.term IN {_terms_list(sorted(g))} "
+            f"GROUP BY doc_id), "
+            f"top{i} AS (SELECT s.doc_id, s.score FROM sub{i} s JOIN {table} d ON s.doc_id = d.doc_id "
+            f"WHERE {pred} ORDER BY s.score DESC, s.doc_id ASC LIMIT {subq_k})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS subquery_idx, doc_id, score FROM top{i}" for i in range(len(term_groups))
+    )
+    wexpr = _weight_case(w)
+    return f"""{bm25_base_ctes(all_terms, table)},
+{",".join(subs)},
+allsub AS ({union}),
+nstats AS (
+  SELECT subquery_idx, min(score) AS mn, max(score) AS mx FROM allsub GROUP BY subquery_idx
+),
+normed AS (
+  SELECT a.doc_id, a.subquery_idx,
+         CASE WHEN mx = mn THEN 1.0
+              WHEN (a.score - mn) / (mx - mn) = 0.0 THEN 0.001
+              ELSE (a.score - mn) / (mx - mn) END AS nscore
+  FROM allsub a JOIN nstats USING (subquery_idx)
+),
+combined AS (
+  SELECT doc_id, sum({wexpr} * nscore) / {float(sum(w))!r} AS score
+  FROM normed WHERE nscore >= 0.0 GROUP BY doc_id
+)
+SELECT doc_id, round(combined.score, {round_to}) AS score
+FROM combined ORDER BY round(combined.score, {round_to}) DESC, doc_id ASC LIMIT {k}"""

@@ -53,7 +53,15 @@ def enrich_model_ids(
 ) -> dict[str, Any]:
     """Fill missing model ids on neural clauses, field-specific defaults
     winning over the global default — in place AND returned
-    (NeuralQueryEnricherProcessor.java:29-105 precedence)."""
+    (NeuralQueryEnricherProcessor.java:29-105 precedence). A missing
+    query body is a no-op (NeuralQueryEnricherProcessorTests.java:49);
+    a non-string default id is a config error (:32)."""
+    if default_model_id is not None and not isinstance(default_model_id, str):
+        raise HybridSpecError(
+            f"default_model_id must be a string, got {type(default_model_id).__name__}"
+        )
+    if query is None:
+        return query
     field_map = neural_field_default_id or {}
 
     def fill(clause: dict[str, Any]) -> None:

@@ -354,3 +354,12 @@ def test_ivf_kmeans_training_and_recall(spark):
     assert 0.0 <= rec <= 1.0
     rec_all = ivf_recall_at_k(emb, query_ids=[0], k=10, nprobe=8)
     assert rec_all == 1.0  # probing every bucket == exhaustive
+
+
+def test_enrich_config_rules():
+    from neural_search_spark.query.enrich import enrich_model_ids
+    from neural_search_spark.query.spec import HybridSpecError
+
+    assert enrich_model_ids(None, "m") is None  # empty body: no-op
+    with pytest.raises(HybridSpecError):
+        enrich_model_ids({"type": "neural"}, 55555)  # non-string id
