@@ -977,6 +977,12 @@ def _q_text_repetition(spark, sf_dir):
     return repetition_scores(_docs(spark, sf_dir))
 
 
+def _q_text_unigram_logprob(spark, sf_dir):
+    from neural_search_spark.pipeline.textstats import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 def _q_indexed_sort_after(spark, sf_dir):
     """Keyset field-paging over the INDEXED match stream (page 2)."""
     from neural_search_spark.query.paginate import search_after_fields, sort_by_fields
@@ -997,6 +1003,12 @@ def _q_indexed_sort_after(spark, sf_dir):
     return search_after_fields(
         withf, [("n_chars", "desc")], [last["n_chars"]], int(last["doc_id"]), k=10
     )
+
+
+def _q_pipeline_filter_decisions(spark, sf_dir):
+    from neural_search_spark.pipeline.filters import corpus_filter_decisions
+
+    return corpus_filter_decisions(_docs(spark, sf_dir))
 
 
 def _q_multimodal_features(spark, sf_dir):
@@ -1089,6 +1101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_text_lang_id,
         "text_fingerprints": _q_text_fingerprints,
         "text_repetition": _q_text_repetition,
+        "text_unigram_logprob": _q_text_unigram_logprob,
+        "pipeline_filter_decisions": _q_pipeline_filter_decisions,
         "indexed_sort_after": _q_indexed_sort_after,
         "multimodal_features": _q_multimodal_features,
         "multimodal_joint_embed": _q_multimodal_joint_embed,
@@ -1196,6 +1210,8 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": poracle.lang_id_sql(),
         "text_fingerprints": poracle.fingerprints_sql(),
         "text_repetition": poracle.repetition_scores_sql(),
+        "text_unigram_logprob": poracle.unigram_logprob_sql(),
+        "pipeline_filter_decisions": poracle.corpus_filter_decisions_sql(),
         "indexed_sort_after": oracle.sort_after_fields_sql(TERMS_OR, page=2, k=10),
         "multimodal_features": poracle.multimodal_features_sql(),
         "multimodal_joint_embed": oracle.joint_embed_sql(dim=16),

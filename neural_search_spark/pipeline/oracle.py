@@ -381,3 +381,47 @@ SELECT doc_id,
        round({top_count('bis')} * 1.0 / greatest(len(bis), 1), 4) AS top_bigram_frac,
        round((len(tris) - len(list_distinct(tris))) * 1.0 / greatest(len(tris), 1), 4) AS dup_trigram_frac
 FROM g"""
+
+
+def unigram_logprob_sql(table: str = "documents") -> str:
+    """Oracle twin of textstats.unigram_logprob (corpus-trained unigram
+    LM, add-one smoothing)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({DUCK_TOKS}) AS token FROM {table}
+),
+freq AS (SELECT token, count(*) AS cf FROM tok GROUP BY token),
+totals AS (SELECT CAST(sum(cf) AS BIGINT) AS corpus_tokens, count(*) AS vocab FROM freq),
+scored AS (
+  SELECT t.doc_id, ln((f.cf + 1) * 1.0 / (tt.corpus_tokens + tt.vocab)) AS lp
+  FROM tok t JOIN freq f USING (token), totals tt
+)
+SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 4) AS mean_logprob
+FROM scored GROUP BY doc_id"""
+
+
+def corpus_filter_decisions_sql(
+    min_quality: float = 0.3,
+    max_top_bigram_frac: float = 0.2,
+    langs: tuple[str, ...] = ("en", "de", "fr"),
+    table: str = "documents",
+) -> str:
+    """Oracle twin of filters.corpus_filter_decisions: compose the four
+    signal oracles (each nested as a subquery) and apply the identical
+    first-failing-rule CASE."""
+    lang_list = ", ".join(f"'{lg}'" for lg in langs)
+    return f"""
+WITH dd AS (SELECT doc_id, keep AS not_dup FROM ({exact_dedup_sql(table)})),
+lg AS (SELECT doc_id, lang_pred FROM ({lang_id_sql(table)})),
+rep AS (SELECT doc_id, top_bigram_frac FROM ({repetition_scores_sql(table)})),
+q AS (SELECT doc_id, quality FROM ({quality_scores_sql(table)})),
+joined AS (
+  SELECT dd.doc_id,
+         CASE WHEN NOT not_dup THEN 'exact_dup'
+              WHEN lang_pred NOT IN ({lang_list}) THEN 'lang'
+              WHEN top_bigram_frac > {max_top_bigram_frac} THEN 'repetition'
+              WHEN quality < {min_quality} THEN 'quality'
+              ELSE 'keep' END AS reason
+  FROM dd JOIN lg USING (doc_id) JOIN rep USING (doc_id) JOIN q USING (doc_id)
+)
+SELECT doc_id, reason = 'keep' AS keep, reason FROM joined"""

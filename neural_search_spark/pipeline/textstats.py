@@ -188,3 +188,41 @@ def repetition_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
             4,
         ).alias("dup_trigram_frac"),
     )
+
+
+def unigram_logprob(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, mean_logprob): per-doc mean log-probability
+    under a unigram LM trained on the corpus itself — the CCNet-style
+    perplexity filter reduced to its SQL-expressible core (low
+    mean_logprob = tokens unusual for the corpus → candidate junk; high
+    = boilerplate). Add-one smoothing over the observed vocabulary.
+
+    Shape at 100 TB: the LM is ONE token-frequency aggregate (map-side
+    combined) joined back per token occurrence — the frequency table is
+    vocabulary-sized (broadcastable for real corpora after a min-count
+    cut); no Python anywhere."""
+    spark_toks, _ = simple_tokens_sql(text_col)
+    tok = docs.select(F.col(id_col).alias("doc_id"), F.expr(spark_toks).alias("toks")).select(
+        "doc_id", F.explode("toks").alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
+    totals = freq.agg(
+        F.sum("cf").alias("corpus_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    # p(t) = (cf + 1) / (corpus_tokens + vocab); all-integer inputs so
+    # the double math is order-independent and oracle-exact
+    scored = (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lp",
+            F.log((F.col("cf") + 1).cast("double") / (F.col("corpus_tokens") + F.col("vocab")).cast("double")),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("mean_logprob"),
+        )
+    )
