@@ -104,6 +104,15 @@ def _q_bm25_topk(spark, sf_dir):
     return topk(bm25_scores(_docs(spark, sf_dir), TERMS_OR, round_to=None), k=10)
 
 
+PHRASE = ["spark", "window"]
+
+
+def _q_bm25_phrase(spark, sf_dir):
+    from neural_search_spark.query.exhaustive import bm25_phrase
+
+    return bm25_phrase(_docs(spark, sf_dir), PHRASE)
+
+
 def _q_doc_stats(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1030,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rare_term": _q_bm25_rare,
         "bm25_and_scores": _q_bm25_and,
         "bm25_topk": _q_bm25_topk,
+        "bm25_phrase": _q_bm25_phrase,
         "doc_stats": _q_doc_stats,
         "term_stats": _q_term_stats,
         "indexed_bm25_topk": _q_indexed_topk,
@@ -1119,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rare_term": oracle.bm25_scores_sql(TERM_RARE),
         "bm25_and_scores": oracle.bm25_conjunctive_sql(TERMS_AND),
         "bm25_topk": oracle.bm25_topk_sql(TERMS_OR, k=10),
+        "bm25_phrase": oracle.bm25_phrase_sql(PHRASE),
         "doc_stats": oracle.doc_stats_sql(),
         "term_stats": oracle.term_stats_sql(min_df=50),
         "indexed_bm25_topk": oracle.bm25_topk_sql(TERMS_OR, k=10),

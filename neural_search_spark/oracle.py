@@ -1157,3 +1157,25 @@ combined AS (
 )
 SELECT doc_id, round(combined.score, {round_to}) AS score
 FROM combined ORDER BY round(combined.score, {round_to}) DESC, doc_id ASC LIMIT {k}"""
+
+
+def bm25_phrase_sql(
+    phrase_terms: list[str], table: str = "documents", round_to: int = 4
+) -> str:
+    """Oracle for match_phrase: contiguous token subsequence gate +
+    BM25 over the phrase terms."""
+    _, duck_toks = simple_tokens_sql("text")
+    uniq = sorted(set(phrase_terms))
+    needle = " " + " ".join(phrase_terms) + " "
+    needle_sql = needle.replace("'", "''")
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    return f"""{bm25_base_ctes(uniq, table)},
+phr AS (
+  SELECT doc_id FROM {table}
+  WHERE position('{needle_sql}' IN ' ' || array_to_string({duck_toks}, ' ') || ' ') > 0
+)
+SELECT tf.doc_id AS doc_id, round(sum({contrib}), {round_to}) AS score
+FROM tf JOIN dfreq USING (term), stats
+WHERE tf.doc_id IN (SELECT doc_id FROM phr)
+GROUP BY tf.doc_id"""

@@ -172,3 +172,32 @@ def topk(scores: DataFrame, k: int = 10, round_to: int | None = 4) -> DataFrame:
     if round_to is not None:
         out = out.withColumn("score", F.round("score", round_to))
     return out
+
+
+def bm25_phrase(
+    docs: DataFrame,
+    phrase_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """match_phrase semantics: docs whose analyzed token stream contains
+    ``phrase_terms`` as a CONTIGUOUS subsequence, BM25-scored over the
+    phrase's terms (Lucene's PhraseQuery scores by term statistics; the
+    positional constraint gates matching, not scoring — same split
+    here). The position check is a delimiter-joined substring probe on
+    the token stream — pure codegen; at 10^12-file scale the real
+    implementation stores positions in the postings format, with this
+    exhaustive operator remaining the semantic oracle."""
+    needle = " " + " ".join(phrase_terms) + " "
+    scored = bm25_scores(docs, sorted(set(phrase_terms)), id_col, text_col, round_to=None)
+    tok = tokenized(docs, id_col, text_col)
+    has_phrase = tok.where(
+        F.expr(
+            f"locate({needle!r}, concat(' ', concat_ws(' ', toks), ' ')) > 0"
+        )
+    ).select("doc_id")
+    out = scored.join(has_phrase, "doc_id")
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out
