@@ -72,21 +72,32 @@ def main() -> int:
     docs_path = os.path.join(sf_dir, "documents.parquet")
     n_docs = spark.read.parquet(docs_path).count()  # warm JVM + FS cache
 
-    timings: dict[str, float] = {}
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    timings: dict[str, float] = {}      # per-query MEDIAN over `repeats` runs
+    runs: dict[str, list[float]] = {}   # every individual run, for auditing
 
-    # --- index build (fresh, timed) -----------------------------------
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+    # --- index build (fresh each repeat, timed) ------------------------
     from neural_search_spark.index.builder import build_index
 
     idx_dir = "/tmp/nss_bench_index"
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    build_index(
-        spark, spark.read.parquet(docs_path), idx_dir,
-        key_cols=["doc_id"], text_col="text", tokenizer="simple",
-        num_segments=4, range_block=128,
-    )
-    build_s = time.perf_counter() - t0
+    build_runs: list[float] = []
+    for _ in range(repeats):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        build_index(
+            spark, spark.read.parquet(docs_path), idx_dir,
+            key_cols=["doc_id"], text_col="text", tokenizer="simple",
+            num_segments=4, range_block=128,
+        )
+        build_runs.append(time.perf_counter() - t0)
+    build_s = _median(build_runs)
     timings["index_build"] = round(build_s, 3)
+    runs["index_build"] = [round(x, 3) for x in build_runs]
 
     # Point the entry's index cache at the freshly built index so the
     # indexed_* queries measure query latency, not a second build.
@@ -99,14 +110,21 @@ def main() -> int:
     entry._INDEX_CACHE[key] = IndexReader(spark, idx_dir, cache_hot=True)
 
     qs = entry.queries()
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        rows = fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert rows is not None
+    # interleave repeats round-robin (run the whole suite `repeats` times)
+    # so a transient machine-load spike hits at most one run per query
+    # instead of every run of one query — medians then reject it
+    for rep in range(repeats):
+        for name in HEADLINE:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            rows = fn(spark, sf_dir).collect()
+            runs.setdefault(name, []).append(round(time.perf_counter() - t0, 3))
+            assert rows is not None
+    for name, xs in runs.items():
+        if name != "index_build":
+            timings[name] = round(_median(xs), 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -114,11 +132,15 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": runs,
+        "repeats": repeats,
         "sf": _sf_of(sf_dir),
         "n_docs": n_docs,
         "index_build_files_per_sec": round(n_docs / build_s, 1),
-        "note": "sf0.1 is 5k docs — build time here is fixed overhead; "
-                "throughput/scaling at 1.2M-2.4M files below",
+        "note": "per-query values are MEDIANS over `repeats` interleaved "
+                "runs (multi-tenant box, ±25% single-run noise — see "
+                "BENCH/BASELINE.md); sf0.1 is 5k docs — build time here is "
+                "fixed overhead; throughput/scaling at 1.2M-2.4M files below",
     }
     # fold in the N-vs-4N scaling evidence (BENCH/scaling.json, produced
     # by scripts/scaling_bench.py) so the per-round bench line carries

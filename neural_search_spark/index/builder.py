@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 
 import numpy as np
@@ -316,7 +317,11 @@ def _build_segment_kernel(
     tokenizer_name: str, text_col: str, key_cols: list[str], range_block: int,
     term_buckets: int = 0, codec: str = "varint",
 ):
-    assert tokenizer_name in TOKENIZERS, tokenizer_name
+    # registry name, or a custom split regex — the same contract
+    # index.mappings.validate_index_spec accepts (term_freq_frame resolves
+    # via SPLIT_RES.get(name, name), so any compilable regex works)
+    if tokenizer_name not in TOKENIZERS:
+        re.compile(tokenizer_name)  # fail fast on an invalid custom regex
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..functions.norms import quantize_length

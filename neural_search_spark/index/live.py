@@ -49,12 +49,29 @@ def append_segment(
     with open(p["meta"]) as fh:
         meta = json.load(fh)
     key_cols, text_col = meta["key_cols"], meta["text_col"]
+    with_seg = batch.withColumn("segment_id", F.lit(segment_id).cast("int"))
+    # dynamic partition overwrite scoped to this call: save and restore the
+    # session value so unrelated writes keep their overwrite semantics
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        _append_segment_writes(spark, with_seg, meta, p, segment_id, key_cols, text_col)
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+    meta["num_segments"] = max(int(meta["num_segments"]), segment_id + 1)
+    with open(p["meta"], "w") as fh:
+        json.dump(meta, fh)
+
+
+def _append_segment_writes(spark, with_seg, meta, p, segment_id, key_cols, text_col):
     kernel = _build_segment_kernel(
         meta["tokenizer"], text_col, key_cols, int(meta["range_block"]),
         int(meta.get("term_buckets", 0)), meta.get("codec", "varint"),
     )
-    with_seg = batch.withColumn("segment_id", F.lit(segment_id).cast("int"))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     postings = (
         with_seg.select("segment_id", text_col, *key_cols)
         .groupBy("segment_id")
@@ -100,7 +117,15 @@ def append_segment(
         .withColumn("range_block", F.lit(int(meta["range_block"])))
     )
     # manifest rows are tiny; rewrite = old rows minus this segment's
-    # (idempotent retry) plus the fresh row
+    # (idempotent retry) plus the fresh row.  NOTE: the os.rename swap
+    # below assumes a POSIX-rename filesystem (local disk / NFS / HDFS
+    # via fuse); on an object store deploy the swap becomes a versioned
+    # manifest dir + atomic pointer update instead.  Crash-safe swap: the live
+    # manifest is never deleted before its replacement is in place —
+    # old is renamed ASIDE first (recoverable), tmp renamed IN, and the
+    # aside copy removed last, so a crash at any point leaves either the
+    # old or the new manifest readable and the retried micro-batch
+    # (exactly-once contract, tests/test_streaming.py) can proceed.
     man_path = p["manifest"]
     old = spark.read.parquet(man_path).where(F.col("segment_id") != segment_id)
     merged = old.unionByName(seg_stats.select(*old.columns))
@@ -108,12 +133,16 @@ def append_segment(
     merged.write.mode("overwrite").parquet(tmp)
     import shutil
 
-    shutil.rmtree(man_path)
-    os.rename(tmp, man_path)
-
-    meta["num_segments"] = max(int(meta["num_segments"]), segment_id + 1)
-    with open(p["meta"], "w") as fh:
-        json.dump(meta, fh)
+    aside = man_path + f"_old_{segment_id}"
+    if os.path.exists(aside):  # leftover from a crashed earlier retry
+        shutil.rmtree(aside)
+    os.rename(man_path, aside)
+    try:
+        os.rename(tmp, man_path)
+    except BaseException:
+        os.rename(aside, man_path)  # roll back: restore the old manifest
+        raise
+    shutil.rmtree(aside)
 
 
 def streaming_index_ingest(

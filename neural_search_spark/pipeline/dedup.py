@@ -403,6 +403,7 @@ def embedding_lsh_pairs(
     dim: int | None = None,
     id_col: str = "doc_id",
     vec_col: str = "v",
+    hamming_margin: float = 0.1,
 ) -> DataFrame:
     """(a, b, cos) near-dup pairs via sign-random-projection LSH —
     the scale path for embedding dedup (replaces the all-pairs
@@ -424,9 +425,19 @@ def embedding_lsh_pairs(
     so each candidate's total disagreeing-bit count costs a few xor/
     popcounts inline — pairs whose estimated angle (hamming/total_bits
     × π) sits far above acos(threshold) never touch the vector arrays.
-    Margin 0.1·π keeps P(drop a true >=threshold pair) negligible
-    (E[hamming] at the threshold is ~6% of bits); deterministic — the
-    DuckDB oracle applies the identical prefilter."""
+
+    RECALL BOUND (not a guarantee): both the banding and the
+    ``hamming_margin``·π prefilter are probabilistic — a true pair with
+    cos >= threshold CAN be dropped if its sign-Hamming estimate
+    overshoots (E[hamming] at the threshold is ~6% of bits, so at the
+    default margin the drop probability is a Chernoff-tail, but it is
+    non-zero).  Because the DuckDB oracle applies the IDENTICAL
+    prefilter, parity checks structurally cannot detect recall loss —
+    the compensating check is ``lsh_pair_recall`` (recall measured
+    against the exact all-pairs ``embedding_near_dup`` reference set;
+    see tests/test_round3.py and the driver-gate query).  Raise
+    ``hamming_margin`` (fraction of π added to acos(threshold)) to
+    trade candidate volume for recall."""
     import math
     if dim is None:
         raise ValueError("dim is required (vector length)")
@@ -466,7 +477,7 @@ def embedding_lsh_pairs(
         "band_idx", "band_key",
     )
     hamming = " + ".join(f"bit_count(a_bk{i} ^ b_bk{i})" for i in range(bands))
-    max_ham = int(math.ceil((math.acos(threshold) / math.pi + 0.1) * bands * bits))
+    max_ham = int(math.ceil((math.acos(threshold) / math.pi + hamming_margin) * bands * bits))
     cands = (
         a.join(b, ["band_idx", "band_key"])
         .where(F.col("a") < F.col("b"))

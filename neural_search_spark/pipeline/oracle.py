@@ -302,10 +302,14 @@ def embedding_lsh_sql(
     bits: int = _dedup.RHP_BITS,
     dim: int = 16,
     table: str = "documents",
+    hamming_margin: float = 0.1,
 ) -> str:
     """Oracle for embedding_lsh_pairs over dense_embed-derived document
     vectors: identical hyperplanes (md5-derived ±1 constants), identical
-    banding, identical cosine verify."""
+    banding, identical cosine verify.  Mirrors the engine's prefilter
+    exactly (including ``hamming_margin``), so this parity check cannot
+    see recall loss — that is covered by the separate lsh_pair_recall
+    measurement against the exact all-pairs reference."""
     from ..oracle import dense_embed_sql
 
     vec_cols = ", ".join(
@@ -321,7 +325,7 @@ def embedding_lsh_sql(
         for b in range(bands)
     )
     hamming = " + ".join(f"bit_count(xor(x._bk{i}, y._bk{i}))" for i in range(bands))
-    max_ham = int(math.ceil((math.acos(threshold) / math.pi + 0.1) * bands * bits))
+    max_ham = int(math.ceil((math.acos(threshold) / math.pi + hamming_margin) * bands * bits))
     return f"""
 WITH emb_long AS (SELECT * FROM ({dense_embed_sql(dim=dim, table=table)})),
 vecs AS (SELECT doc_id, [{vec_cols}] AS v FROM emb_long GROUP BY doc_id),

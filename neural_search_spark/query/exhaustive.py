@@ -38,14 +38,19 @@ def bm25_scores(
     b: float = B,
     quantize: bool = True,
     round_to: int | None = 4,
+    tok: DataFrame | None = None,
 ) -> DataFrame:
     """Score every matching doc for an OR query over ``terms``.
 
     Returns (doc_id, score) for docs matching >= 1 term. The per-doc sum
     over query-term contributions follows Lucene BM25 semantics
     (query/bm25.py); ``quantize`` applies the SmallFloat length ladder.
+    ``tok`` lets a caller that already tokenized the corpus (e.g.
+    bm25_phrase's position gate) reuse that frame — one ``tokenized()``
+    subtree in the plan instead of two corpus scans.
     """
-    tok = tokenized(docs, id_col, text_col)
+    if tok is None:
+        tok = tokenized(docs, id_col, text_col)
     stats = tok.agg(
         F.count(F.lit(1)).alias("N"),
         (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
@@ -132,6 +137,8 @@ def bm25_conjunctive(
     quantize = kw.pop("quantize", True)
     k1 = kw.pop("k1", K1)
     b = kw.pop("b", B)
+    if kw:
+        raise TypeError(f"bm25_conjunctive got unexpected keyword arguments: {sorted(kw)}")
     tok = tokenized(docs, id_col, text_col)
     stats = tok.agg(
         F.count(F.lit(1)).alias("N"),
@@ -188,10 +195,16 @@ def bm25_phrase(
     here). The position check is a delimiter-joined substring probe on
     the token stream — pure codegen; at 10^12-file scale the real
     implementation stores positions in the postings format, with this
-    exhaustive operator remaining the semantic oracle."""
+    exhaustive operator remaining the semantic oracle.
+
+    The corpus is tokenized ONCE: the same ``tokenized()`` frame feeds
+    both the BM25 scoring subtree and the phrase gate (the round-1
+    conjunctive one-traversal shape)."""
     needle = " " + " ".join(phrase_terms) + " "
-    scored = bm25_scores(docs, sorted(set(phrase_terms)), id_col, text_col, round_to=None)
     tok = tokenized(docs, id_col, text_col)
+    scored = bm25_scores(
+        docs, sorted(set(phrase_terms)), id_col, text_col, round_to=None, tok=tok
+    )
     has_phrase = tok.where(
         F.expr(
             f"locate({needle!r}, concat(' ', concat_ws(' ', toks), ' ')) > 0"
