@@ -54,6 +54,58 @@ def _doc_index(spark: SparkSession, sf_dir: str):
     return reader
 
 
+def _merged_index(spark: SparkSession, sf_dir: str):
+    """Segment-merged copy of the doc index (factor 2) — exercises the
+    index-lifecycle merge path end to end; BM25 results must equal the
+    fresh build (index/merge.py invariant)."""
+    import hashlib
+
+    from neural_search_spark.index.builder import FORMAT_VERSION
+    from neural_search_spark.index.merge import merge_segments
+    from neural_search_spark.query.wand import IndexReader
+
+    key = f"merged_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_v{FORMAT_VERSION}"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    base = _doc_index(spark, sf_dir)
+    out_dir = os.path.join("/tmp/nss_cache", f"docidx_{key}")
+    if not os.path.exists(os.path.join(out_dir, "index_meta.json")):
+        merge_segments(spark, base.index_dir, out_dir, factor=2)
+    reader = IndexReader(spark, out_dir, cache_hot=True)
+    _INDEX_CACHE[key] = reader
+    return reader
+
+
+def _live_index(spark: SparkSession, sf_dir: str):
+    """Base build over 3/4 of the corpus + a live-appended segment for
+    the rest (index/live.py micro-batch path) — global stats and scores
+    must equal a one-shot full build (stream==full parity)."""
+    import hashlib
+
+    from neural_search_spark.index.builder import FORMAT_VERSION, build_index
+    from neural_search_spark.index.live import append_segment
+    from neural_search_spark.query.wand import IndexReader
+    from pyspark.sql import functions as F
+
+    key = f"live_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_v{FORMAT_VERSION}"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    idx_dir = os.path.join("/tmp/nss_cache", f"docidx_{key}")
+    if not os.path.exists(os.path.join(idx_dir, "index_meta.json")):
+        docs = _docs(spark, sf_dir)
+        base = docs.where(F.pmod("doc_id", F.lit(4)) != 3)
+        tail = docs.where(F.pmod("doc_id", F.lit(4)) == 3)
+        build_index(
+            spark, base, idx_dir,
+            key_cols=["doc_id"], text_col="text", tokenizer="simple",
+            num_segments=3, range_block=128,
+        )
+        append_segment(spark, tail, idx_dir, segment_id=3)
+    reader = IndexReader(spark, idx_dir, cache_hot=True)
+    _INDEX_CACHE[key] = reader
+    return reader
+
+
 def _ranked(df: DataFrame) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -111,6 +163,69 @@ def _q_bm25_phrase(spark, sf_dir):
     from neural_search_spark.query.exhaustive import bm25_phrase
 
     return bm25_phrase(_docs(spark, sf_dir), PHRASE)
+
+
+def _q_indexed_bm25_phrase(spark, sf_dir):
+    """match_phrase over the POSITIONAL index (v4 format) — position-
+    intersection inside the segment kernel; same result set + scores as
+    the exhaustive bm25_phrase (reference: Lucene PhraseQuery under
+    match_phrase in the *QueryIT tests)."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.phrase import bm25_phrase_indexed
+
+    out = bm25_phrase_indexed(_doc_index(spark, sf_dir), PHRASE)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _q_indexed_merged_topk(spark, sf_dir):
+    """BM25 top-k over the MERGED index — a green row exercises the
+    segment-merge lifecycle end to end (scores must equal fresh build,
+    so the oracle is the ordinary bm25_topk_sql)."""
+    from neural_search_spark.query.wand import bm25_topk_indexed
+
+    top = bm25_topk_indexed(_merged_index(spark, sf_dir), TERMS_OR, k=10, mode="or")
+    return _ranked(top)
+
+
+def _q_indexed_live_topk(spark, sf_dir):
+    """BM25 top-k over the base-build + live-appended index — a green
+    row exercises the streaming append lifecycle (stream==full parity:
+    same oracle as the fresh build)."""
+    from neural_search_spark.query.wand import bm25_topk_indexed
+
+    top = bm25_topk_indexed(_live_index(spark, sf_dir), TERMS_OR, k=10, mode="or")
+    return _ranked(top)
+
+
+def _q_nested_chunk_topk(spark, sf_dir):
+    """Per-chunk scoring rolled up max-per-parent (ToParentBlockJoin
+    ScoreMode.Max analog — the reference scores nested docs, not just
+    buckets; HybridQueryPhaseSearcher.java:86-104)."""
+    from neural_search_spark.operators.nested import nested_chunk_topk
+
+    return nested_chunk_topk(_docs(spark, sf_dir), TERMS_OR, CHUNK_DELIMITER, k=10)
+
+
+def _q_ann_ivf_recall(spark, sf_dir):
+    """Measured recall@k of the IVF probe path vs exact brute force —
+    the oracle's exact side is probe-independent, so this row catches a
+    silent probe/assignment recall regression the mirrored ivf_topk
+    parity row cannot."""
+    from neural_search_spark.pipeline.similarity import ivf_recall_frame
+
+    return ivf_recall_frame(_emb(spark, sf_dir), ANN_QUERY_ID, k=10, nprobe=2)
+
+
+def _q_dedup_lsh_recall(spark, sf_dir):
+    """Measured pair recall of embedding-LSH vs the exact all-pairs set
+    on the same vectors (ADVICE r02: the mirrored LSH oracle applies the
+    identical prefilter, so only this row can see recall loss)."""
+    from neural_search_spark.pipeline.dedup import recall_vs_exact_pairs
+
+    return recall_vs_exact_pairs(
+        _docs(spark, sf_dir), threshold=LSH_DEDUP_COS, dim=LSH_DEDUP_DIM
+    )
 
 
 def _q_doc_stats(spark, sf_dir):
@@ -1054,6 +1169,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "text_unigram_logprob": _q_text_unigram_logprob,
         # -- round-3 additions (keep inside the first-50 window) --
+        "indexed_bm25_phrase": _q_indexed_bm25_phrase,
+        "indexed_merged_topk": _q_indexed_merged_topk,
+        "indexed_live_topk": _q_indexed_live_topk,
+        "nested_chunk_topk": _q_nested_chunk_topk,
+        "ann_ivf_recall": _q_ann_ivf_recall,
+        "dedup_lsh_recall": _q_dedup_lsh_recall,
         # -- core load-bearing queries (green in r01/r02, re-checked here) --
         "bm25_or_scores": _q_bm25_or,
         "bm25_and_scores": _q_bm25_and,
@@ -1140,6 +1261,16 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_scores": oracle.bm25_conjunctive_sql(TERMS_AND),
         "bm25_topk": oracle.bm25_topk_sql(TERMS_OR, k=10),
         "bm25_phrase": oracle.bm25_phrase_sql(PHRASE),
+        # indexed phrase must equal the exhaustive phrase semantics —
+        # same oracle (positions gate matching, stats drive scoring)
+        "indexed_bm25_phrase": oracle.bm25_phrase_sql(PHRASE),
+        # merge and live-append preserve BM25 stats — the oracle IS the
+        # fresh-build oracle (index-lifecycle parity as a driver row)
+        "indexed_merged_topk": oracle.bm25_topk_sql(TERMS_OR, k=10),
+        "indexed_live_topk": oracle.bm25_topk_sql(TERMS_OR, k=10),
+        "nested_chunk_topk": oracle.nested_chunk_topk_sql(TERMS_OR, CHUNK_DELIMITER, k=10),
+        "ann_ivf_recall": poracle.ivf_recall_sql(ANN_QUERY_ID, k=10, nprobe=2),
+        "dedup_lsh_recall": poracle.lsh_recall_sql(LSH_DEDUP_COS, dim=LSH_DEDUP_DIM),
         "doc_stats": oracle.doc_stats_sql(),
         "term_stats": oracle.term_stats_sql(min_df=50),
         "indexed_bm25_topk": oracle.bm25_topk_sql(TERMS_OR, k=10),

@@ -78,6 +78,25 @@ def term_freq_frame(
     rather than allocation/bandwidth-bound, which is what lets 4N cores
     deliver ~4x on the build (BENCH/BASELINE.md).
     """
+    frame, _ = term_freq_frame_positions(texts, doc_ids, tokenizer, with_positions=False)
+    return frame
+
+
+def term_freq_frame_positions(
+    texts: pd.Series,
+    doc_ids: pd.Series,
+    tokenizer: str = "code",
+    with_positions: bool = True,
+) -> tuple[pd.DataFrame, np.ndarray | None]:
+    """Like :func:`term_freq_frame`, plus the flat token-position stream.
+
+    Returns ``(frame, flat_pos)``: ``flat_pos`` is one int64 array whose
+    chains align with the frame's rows — row i's positions are the next
+    ``frame.tf[i]`` values, strictly ascending, 0-based over the doc's
+    analyzed token stream (Lucene position semantics: ordinal in the
+    token stream, matching the exhaustive path's ``toks`` array).
+    ``flat_pos`` is None when ``with_positions`` is False.
+    """
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -91,8 +110,9 @@ def term_freq_frame(
             "dl": np.empty(0, dtype=np.int64),
         }
     )
+    empty_pos = np.empty(0, dtype=np.int64) if with_positions else None
     if n_docs == 0:
-        return empty
+        return empty, empty_pos
     arr = pa.Array.from_pandas(texts.astype(str))
     cleaned = pc.replace_substring_regex(pc.utf8_lower(arr), pattern=split_re, replacement=" ")
     toks = pc.utf8_split_whitespace(cleaned)
@@ -106,7 +126,7 @@ def term_freq_frame(
         keep = codes != empty_idx
         parent, codes = parent[keep], codes[keep]
     if len(codes) == 0:
-        return empty
+        return empty, empty_pos
     dl_per_doc = np.bincount(parent, minlength=n_docs).astype(np.int64)
     n_uniq = len(dictionary)
     key = parent * np.int64(n_uniq) + codes
@@ -114,7 +134,7 @@ def term_freq_frame(
     pos_of = (uk // n_uniq).astype(np.int64)
     code_of = (uk % n_uniq).astype(np.int64)
     terms = dictionary.take(pa.array(code_of, type=pa.int64())).to_numpy(zero_copy_only=False)
-    return pd.DataFrame(
+    frame = pd.DataFrame(
         {
             "doc_id": doc_ids.to_numpy(dtype=np.int64)[pos_of],
             "term": terms,
@@ -122,3 +142,15 @@ def term_freq_frame(
             "dl": dl_per_doc[pos_of],
         }
     )
+    if not with_positions:
+        return frame, None
+    # position of each flat token within its doc's (filtered) stream:
+    # parent is non-decreasing, so subtract each doc's first flat index
+    doc_change = np.r_[True, parent[1:] != parent[:-1]]
+    doc_starts = np.flatnonzero(doc_change)
+    doc_lens = np.diff(np.r_[doc_starts, len(parent)])
+    pos_in_doc = np.arange(len(parent), dtype=np.int64) - np.repeat(doc_starts, doc_lens)
+    # sort token instances by (doc, term-code, pos): groups line up with
+    # the frame's np.unique(key) row order, chains ascend by position
+    order = np.lexsort((pos_in_doc, codes, parent))
+    return frame, pos_in_doc[order]

@@ -58,7 +58,8 @@ from ..functions.tokenize import SPLIT_RES, term_freq_frame
 SEG_SHIFT = 40  # doc_id = (segment_id << 40) | local_id
 # bump when POSTINGS_SCHEMA changes — cached index dirs embed this so a
 # reader never opens an index written by an incompatible layout
-FORMAT_VERSION = 3
+# v4: per-posting position streams (block_pos_off + positions columns)
+FORMAT_VERSION = 4
 
 # One row per (segment, term): per-block metadata travels as parallel
 # arrays and the three payload streams are single blobs with per-block
@@ -90,6 +91,13 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("docs", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("norms", T.BinaryType(), False),
+        # positional postings (Lucene .prx analog): per-posting chains of
+        # token positions, first absolute then deltas, varint-encoded in
+        # posting order; block_pos_off gives each block's byte offset so
+        # a phrase kernel decodes only blocks holding candidate docs.
+        # Empty when the index was built with store_positions=False.
+        T.StructField("block_pos_off", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("positions", T.BinaryType(), False),
     ]
 )
 
@@ -100,6 +108,7 @@ _EMPTY_POSTINGS = {
     "block_min_dl_q": object, "block_doc_off": object, "block_tf_off": object,
     "pack_bits": np.int32, "exc_pos": object, "exc_high": object,
     "docs": object, "tfs": object, "norms": object,
+    "block_pos_off": object, "positions": object,
 }
 
 
@@ -162,6 +171,41 @@ def decode_block_deltas(
     return low.astype(np.int64)
 
 
+def chains_absolute(deltas: np.ndarray, chain_lens: np.ndarray) -> np.ndarray:
+    """Segmented cumsum: per-chain (first-absolute, then deltas) stream
+    -> absolute values. Shared by position decode and tests."""
+    if len(deltas) == 0:
+        return deltas.astype(np.int64)
+    lens = np.asarray(chain_lens, dtype=np.int64)
+    starts = np.r_[0, np.cumsum(lens)[:-1]]
+    cs = np.cumsum(deltas.astype(np.int64))
+    carry = np.repeat(cs[starts] - deltas[starts], lens)
+    return cs - carry
+
+
+def decode_block_positions(
+    pos_blob: bytes,
+    block_idx: int,
+    block_pos_off,
+    blob_end: int,
+) -> np.ndarray:
+    """One block's raw position-delta stream (chains still packed —
+    split them with the block's tf values via :func:`chains_absolute`)."""
+    from ..functions.codecs import varint_decode
+
+    offs = np.asarray(block_pos_off, dtype=np.int64)
+    s = int(offs[block_idx])
+    e = int(offs[block_idx + 1]) if block_idx + 1 < len(offs) else blob_end
+    return varint_decode(pos_blob[s:e]).astype(np.int64)
+
+
+def decode_term_positions(pos_blob: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Whole-term flat ABSOLUTE position stream (chains of len tfs[i])."""
+    from ..functions.codecs import varint_decode
+
+    return chains_absolute(varint_decode(pos_blob).astype(np.int64), tfs)
+
+
 def empty_postings_frame() -> pd.DataFrame:
     return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _EMPTY_POSTINGS.items()})
 
@@ -176,10 +220,16 @@ def postings_rows_from_flat(
     range_block: int,
     term_buckets: int,
     codec: str = "varint",
+    pos_flat: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Flat (term, doc_id, tf, norm_byte, dl_q) posting streams (any
     order) -> one POSTINGS_SCHEMA row per term. Shared by the build and
     merge kernels so the two stay byte-compatible by construction.
+
+    ``pos_flat`` (optional) is the flat token-position stream whose
+    chains align with the input rows — row i's positions are the next
+    ``tfv[i]`` values (ascending). When given, each term row also gets
+    its varint positions blob + per-block byte offsets.
 
     All heavy steps are integer numpy (terms are dictionary-encoded for
     the sort); the only Python loop is one thin slice pass per term.
@@ -191,6 +241,20 @@ def postings_rows_from_flat(
     codes, uniq_terms = pd.factorize(term, sort=True)
     block = (doc // range_block).astype(np.int64)
     order = np.lexsort((doc, block, codes))
+    if pos_flat is not None:
+        # permute the position chains with their rows: gather each
+        # reordered row's chain from the old flat stream (vectorized)
+        tfl = tfv.astype(np.int64)
+        old_starts = np.r_[0, np.cumsum(tfl)][:-1]
+        lens_new = tfl[order]
+        total = int(lens_new.sum())
+        chain_off_new = np.r_[0, np.cumsum(lens_new)][:-1]
+        gather = (
+            np.repeat(old_starts[order], lens_new)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(chain_off_new, lens_new)
+        )
+        pos_flat = np.asarray(pos_flat, dtype=np.int64)[gather]
     codes, doc, tfv, norm, dl_q, block = (
         codes[order], doc[order], tfv[order], norm[order], dl_q[order], block[order]
     )
@@ -207,6 +271,17 @@ def postings_rows_from_flat(
     doc_off = np.r_[0, np.cumsum(varint_nbytes(deltas))]
     tf_off = np.r_[0, np.cumsum(varint_nbytes(tfv))]
     norm_b = norm.astype(np.uint8).tobytes()
+    if pos_flat is not None:
+        # per-posting position chains: first absolute, rest deltas
+        tfl = tfv.astype(np.int64)
+        chain_starts = np.r_[0, np.cumsum(tfl)][:-1]
+        pdl = np.empty(len(pos_flat), dtype=np.int64)
+        pdl[1:] = pos_flat[1:] - pos_flat[:-1]
+        pdl[chain_starts] = pos_flat[chain_starts]
+        pos_b = varint_encode(pdl)
+        pos_elem_off = np.r_[0, np.cumsum(varint_nbytes(pdl))]
+        post_byte = pos_elem_off[chain_starts]  # byte start of posting i's chain
+        pos_blob_end = int(pos_elem_off[-1])
 
     g_code = codes[starts]
     g_block = block[starts].astype(np.int32)
@@ -229,12 +304,21 @@ def postings_rows_from_flat(
     empty_l = np.empty(0, dtype=np.int64)
     block_ids, block_ns, block_maxtf, block_mindl = [], [], [], []
     bdoc_off, btf_off, docs_col, tfs_col, norms_col = [], [], [], [], []
+    bpos_off, pos_col = [], []
     pack_col = np.full(n_terms, -1, dtype=np.int32)
     excp_col, exch_col = [], []
     n_col = np.empty(n_terms, dtype=np.int32)
     for j in range(n_terms):
         a, b = t_bounds[j], t_bounds[j + 1]
         p0, p1 = bounds[a], bounds[b]  # posting index range of this term
+        if pos_flat is not None:
+            t_start = int(post_byte[p0])
+            t_end = int(post_byte[p1]) if p1 < len(post_byte) else pos_blob_end
+            pos_col.append(pos_b[t_start:t_end])
+            bpos_off.append((post_byte[bounds[a:b]] - t_start).astype(np.int32))
+        else:
+            pos_col.append(b"")
+            bpos_off.append(empty_i)
         block_ids.append(g_block[a:b])
         ns_t = n_per[a:b].astype(np.int32)
         block_ns.append(ns_t)
@@ -281,6 +365,8 @@ def postings_rows_from_flat(
             "docs": docs_col,
             "tfs": tfs_col,
             "norms": norms_col,
+            "block_pos_off": bpos_off,
+            "positions": pos_col,
         }
     )
 
@@ -315,7 +401,7 @@ def _term_buckets_of(terms: np.ndarray, term_buckets: int) -> np.ndarray:
 
 def _build_segment_kernel(
     tokenizer_name: str, text_col: str, key_cols: list[str], range_block: int,
-    term_buckets: int = 0, codec: str = "varint",
+    term_buckets: int = 0, codec: str = "varint", store_positions: bool = False,
 ):
     # registry name, or a custom split regex — the same contract
     # index.mappings.validate_index_spec accepts (term_freq_frame resolves
@@ -325,6 +411,7 @@ def _build_segment_kernel(
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..functions.norms import quantize_length
+        from ..functions.tokenize import term_freq_frame_positions
 
         seg = int(pdf["segment_id"].iloc[0])
         # assign local ids by an in-kernel sort on the doc keys (cheap at
@@ -333,7 +420,10 @@ def _build_segment_kernel(
         # whole segment is present in this one group
         pdf = pdf.sort_values(key_cols, kind="mergesort").reset_index(drop=True)
         local_ids = pd.Series(np.arange(len(pdf), dtype=np.int64))
-        tf = term_freq_frame(pdf[text_col], local_ids, tokenizer=tokenizer_name)
+        tf, pos_flat = term_freq_frame_positions(
+            pdf[text_col], local_ids, tokenizer=tokenizer_name,
+            with_positions=store_positions,
+        )
         if len(tf) == 0:
             return empty_postings_frame()
         dl = tf["dl"].to_numpy()
@@ -347,6 +437,7 @@ def _build_segment_kernel(
             range_block,
             term_buckets,
             codec,
+            pos_flat,
         )
 
     return build
@@ -388,8 +479,15 @@ def build_index(
     build_id: str | None = None,
     term_buckets: int = 0,
     codec: str = "varint",
+    store_positions: bool = True,
 ) -> dict:
     """Build (or resume) the index; returns build metrics.
+
+    ``store_positions=True`` (default — Lucene stores positions by
+    default too) writes per-posting token-position streams alongside the
+    doc/tf/norm blobs, enabling indexed phrase queries
+    (query/phrase.py). Flip off for position-free workloads to shave
+    build time and index bytes.
 
     Metrics per segment (docs tokenized, postings emitted, bytes
     compressed — north rule) land in ``<index>/manifest``.
@@ -423,7 +521,9 @@ def build_index(
     todo = with_seg.where(~F.col("segment_id").isin(sorted(done))) if done else with_seg
 
     phase_t: dict[str, float] = {}
-    kernel = _build_segment_kernel(tokenizer, text_col, key_cols, range_block, term_buckets, codec)
+    kernel = _build_segment_kernel(
+        tokenizer, text_col, key_cols, range_block, term_buckets, codec, store_positions
+    )
     postings = todo.select("segment_id", text_col, *key_cols).groupBy("segment_id").applyInPandas(
         kernel, schema=POSTINGS_SCHEMA
     )
@@ -469,6 +569,7 @@ def build_index(
         "key_cols": key_cols,
         "text_col": text_col,
         "seg_shift": SEG_SHIFT,
+        "store_positions": store_positions,
     }
     with open(p["meta"], "w") as fh:
         json.dump(meta, fh)

@@ -71,6 +71,7 @@ def _append_segment_writes(spark, with_seg, meta, p, segment_id, key_cols, text_
     kernel = _build_segment_kernel(
         meta["tokenizer"], text_col, key_cols, int(meta["range_block"]),
         int(meta.get("term_buckets", 0)), meta.get("codec", "varint"),
+        bool(meta.get("store_positions", False)),
     )
     postings = (
         with_seg.select("segment_id", text_col, *key_cols)

@@ -31,11 +31,14 @@ from ..functions.codecs import varint_decode
 from .builder import POSTINGS_SCHEMA, SEG_SHIFT, paths
 
 
-def _merge_kernel(range_block: int, shift_of: dict[int, int], factor: int, term_buckets: int, codec: str = "varint"):
+def _merge_kernel(range_block: int, shift_of: dict[int, int], factor: int, term_buckets: int,
+                  codec: str = "varint", store_positions: bool = False):
     """Kernel over one NEW segment's postings rows (one row per old
     (segment, term)): decode each term's blob, re-base doc ids, then
     re-group through the same helper the builder uses — the merged
-    segment is byte-compatible with a fresh build by construction."""
+    segment is byte-compatible with a fresh build by construction.
+    Positions (when the index stores them) ride along unchanged: doc-id
+    rebasing never alters in-doc token positions."""
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         from ..functions.norms import byte4_to_int
@@ -44,9 +47,9 @@ def _merge_kernel(range_block: int, shift_of: dict[int, int], factor: int, term_
         if len(pdf) == 0:
             return empty_postings_frame()
         new_seg = int(pdf["segment_id"].iloc[0]) // factor
-        from .builder import decode_term_deltas
+        from .builder import decode_term_deltas, decode_term_positions
 
-        terms_l, docs_l, tfs_l, norms_l = [], [], [], []
+        terms_l, docs_l, tfs_l, norms_l, pos_l = [], [], [], [], []
         for r in pdf.itertuples():
             deltas = decode_term_deltas(
                 r.docs, r.block_ns, r.block_doc_off, int(r.pack_bits), r.exc_pos, r.exc_high
@@ -66,6 +69,8 @@ def _merge_kernel(range_block: int, shift_of: dict[int, int], factor: int, term_
             docs_l.append(rebased)
             tfs_l.append(tfs)
             norms_l.append(norms)
+            if store_positions:
+                pos_l.append(decode_term_positions(r.positions, tfs))
         term = np.concatenate(terms_l)
         norm = np.concatenate(norms_l)
         return postings_rows_from_flat(
@@ -78,6 +83,7 @@ def _merge_kernel(range_block: int, shift_of: dict[int, int], factor: int, term_
             range_block,
             term_buckets,
             codec,
+            np.concatenate(pos_l) if store_positions else None,
         )
 
     return merge
@@ -107,7 +113,8 @@ def merge_segments(
         shift_of[seg] = prev
 
     kernel = _merge_kernel(range_block, shift_of, factor, int(meta.get("term_buckets", 0)),
-                           meta.get("codec", "varint"))
+                           meta.get("codec", "varint"),
+                           bool(meta.get("store_positions", False)))
     merged = (
         spark.read.parquet(p_in["postings"])
         .withColumn("merge_group", (F.col("segment_id") / factor).cast("int"))

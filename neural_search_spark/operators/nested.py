@@ -93,3 +93,52 @@ def nested_chunk_encode(
             F.round(F.col("tf") / F.col("dl"), round_to).alias("weight"),
         )
     )
+
+
+NESTED_CHUNK_ID_BASE = 100_000  # chunk_id = parent * BASE + chunk_idx
+
+
+def nested_chunk_topk(
+    docs: DataFrame,
+    terms: list[str],
+    delimiter: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-chunk BM25 scoring rolled up max-per-parent, top-k parents —
+    the ToParentBlockJoinQuery(ScoreMode.Max) analog: the reference's
+    nested support scores nested (chunk) docs and joins the best child
+    score to the parent (HybridQueryPhaseSearcher.java:86-104 unwraps
+    bool-wrapped hybrid for nested contexts; Lucene block-join does the
+    child->parent rollup).
+
+    Chunks become the scored corpus: BM25 stats (N, avgdl, df) are
+    CHUNK-level, exactly as Lucene computes them over nested docs in the
+    same index. One chunk explode feeds tokenize -> score; the rollup is
+    one groupBy(parent) max; the final cut is TakeOrderedAndProject."""
+    from ..query.exhaustive import bm25_scores
+
+    spark_chunks, _ = delimiter_chunks_sql(text_col, delimiter)
+    chunks = docs.select(
+        F.col(id_col).alias("parent_id"),
+        F.posexplode(F.expr(spark_chunks)).alias("chunk_idx", "chunk_text"),
+    ).select(
+        (F.col("parent_id") * NESTED_CHUNK_ID_BASE + F.col("chunk_idx")).alias("chunk_id"),
+        "chunk_text",
+    )
+    scored = bm25_scores(chunks, sorted(set(terms)), id_col="chunk_id",
+                         text_col="chunk_text", round_to=None)
+    rolled = scored.groupBy(
+        F.floor(F.col("doc_id") / NESTED_CHUNK_ID_BASE).cast("long").alias("doc_id")
+    ).agg(F.max("score").alias("score"))
+    from pyspark.sql import Window
+
+    top = rolled.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id",
+        F.round("score", round_to).alias("score"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )

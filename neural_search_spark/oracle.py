@@ -1179,3 +1179,55 @@ SELECT tf.doc_id AS doc_id, round(sum({contrib}), {round_to}) AS score
 FROM tf JOIN dfreq USING (term), stats
 WHERE tf.doc_id IN (SELECT doc_id FROM phr)
 GROUP BY tf.doc_id"""
+
+
+def nested_chunk_topk_sql(
+    terms: list[str],
+    delimiter: str,
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """Oracle for operators.nested.nested_chunk_topk: chunk-level BM25
+    (chunks ARE the scored corpus — N/avgdl/df over chunks), max-rollup
+    to the parent, deterministic top-k."""
+    from .operators.chunkers import delimiter_chunks_sql
+
+    _, duck_chunks = delimiter_chunks_sql("text", delimiter)
+    _, duck_toks = simple_tokens_sql("chunk_text")
+    base = 100_000
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    uniq = sorted(set(terms))
+    return f"""
+WITH c0 AS (
+  SELECT doc_id AS parent_id,
+         CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS chunk_idx,
+         unnest(chunks) AS chunk_text
+  FROM (SELECT doc_id, {duck_chunks} AS chunks FROM {table})
+),
+tok AS (
+  SELECT parent_id * {base} + chunk_idx AS chunk_id, {duck_toks} AS toks FROM c0
+),
+stats AS (
+  SELECT count(*) AS N, sum(len(toks)) * 1.0 / count(*) AS avgdl FROM tok
+),
+tf AS (
+  SELECT chunk_id, dl, term, count(*) AS tf
+  FROM (SELECT chunk_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
+  WHERE term IN {_terms_list(uniq)}
+  GROUP BY chunk_id, dl, term
+),
+dfreq AS (SELECT term, count(DISTINCT chunk_id) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.chunk_id, sum({contrib}) AS score
+  FROM tf JOIN dfreq USING (term), stats
+  GROUP BY tf.chunk_id
+),
+rolled AS (
+  SELECT CAST(floor(chunk_id / {base}) AS BIGINT) AS doc_id, max(score) AS score
+  FROM scored GROUP BY 1
+)
+SELECT doc_id, round(score, {round_to}) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM rolled ORDER BY score DESC, doc_id ASC LIMIT {k}"""

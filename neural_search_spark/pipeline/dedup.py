@@ -497,3 +497,62 @@ def embedding_lsh_pairs(
         .where(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 4).alias("cos"))
     )
+
+
+def dense_doc_vectors(docs: DataFrame, dim: int = 16) -> DataFrame:
+    """(doc_id, v double[dim]) — dense_embed long form pivoted to a fixed
+    array, the shared vector basis of the embedding-LSH family."""
+    from ..operators.encoders import dense_embed
+
+    emb_long = dense_embed(docs, dim=dim)
+    return (
+        emb_long.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("dim_idx", "val"))).alias("m"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), d -> coalesce(element_at(m, d), CAST(0.0 AS DOUBLE)))"
+            ).alias("v"),
+        )
+    )
+
+
+def recall_vs_exact_pairs(
+    docs: DataFrame,
+    threshold: float = 0.98,
+    dim: int = 16,
+    bands: int = RHP_BANDS,
+    bits: int = RHP_BITS,
+    hamming_margin: float = 0.1,
+) -> DataFrame:
+    """Measured pair recall of the LSH scale path vs the EXACT all-pairs
+    reference set, on the same dense_embed vectors — the compensating
+    check for the mirrored-oracle blind spot (the DuckDB parity oracle
+    applies the identical banding/prefilter, so only this measurement
+    can catch a banding/margin recall regression).
+
+    One row: (exact_pairs, lsh_pairs, matched_pairs, recall). Tiny-N
+    harness by construction — the exact side is the O(n^2) baseline."""
+    vecs = dense_doc_vectors(docs, dim=dim).persist()
+    exact = embedding_near_dup(vecs, threshold=threshold, id_col="doc_id", vec_col="v")
+    lsh = embedding_lsh_pairs(
+        vecs, threshold=threshold, bands=bands, bits=bits, dim=dim,
+        id_col="doc_id", vec_col="v", hamming_margin=hamming_margin,
+    )
+    ex = exact.select("a", "b")
+    ls = lsh.select("a", "b", F.lit(1).alias("in_lsh"))
+    joined = ex.join(ls, ["a", "b"], "left")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("exact_pairs"),
+        F.sum(F.coalesce(F.col("in_lsh"), F.lit(0))).alias("matched_pairs"),
+    )
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("lsh_pairs"))
+    return (
+        agg.crossJoin(n_lsh)
+        .select(
+            "exact_pairs",
+            F.col("lsh_pairs").cast("long").alias("lsh_pairs"),
+            F.col("matched_pairs").cast("long").alias("matched_pairs"),
+            F.round(F.col("matched_pairs") / F.col("exact_pairs"), 4).alias("recall"),
+        )
+    )

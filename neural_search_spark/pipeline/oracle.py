@@ -429,3 +429,66 @@ joined AS (
   FROM dd JOIN lg USING (doc_id) JOIN rep USING (doc_id) JOIN q USING (doc_id)
 )
 SELECT doc_id, reason = 'keep' AS keep, reason FROM joined"""
+
+
+def ivf_recall_sql(
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    centroid_ids: list[int] | None = None,
+    table: str = "embeddings",
+) -> str:
+    """Oracle for ivf_recall_frame: exact top-k vs IVF top-k overlap.
+    Unlike the ivf_topk parity oracle (which replays the same probe),
+    the EXACT side here is probe-independent — this row moves if the
+    probe or assignment silently loses recall."""
+    exact = cosine_topk_sql(query_vec_id, k=k, table=table)
+    approx = ivf_topk_sql(query_vec_id, k=k, nprobe=nprobe,
+                          centroid_ids=centroid_ids, table=table)
+    return f"""
+WITH exact AS (SELECT vec_id FROM ({exact})),
+approx AS (SELECT vec_id FROM ({approx}))
+SELECT count(*) AS exact_k,
+       count(a.vec_id) AS matched,
+       round(count(a.vec_id) / count(*), 4) AS recall
+FROM exact e LEFT JOIN approx a USING (vec_id)"""
+
+
+def lsh_recall_sql(
+    threshold: float = 0.98,
+    bands: int = _dedup.RHP_BANDS,
+    bits: int = _dedup.RHP_BITS,
+    dim: int = 16,
+    table: str = "documents",
+    hamming_margin: float = 0.1,
+) -> str:
+    """Oracle for recall_vs_exact_pairs: the EXACT all-pairs side is
+    banding/prefilter-independent, so this row quantifies the recall the
+    mirrored embedding_lsh_sql parity check is structurally blind to."""
+    from ..oracle import dense_embed_sql
+
+    lsh = embedding_lsh_sql(threshold, bands, bits, dim, table, hamming_margin)
+    vec_cols = ", ".join(
+        f"coalesce(max(CASE WHEN dim_idx = {d} THEN val END), 0.0)" for d in range(dim)
+    )
+    cos = (
+        "round(list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) "
+        "* sqrt(list_dot_product(y.v, y.v))), 6)"
+    )
+    return f"""
+WITH emb_long AS (SELECT * FROM ({dense_embed_sql(dim=dim, table=table)})),
+vecs AS (SELECT doc_id, [{vec_cols}] AS v FROM emb_long GROUP BY doc_id),
+exact AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM vecs x JOIN vecs y ON x.doc_id < y.doc_id
+  WHERE {cos} >= {threshold}
+),
+lsh AS (SELECT a, b FROM ({lsh})),
+nl AS (SELECT count(*) AS lsh_pairs FROM lsh),
+stats AS (
+  SELECT count(*) AS exact_pairs, count(l.a) AS matched_pairs
+  FROM exact e LEFT JOIN lsh l ON e.a = l.a AND e.b = l.b
+)
+SELECT exact_pairs, lsh_pairs, matched_pairs,
+       round(matched_pairs / exact_pairs, 4) AS recall
+FROM stats, nl"""

@@ -240,3 +240,31 @@ def ivf_recall_at_k(
         hit += len(exact & approx)
         tot += len(exact)
     return hit / tot if tot else 1.0
+
+
+def ivf_recall_frame(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    centroid_ids: list[int] | None = None,
+) -> DataFrame:
+    """One-row (exact_k, matched, recall): recall@k of the IVF probe
+    path vs the exact brute-force top-k, fully declarative — the
+    driver-gate form of :func:`ivf_recall_at_k` (a green row here would
+    catch a silent probe/assignment regression that the mirrored
+    ``ivf_topk_sql`` parity oracle cannot, because that oracle replays
+    the same probe)."""
+    exact = cosine_topk(emb, query_vec_id, k=k).select("vec_id")
+    approx = ivf_topk(emb, query_vec_id, k=k, nprobe=nprobe,
+                      centroid_ids=centroid_ids).select(
+        "vec_id", F.lit(1).alias("hit")
+    )
+    joined = exact.join(approx, "vec_id", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("exact_k"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("matched"),
+    ).select(
+        "exact_k", "matched",
+        F.round(F.col("matched") / F.col("exact_k"), 4).alias("recall"),
+    )
