@@ -198,7 +198,7 @@ def bm25_phrase_indexed(
     kernel = _phrase_kernel(
         list(phrase_terms), idf_by_term, avgdl, int(reader.meta["range_block"]), dtype
     )
-    scan = reader.postings()
+    scan = reader.postings_positional()
     n_buckets = int(reader.meta.get("term_buckets", 0))
     if n_buckets > 1:
         from ..pipeline.hashing import py_hash64

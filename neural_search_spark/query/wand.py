@@ -80,15 +80,30 @@ class IndexReader:
             self.meta = json.load(fh)
         self._stats: tuple[int, float] | None = None
         self._postings: DataFrame | None = None
+        self._postings_pos: DataFrame | None = None
         self._docmap: DataFrame | None = None
         self._dfs: dict[str, int] | None = None
         self.cache_hot = cache_hot
 
     def postings(self) -> DataFrame:
+        """Scoring-path postings handle — EXCLUDES the position streams
+        (v4 format): only the phrase path reads positions, and caching
+        them hot would roughly double the in-memory index for queries
+        that never touch them (positions bytes ~ total token count)."""
         if self._postings is None:
             df = self.spark.read.parquet(self.p["postings"])
+            df = df.drop("positions", "block_pos_off")  # no-op on v3 dirs
             self._postings = df.cache() if self.cache_hot else df
         return self._postings
+
+    def postings_positional(self) -> DataFrame:
+        """Full postings incl. position streams, for the phrase kernel.
+        Deliberately NOT hot-cached: phrase queries prune the scan to
+        their terms and decode candidate blocks only, so the read is
+        per-query-small; a second hot copy of the whole index is not."""
+        if self._postings_pos is None:
+            self._postings_pos = self.spark.read.parquet(self.p["postings"])
+        return self._postings_pos
 
     def docmap(self) -> DataFrame:
         if self._docmap is None:
@@ -566,7 +581,14 @@ def _bulk_kernel_multi(
     single-query bulk kernel per query, at 1/Q the decode work for
     shared terms and 1/Q the job-scheduling overhead. The DataFrame
     analog of the reference's multi-search + HybridQueryScorer
-    sub-query iteration (query/HybridQueryScorer.java:190-208)."""
+    sub-query iteration (query/HybridQueryScorer.java:190-208).
+
+    The kernel accepts MULTI-SEGMENT input (rows of several segments in
+    one Arrow batch, grouped by pmod(segment_id, G)) and loops segments
+    internally — fewer, larger Arrow transfers and python-worker
+    dispatches per batch; results are bit-identical to per-segment
+    grouping because every (query, segment) sub-result is computed
+    independently either way."""
     ft = np.float32 if dtype == "float32" else np.float64
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -579,6 +601,11 @@ def _bulk_kernel_multi(
         )
         if len(pdf) == 0:
             return empty
+        segs = pdf["segment_id"].unique()
+        if len(segs) > 1:
+            outs = [kernel(sub) for _, sub in pdf.groupby("segment_id", sort=True)]
+            outs = [o for o in outs if len(o)]
+            return pd.concat(outs, ignore_index=True) if outs else empty
         pdf = pdf.sort_values("term", kind="mergesort").reset_index(drop=True)
         seg = int(pdf["segment_id"].iloc[0])
         k1f, bf, av = ft(k1), ft(b), ft(avgdl)
@@ -643,6 +670,7 @@ def bm25_topk_indexed_multi(
     queries: list[tuple[list[str], str]],
     k: int = 10,
     dtype: str = "float64",
+    segment_groups: int | None = None,
 ) -> DataFrame:
     """Execute a BATCH of (terms, mode) queries through the index in
     one pass: union-of-terms pruned scan → multi-query kernel → one
@@ -650,7 +678,15 @@ def bm25_topk_indexed_multi(
     instead of ~2 per query — the driver-orchestration floor (the
     measured ~0.2 s/query serial cost) amortizes across the batch.
     Results are bit-identical per query to ``bm25_topk_indexed``
-    (asserted in tests). Returns (query_idx, <key_cols>, score, rank)."""
+    (asserted in tests). Returns (query_idx, <key_cols>, score, rank).
+
+    ``segment_groups=G`` coarsens the kernel grouping from one Arrow
+    batch per segment to one per pmod(segment_id, G) — G ≈ the core
+    count gives each python worker ONE large batch per job instead of
+    segments/cores small ones, cutting per-group Arrow framing +
+    dispatch overhead (the serving-path scaling residual measured by
+    the round-2 control probe). Segments are uniform by construction,
+    so the G groups are balanced. None = per-segment (unchanged)."""
     specs = [(sorted(set(terms)), mode, k) for terms, mode in queries]
     union_terms = sorted({t for terms, _, _ in specs for t in terms})
     N, avgdl = reader.global_stats()
@@ -675,12 +711,19 @@ def bm25_topk_indexed_multi(
 
         buckets = sorted({py_hash64(t) % n_buckets for t in live_union})
         scan = scan.where(F.col("term_bucket").isin(buckets))
-    per_seg = (
-        scan.where(F.col("term").isin(live_union))
-        .select(*BULK_COLS)
-        .groupBy("segment_id")
-        .applyInPandas(lambda pdf: kernel(pdf), schema=MULTI_SCHEMA)
-    )
+    pruned = scan.where(F.col("term").isin(live_union)).select(*BULK_COLS)
+    if segment_groups and segment_groups > 0:
+        per_seg = (
+            pruned.groupBy(F.pmod("segment_id", F.lit(segment_groups)).alias("_sg"))
+            .applyInPandas(
+                lambda pdf: kernel(pdf.drop(columns=["_sg"], errors="ignore")),
+                schema=MULTI_SCHEMA,
+            )
+        )
+    else:
+        per_seg = pruned.groupBy("segment_id").applyInPandas(
+            lambda pdf: kernel(pdf), schema=MULTI_SCHEMA
+        )
     dm = reader.docmap().select("nss_doc_id", *key_cols)
     joined = dm.join(F.broadcast(per_seg), "nss_doc_id")
     from pyspark.sql import Window

@@ -77,6 +77,11 @@ def main() -> int:
                     help="queries per msearch batch (dynamic batching under load)")
     ap.add_argument("--query-concurrency", type=int, default=8,
                     help="fixed at both levels so throughput reflects executor capacity")
+    ap.add_argument("--segment-groups", type=int, default=None,
+                    help="Arrow batches per kernel job (default: cpus) — "
+                         "one large batch per worker instead of one per segment")
+    ap.add_argument("--query-repeats", type=int, default=3,
+                    help="repeat the timed query workload; report all runs + median")
     ap.add_argument("--skip-build", action="store_true",
                     help="reuse an existing index (query-only measurement)")
     ap.add_argument("--skip-queries", action="store_true",
@@ -170,16 +175,31 @@ def main() -> int:
     # executed as msearch batches (dynamic batching — the ~0.25 s/batch
     # serial driver cost amortizes across batch_size queries; per-term
     # decode work is shared inside each batch). 2 Spark jobs per batch.
+    # segment_groups = cpus: ONE large Arrow batch per python worker per
+    # job instead of num_segments small ones (bit-identical results).
+    # Repeated >= 3x; the MEDIAN is the reported number (multi-tenant
+    # box — single runs carry ±25% noise, BENCH/BASELINE.md).
+    seg_groups = args.segment_groups or args.cpus
     workload = make_query_workload(args.query_rounds * len(QUERY_SET))
     batches = [workload[i:i + args.batch_size]
                for i in range(0, len(workload), args.batch_size)]
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=args.query_concurrency) as pool:
-        list(pool.map(
-            lambda b: bm25_topk_indexed_multi(reader, b, k=10).collect(), batches
-        ))
-    query_s = time.perf_counter() - t0
     n_q = len(workload)
+    query_runs: list[float] = []
+    for _ in range(max(1, args.query_repeats)):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=args.query_concurrency) as pool:
+            list(pool.map(
+                lambda b: bm25_topk_indexed_multi(
+                    reader, b, k=10, segment_groups=seg_groups
+                ).collect(),
+                batches,
+            ))
+        query_runs.append(time.perf_counter() - t0)
+    query_s = sorted(query_runs)[len(query_runs) // 2] if len(query_runs) % 2 else sorted(
+        query_runs
+    )[len(query_runs) // 2 - 1 : len(query_runs) // 2 + 1]
+    if isinstance(query_s, list):
+        query_s = sum(query_s) / 2.0
 
     # secondary: one-query-per-request (the round-1 measurement, kept
     # for comparison — dominated by per-job driver orchestration)
@@ -199,6 +219,8 @@ def main() -> int:
                 "sha256_mismatches": mismatches,
                 "n_queries": n_q,
                 "query_sec": round(query_s, 2),
+                "query_runs_sec": [round(x, 2) for x in query_runs],
+                "segment_groups": seg_groups,
                 "queries_per_sec": round(n_q / query_s, 2),
                 "query_single_sec": round(query_single_s, 2),
                 "queries_per_sec_single": round(len(jobs) / query_single_s, 2),

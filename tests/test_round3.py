@@ -31,7 +31,7 @@ def test_positions_roundtrip(spark, documents, doc_index):
     from neural_search_spark.index.builder import decode_term_positions
 
     term = "spark"
-    rows = doc_index.postings().where(F.col("term") == term).collect()
+    rows = doc_index.postings_positional().where(F.col("term") == term).collect()
     dm = {r["nss_doc_id"]: r["doc_id"]
           for r in doc_index.docmap().select("nss_doc_id", "doc_id").collect()}
     got: dict[int, list[int]] = {}
@@ -140,3 +140,25 @@ def test_embedding_lsh_recall(spark):
     row = recall_vs_exact_pairs(docs, threshold=0.98, dim=16).collect()[0]
     assert row["exact_pairs"] > 0
     assert row["recall"] >= 0.95
+
+
+def test_multi_query_segment_groups_bit_identical(spark, documents, doc_index):
+    """Coarse pmod(segment_id, G) grouping (one Arrow batch per worker)
+    must be bit-identical to per-segment grouping — every (query,
+    segment) sub-result is computed independently either way."""
+    from neural_search_spark.query.wand import bm25_topk_indexed_multi
+
+    batch = [(["spark", "window"], "or"), (["spark", "merge"], "and"),
+             (["the"], "or")]
+    base = sorted(
+        (r["query_idx"], r["doc_id"], r["score"])
+        for r in bm25_topk_indexed_multi(doc_index, batch, k=5).collect()
+    )
+    for g in (1, 2, 3):
+        got = sorted(
+            (r["query_idx"], r["doc_id"], r["score"])
+            for r in bm25_topk_indexed_multi(
+                doc_index, batch, k=5, segment_groups=g
+            ).collect()
+        )
+        assert got == base, g
