@@ -178,6 +178,21 @@ def _q_indexed_bm25_phrase(spark, sf_dir):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+PHRASE_SLOP = 2
+
+
+def _q_indexed_phrase_slop(spark, sf_dir):
+    """match_phrase with slop over the POSITIONAL index — ordered
+    proximity (greedy minimal-window chain in the segment kernel;
+    Lucene PhraseQuery's slop budget restricted to in-order matches)."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.phrase import bm25_phrase_indexed
+
+    out = bm25_phrase_indexed(_doc_index(spark, sf_dir), PHRASE, slop=PHRASE_SLOP)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def _q_indexed_merged_topk(spark, sf_dir):
     """BM25 top-k over the MERGED index — a green row exercises the
     segment-merge lifecycle end to end (scores must equal fresh build,
@@ -215,6 +230,48 @@ def _q_ann_ivf_recall(spark, sf_dir):
     from neural_search_spark.pipeline.similarity import ivf_recall_frame
 
     return ivf_recall_frame(_emb(spark, sf_dir), ANN_QUERY_ID, k=10, nprobe=2)
+
+
+def _q_ann_pq_topk(spark, sf_dir):
+    """PQ-ADC approximate top-k (Jégou et al. 2011; the k-NN plugin's
+    faiss IVF_PQ family) — corpus vectors touched only through m-byte
+    codes; 32x memory compression at 100 TB."""
+    from neural_search_spark.pipeline.quantization import pq_adc_topk
+
+    return pq_adc_topk(_emb(spark, sf_dir), ANN_QUERY_ID, k=10)
+
+
+# 32 deterministic codeword seeds + exact refine of the ADC top-100 —
+# measured recall@10 = 0.9 on the test vectors (trained Lloyd codebooks
+# reach 1.0; pytest covers training, which SQL cannot replay).
+PQ_RECALL_CODEBOOK_IDS = list(range(2, 130, 4))
+PQ_RERANK = 100
+
+
+def _q_ann_pq_recall(spark, sf_dir):
+    """Recall@k of the PQ-ADC + exact-refine path vs exact cosine brute
+    force — the exact side is quantizer-independent, so this row catches
+    silent encode/ADC recall regressions the mirrored parity row
+    cannot."""
+    from neural_search_spark.pipeline.quantization import pq_recall_frame
+
+    return pq_recall_frame(
+        _emb(spark, sf_dir), ANN_QUERY_ID, k=10,
+        codebook_ids=PQ_RECALL_CODEBOOK_IDS, rerank=PQ_RERANK,
+    )
+
+
+def _q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ serving composition (faiss IVFADC): coarse probe prunes
+    to nprobe buckets, ADC scans only those buckets' codes, exact
+    refine of the top-50 — the full 100-TB dense-serving shape in one
+    deterministic, oracle-replayed query."""
+    from neural_search_spark.pipeline.quantization import ivfpq_topk
+
+    return ivfpq_topk(
+        _emb(spark, sf_dir), ANN_QUERY_ID, k=10, nprobe=2,
+        codebook_ids=PQ_RECALL_CODEBOOK_IDS, rerank=50,
+    )
 
 
 def _q_dedup_lsh_recall(spark, sf_dir):
@@ -1170,10 +1227,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": _q_text_unigram_logprob,
         # -- round-3 additions (keep inside the first-50 window) --
         "indexed_bm25_phrase": _q_indexed_bm25_phrase,
+        "indexed_phrase_slop": _q_indexed_phrase_slop,
         "indexed_merged_topk": _q_indexed_merged_topk,
         "indexed_live_topk": _q_indexed_live_topk,
         "nested_chunk_topk": _q_nested_chunk_topk,
         "ann_ivf_recall": _q_ann_ivf_recall,
+        "ann_pq_topk": _q_ann_pq_topk,
+        "ann_pq_recall": _q_ann_pq_recall,
+        "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         # -- core load-bearing queries (green in r01/r02, re-checked here) --
         "bm25_or_scores": _q_bm25_or,
@@ -1264,6 +1325,7 @@ def oracle_sql() -> dict[str, str]:
         # indexed phrase must equal the exhaustive phrase semantics —
         # same oracle (positions gate matching, stats drive scoring)
         "indexed_bm25_phrase": oracle.bm25_phrase_sql(PHRASE),
+        "indexed_phrase_slop": oracle.bm25_phrase_sloppy_sql(PHRASE, PHRASE_SLOP),
         # merge and live-append preserve BM25 stats — the oracle IS the
         # fresh-build oracle (index-lifecycle parity as a driver row)
         "indexed_merged_topk": oracle.bm25_topk_sql(TERMS_OR, k=10),
@@ -1356,6 +1418,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_lsh": poracle.embedding_lsh_sql(LSH_DEDUP_COS, dim=LSH_DEDUP_DIM),
         "ann_cosine_topk": poracle.cosine_topk_sql(ANN_QUERY_ID, k=10),
         "ann_ivf_topk": poracle.ivf_topk_sql(ANN_QUERY_ID, k=10, nprobe=2),
+        "ann_pq_topk": poracle.pq_topk_sql(ANN_QUERY_ID, k=10),
+        "ann_pq_recall": poracle.pq_recall_sql(
+            ANN_QUERY_ID, k=10,
+            codebook_ids=PQ_RECALL_CODEBOOK_IDS, rerank=PQ_RERANK,
+        ),
+        "ann_ivfpq_topk": poracle.ivfpq_topk_sql(
+            ANN_QUERY_ID, k=10, nprobe=2,
+            codebook_ids=PQ_RECALL_CODEBOOK_IDS, rerank=50,
+        ),
         "ann_radial": poracle.radial_search_sql(ANN_QUERY_ID, RADIAL_MIN_SCORE),
         "text_token_counts": poracle.token_counts_sql(),
         "text_quality": poracle.quality_scores_sql(),

@@ -46,6 +46,8 @@ HEADLINE += [
     "hybrid_cardinality_hll",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",           # PQ-ADC quantized scan (round-3)
+    "indexed_phrase_slop",   # positional proximity over the index (round-3)
     "text_quality",
     "rescore_window",
     "events_windowed_agg",

@@ -1181,6 +1181,46 @@ WHERE tf.doc_id IN (SELECT doc_id FROM phr)
 GROUP BY tf.doc_id"""
 
 
+def bm25_phrase_sloppy_sql(
+    phrase_terms: list[str],
+    slop: int,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """Oracle for the sloppy ordered phrase (query/phrase.py slop>0 and
+    exhaustive.bm25_phrase_sloppy): positions via generate_subscripts,
+    a k-way ordered position join as the existence witness
+    (p_{i+1} > p_i, p_last - p_0 <= k-1+slop), BM25 over the phrase's
+    unique terms."""
+    _, duck_toks = simple_tokens_sql("text")
+    uniq = sorted(set(phrase_terms))
+    k = len(phrase_terms)
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    ord_ctes = []
+    for i, t in enumerate(phrase_terms):
+        t_sql = t.replace("'", "''")
+        ord_ctes.append(
+            f"o{i} AS (SELECT doc_id, pos AS p{i} FROM pos WHERE term = '{t_sql}')"
+        )
+    joins = "o0" + "".join(f" JOIN o{i} USING (doc_id)" for i in range(1, k))
+    order_preds = " AND ".join(f"p{i} > p{i - 1}" for i in range(1, k)) or "TRUE"
+    return f"""{bm25_base_ctes(uniq, table)},
+pos AS (
+  SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos, unnest(toks) AS term
+  FROM tok
+),
+{",".join(ord_ctes)},
+phr AS (
+  SELECT DISTINCT doc_id FROM {joins}
+  WHERE {order_preds} AND p{k - 1} - p0 <= {k - 1 + slop}
+)
+SELECT tf.doc_id AS doc_id, round(sum({contrib}), {round_to}) AS score
+FROM tf JOIN dfreq USING (term), stats
+WHERE tf.doc_id IN (SELECT doc_id FROM phr)
+GROUP BY tf.doc_id"""
+
+
 def nested_chunk_topk_sql(
     terms: list[str],
     delimiter: str,

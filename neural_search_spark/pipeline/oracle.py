@@ -221,6 +221,208 @@ SELECT vec_id, cos,
 FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
 
 
+def _pq_base_ctes(
+    query_vec_id: int, m: int, dim: int, codebook_ids: list[int], table: str
+) -> str:
+    """Shared PQ oracle CTEs mirroring pipeline.quantization exactly:
+    codebooks = subvectors of the fixed seed ids (code = rank of seed id
+    asc), encode = per-(vec, sub) squared-L2 argmin (round 6, tiebreak
+    code asc), ADC lut = round(dot(q_sub, cw), 6)."""
+    d = dim // m
+    sub_rows = " UNION ALL ".join(
+        f"SELECT vec_id, code, {i} AS sub, list_slice(v, {1 + i * d}, {(i + 1) * d}) AS cw FROM seeds"
+        for i in range(m)
+    )
+    sv_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {i} AS sub, list_slice(v, {1 + i * d}, {(i + 1) * d}) AS sv FROM e"
+        for i in range(m)
+    )
+    q_rows = " UNION ALL ".join(
+        f"SELECT {i} AS sub, list_slice(qv, {1 + i * d}, {(i + 1) * d}) AS qs FROM q0"
+        for i in range(m)
+    )
+    l2 = "round(list_sum(list_transform(list_zip(sv, cw), x -> (x[1] - x[2]) * (x[1] - x[2]))), 6)"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+seeds AS (
+  SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS code
+  FROM e WHERE vec_id IN {_ids(codebook_ids)}
+),
+cb AS ({sub_rows}),
+sv AS ({sv_rows}),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT sv.vec_id, sv.sub, cb.code,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                              ORDER BY {l2} ASC, cb.code ASC) AS rn
+    FROM sv JOIN cb USING (sub)) WHERE rn = 1
+),
+q0 AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}),
+qsub AS ({q_rows}),
+lut AS (
+  SELECT cb.sub, cb.code, round(list_dot_product(qs, cw), 6) AS part
+  FROM cb JOIN qsub USING (sub)
+)"""
+
+
+def pq_topk_sql(
+    query_vec_id: int,
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    codebook_ids: list[int] | None = None,
+    table: str = "embeddings",
+    rerank: int | None = None,
+) -> str:
+    """Oracle for pq_adc_topk: full replay of encode + ADC with
+    list_slice/list_dot_product (pipeline/quantization.py); with
+    ``rerank=R``, the exact-cosine refine of the ADC top-R."""
+    from .quantization import DEFAULT_CODEBOOK_IDS
+
+    ids = codebook_ids or DEFAULT_CODEBOOK_IDS
+    base = f"""{_pq_base_ctes(query_vec_id, m, dim, ids, table)},
+scored AS (
+  SELECT c.vec_id, round(sum(part), 6) AS adc_dot
+  FROM codes c JOIN lut USING (sub, code)
+  WHERE c.vec_id <> {query_vec_id}
+  GROUP BY c.vec_id
+)"""
+    if rerank is None:
+        return f"""{base}
+SELECT vec_id, adc_dot,
+       CAST(row_number() OVER (ORDER BY adc_dot DESC, vec_id ASC) AS INT) AS rank
+FROM scored ORDER BY adc_dot DESC, vec_id ASC LIMIT {k}"""
+    return f"""{base},
+cand AS (SELECT vec_id FROM scored ORDER BY adc_dot DESC, vec_id ASC LIMIT {int(rerank)}),
+refined AS (
+  SELECT e.vec_id,
+         round(list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+  FROM e JOIN cand USING (vec_id), q0
+)
+SELECT vec_id, cos,
+       CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+FROM refined ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
+
+
+def ivfpq_topk_sql(
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    dim: int = 64,
+    codebook_ids: list[int] | None = None,
+    centroid_ids: list[int] | None = None,
+    table: str = "embeddings",
+    rerank: int | None = None,
+) -> str:
+    """Oracle for ivfpq_topk: IVF probe restricts the corpus, PQ
+    codebooks come from the FULL table, encode + ADC run on the probed
+    buckets only, optional exact-cosine refine of the ADC top-R —
+    the exact composition pipeline/quantization.ivfpq_topk executes."""
+    from .quantization import DEFAULT_CODEBOOK_IDS
+    from .similarity import DEFAULT_CENTROID_IDS
+
+    cb_ids = codebook_ids or DEFAULT_CODEBOOK_IDS
+    cids = centroid_ids or DEFAULT_CENTROID_IDS
+    d = dim // m
+    cos = (
+        "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    sub_rows = " UNION ALL ".join(
+        f"SELECT vec_id, code, {i} AS sub, list_slice(v, {1 + i * d}, {(i + 1) * d}) AS cw FROM seeds"
+        for i in range(m)
+    )
+    sv_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {i} AS sub, list_slice(v, {1 + i * d}, {(i + 1) * d}) AS sv FROM e"
+        for i in range(m)
+    )
+    q_rows = " UNION ALL ".join(
+        f"SELECT {i} AS sub, list_slice(qv, {1 + i * d}, {(i + 1) * d}) AS qs FROM q0"
+        for i in range(m)
+    )
+    l2 = "round(list_sum(list_transform(list_zip(sv, cw), x -> (x[1] - x[2]) * (x[1] - x[2]))), 6)"
+    base = f"""
+WITH full_e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM full_e WHERE vec_id IN {_ids(cids)}),
+sim AS (SELECT full_e.vec_id, full_e.v, c.centroid_id, {cos.format(a='full_e.v', b='c.cv')} AS csim FROM full_e, c),
+assigned AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id ASC) AS rn
+    FROM sim) WHERE rn = 1
+),
+qfull AS (SELECT v AS qv FROM full_e WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT centroid_id FROM c, qfull
+  ORDER BY {cos.format(a='cv', b='qv')} DESC, centroid_id ASC LIMIT {nprobe}
+),
+e AS (SELECT a.vec_id, a.v FROM assigned a JOIN probe USING (centroid_id)),
+seeds AS (
+  SELECT vec_id, v, CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS code
+  FROM full_e WHERE vec_id IN {_ids(cb_ids)}
+),
+cb AS ({sub_rows}),
+sv AS ({sv_rows}),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT sv.vec_id, sv.sub, cb.code,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                              ORDER BY {l2} ASC, cb.code ASC) AS rn
+    FROM sv JOIN cb USING (sub)) WHERE rn = 1
+),
+q0 AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}),
+qsub AS ({q_rows}),
+lut AS (
+  SELECT cb.sub, cb.code, round(list_dot_product(qs, cw), 6) AS part
+  FROM cb JOIN qsub USING (sub)
+),
+scored AS (
+  SELECT c2.vec_id, round(sum(part), 6) AS adc_dot
+  FROM codes c2 JOIN lut USING (sub, code)
+  WHERE c2.vec_id <> {query_vec_id}
+  GROUP BY c2.vec_id
+)"""
+    if rerank is None:
+        return f"""{base}
+SELECT vec_id, adc_dot,
+       CAST(row_number() OVER (ORDER BY adc_dot DESC, vec_id ASC) AS INT) AS rank
+FROM scored ORDER BY adc_dot DESC, vec_id ASC LIMIT {k}"""
+    return f"""{base},
+cand AS (SELECT vec_id FROM scored ORDER BY adc_dot DESC, vec_id ASC LIMIT {int(rerank)}),
+refined AS (
+  SELECT e.vec_id, {cos.format(a='v', b='qv')} AS cos
+  FROM e JOIN cand USING (vec_id), q0
+)
+SELECT vec_id, cos,
+       CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+FROM refined ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
+
+
+def pq_recall_sql(
+    query_vec_id: int,
+    k: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    codebook_ids: list[int] | None = None,
+    table: str = "embeddings",
+    rerank: int | None = None,
+) -> str:
+    """Oracle for pq_recall_frame: exact cosine top-k (quantizer-
+    independent) vs the PQ-ADC top-k overlap — the row that detects a
+    silent encode/ADC recall regression."""
+    exact = cosine_topk_sql(query_vec_id, k=k, table=table)
+    approx = pq_topk_sql(query_vec_id, k=k, m=m, dim=dim,
+                         codebook_ids=codebook_ids, table=table, rerank=rerank)
+    return f"""
+WITH exact AS (SELECT vec_id FROM ({exact})),
+approx AS (SELECT vec_id FROM ({approx}))
+SELECT count(*) AS exact_k,
+       count(a.vec_id) AS matched,
+       round(count(a.vec_id) / count(*), 4) AS recall
+FROM exact e LEFT JOIN approx a USING (vec_id)"""
+
+
 # --- textstats ----------------------------------------------------------
 
 def _in_list_duck(col: str, words: list[str]) -> str:

@@ -214,3 +214,56 @@ def bm25_phrase(
     if round_to is not None:
         out = out.withColumn("score", F.round("score", round_to))
     return out
+
+
+def bm25_phrase_sloppy(
+    docs: DataFrame,
+    phrase_terms: list[str],
+    slop: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Ordered proximity match (``match_phrase`` with ``slop``): docs
+    with strictly-increasing positions p_0 < ... < p_{k-1} for the
+    phrase ordinals such that the total gap
+    ``p_{k-1} - p_0 - (k-1) <= slop`` (Lucene PhraseQuery's slop budget
+    restricted to in-order matches; slop=0 is the contiguous phrase).
+    Scoring is BM25 over the phrase's unique terms, like
+    ``bm25_phrase`` — positions gate matching only.
+
+    Plan shape: tokenize once; per ordinal, a posexplode'd position
+    stream pre-filtered to that term (tiny vs the corpus); the
+    existence witness is a k-way equi-join on doc_id with ordered
+    position predicates — all JVM-side codegen, no UDF. The positional
+    index path (query/phrase.py) is the scale implementation; this is
+    its semantic oracle."""
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    k = len(phrase_terms)
+    tok = tokenized(docs, id_col, text_col)
+    scored = bm25_scores(
+        docs, sorted(set(phrase_terms)), id_col, text_col, round_to=None, tok=tok
+    )
+    pos = tok.select(
+        "doc_id", F.posexplode("toks").alias("pos", "term")
+    )
+    witness = None
+    for i, t in enumerate(phrase_terms):
+        p_i = pos.where(F.col("term") == t).select(
+            "doc_id", F.col("pos").alias(f"p{i}")
+        )
+        if witness is None:
+            witness = p_i
+        else:
+            witness = witness.join(p_i, "doc_id").where(
+                F.col(f"p{i}") > F.col(f"p{i - 1}")
+            )
+    witness = witness.where(
+        F.col(f"p{k - 1}") - F.col("p0") <= F.lit(k - 1 + slop)
+    )
+    has_phrase = witness.select("doc_id").distinct()
+    out = scored.join(has_phrase, "doc_id")
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out

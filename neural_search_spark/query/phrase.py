@@ -67,9 +67,11 @@ def _phrase_kernel(
     dtype: str,
     k1: float = K1,
     b: float = B,
+    slop: int = 0,
 ):
     """Per-segment kernel: conjunctive prefilter -> candidate-block
-    position decode -> ordinal-offset intersection -> BM25 score."""
+    position decode -> ordinal-offset intersection (slop=0) or greedy
+    minimal-window chain (slop>0) -> BM25 score."""
     ft = np.float32 if dtype == "float32" else np.float64
     uniq_terms = sorted(set(phrase_terms))
     n_uniq = len(uniq_terms)
@@ -142,18 +144,48 @@ def _phrase_kernel(
                 np.concatenate(keys_parts) if keys_parts else np.empty(0, dtype=np.int64)
             )
 
-        # --- ordinal-offset intersection -------------------------------
-        survivors: np.ndarray | None = None
-        for i, t in enumerate(phrase_terms):
-            k_i = pos_keys[t] - i  # phrase-start key each occurrence implies
-            if i == 0:
-                # drop occurrences whose position < ordinal (cannot start)
-                survivors = k_i
-            else:
-                survivors = np.intersect1d(survivors, k_i, assume_unique=True)
-            if len(survivors) == 0:
+        if slop == 0:
+            # --- ordinal-offset intersection ---------------------------
+            survivors: np.ndarray | None = None
+            for i, t in enumerate(phrase_terms):
+                k_i = pos_keys[t] - i  # phrase-start key each occurrence implies
+                if i == 0:
+                    # drop occurrences whose position < ordinal (cannot start)
+                    survivors = k_i
+                else:
+                    survivors = np.intersect1d(survivors, k_i, assume_unique=True)
+                if len(survivors) == 0:
+                    return empty
+            docs = np.unique(survivors >> POS_SHIFT)
+        else:
+            # --- greedy minimal-window ordered chain (slop > 0) --------
+            # For each occurrence of ordinal 0 (a chain start), walk the
+            # remaining ordinals taking the EARLIEST occurrence strictly
+            # after the current key — earliest-next minimizes the chain's
+            # final position for that start, hence its span. A doc
+            # matches iff some start yields an in-doc chain with
+            #   span_gap = (p_last - p_first) - (k-1) <= slop
+            # (for strictly increasing positions the gap sum telescopes
+            # to exactly that). slop=0 would reduce to the contiguous
+            # intersection above. All steps are vectorized searchsorted
+            # over the (doc << POS_SHIFT | pos) key arrays, which are
+            # sorted by construction (blocks ascend, docs ascend within
+            # block, positions ascend within doc).
+            start = pos_keys[phrase_terms[0]]
+            cur = start.copy()
+            ok = np.ones(len(cur), dtype=bool)
+            for t in phrase_terms[1:]:
+                arr = pos_keys[t]
+                idx = np.searchsorted(arr, cur, side="right")
+                ok &= idx < len(arr)
+                idx = np.minimum(idx, len(arr) - 1)
+                cur = arr[idx]
+            same_doc = (cur >> POS_SHIFT) == (start >> POS_SHIFT)
+            gap = (cur - start) - np.int64(len(phrase_terms) - 1)
+            hit = ok & same_doc & (gap <= slop)
+            if not hit.any():
                 return empty
-        docs = np.unique(survivors >> POS_SHIFT)
+            docs = np.unique(start[hit] >> POS_SHIFT)
         gid = (np.int64(seg) << SEG_SHIFT) + docs
         return pd.DataFrame(
             {
@@ -171,11 +203,18 @@ def bm25_phrase_indexed(
     phrase_terms: list[str],
     dtype: str = "float64",
     k: int | None = None,
+    slop: int = 0,
 ) -> DataFrame:
-    """All docs whose token stream contains ``phrase_terms`` contiguously,
-    BM25-scored over the phrase's unique terms (global, unfiltered
-    stats — Lucene semantics). Returns (nss_doc_id, <key_cols>, score);
+    """All docs whose token stream contains ``phrase_terms`` contiguously
+    (``slop=0``) or as an ordered proximity match (``slop>0``: some
+    strictly-increasing position assignment with total gap
+    ``p_last - p_first - (len-1) <= slop`` — Lucene PhraseQuery's slop
+    budget restricted to in-order matches), BM25-scored over the
+    phrase's unique terms (global, unfiltered stats — Lucene
+    semantics). Returns (nss_doc_id, <key_cols>, score);
     ``k`` adds a deterministic top-k cut (score desc, key asc)."""
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
     if not bool(reader.meta.get("store_positions", False)):
         raise ValueError(
             "index was built with store_positions=False — phrase queries "
@@ -196,7 +235,8 @@ def bm25_phrase_indexed(
         for t in uniq
     }
     kernel = _phrase_kernel(
-        list(phrase_terms), idf_by_term, avgdl, int(reader.meta["range_block"]), dtype
+        list(phrase_terms), idf_by_term, avgdl, int(reader.meta["range_block"]),
+        dtype, slop=slop,
     )
     scan = reader.postings_positional()
     n_buckets = int(reader.meta.get("term_buckets", 0))

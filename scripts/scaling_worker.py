@@ -82,6 +82,12 @@ def main() -> int:
                          "one large batch per worker instead of one per segment")
     ap.add_argument("--query-repeats", type=int, default=3,
                     help="repeat the timed query workload; report all runs + median")
+    ap.add_argument("--no-positions", action="store_true",
+                    help="build without positional postings (v3-equivalent "
+                         "payload — Lucene IndexOptions without positions); "
+                         "phrase/proximity queries then need the exhaustive "
+                         "path. Isolates the position streams' bandwidth "
+                         "cost in build-scaling measurements.")
     ap.add_argument("--skip-build", action="store_true",
                     help="reuse an existing index (query-only measurement)")
     ap.add_argument("--skip-queries", action="store_true",
@@ -126,6 +132,7 @@ def main() -> int:
             key_cols=["repo", "path", "commit"], text_col="content", tokenizer="code",
             num_segments=args.num_segments, range_block=args.range_block,
             build_id=f"scaling-{args.cpus}",
+            store_positions=not args.no_positions,
         )
         build_s = time.perf_counter() - t0
         mismatches = verify_sha256(spark, corpus, args.index_dir)

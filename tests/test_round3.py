@@ -162,3 +162,111 @@ def test_multi_query_segment_groups_bit_identical(spark, documents, doc_index):
             ).collect()
         )
         assert got == base, g
+
+
+def test_phrase_slop_indexed_matches_exhaustive(spark, documents, doc_index):
+    """Indexed sloppy phrase (greedy minimal-window chain over the
+    positional postings) must equal the exhaustive position-join
+    semantics for several slops and phrases."""
+    from neural_search_spark.query.exhaustive import bm25_phrase_sloppy
+
+    for phrase in (["spark", "window"], ["the", "spark"]):
+        for slop in (1, 2, 4):
+            idx = {
+                (r["doc_id"], round(r["score"], 4))
+                for r in bm25_phrase_indexed(doc_index, phrase, slop=slop).collect()
+            }
+            exh = {
+                (r["doc_id"], r["score"])
+                for r in bm25_phrase_sloppy(documents, phrase, slop=slop).collect()
+            }
+            assert idx == exh, (phrase, slop)
+
+
+def test_phrase_slop_zero_equals_contiguous(spark, documents, doc_index):
+    from neural_search_spark.query.exhaustive import bm25_phrase_sloppy
+
+    phrase = ["spark", "window"]
+    contiguous = {
+        (r["doc_id"], r["score"]) for r in bm25_phrase(documents, phrase).collect()
+    }
+    sloppy0 = {
+        (r["doc_id"], r["score"])
+        for r in bm25_phrase_sloppy(documents, phrase, slop=0).collect()
+    }
+    idx0 = {
+        (r["doc_id"], round(r["score"], 4))
+        for r in bm25_phrase_indexed(doc_index, phrase, slop=0).collect()
+    }
+    assert sloppy0 == contiguous
+    assert idx0 == contiguous
+
+
+def test_phrase_slop_monotone(spark, doc_index):
+    """A larger slop budget can only widen the match set."""
+    phrase = ["spark", "window"]
+    prev: set | None = None
+    for slop in (0, 1, 3, 8):
+        cur = {r["doc_id"]
+               for r in bm25_phrase_indexed(doc_index, phrase, slop=slop).collect()}
+        if prev is not None:
+            assert prev <= cur, slop
+        prev = cur
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import os
+    from tests.conftest import SF_SMALL
+
+    return spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
+
+
+def test_pq_codes_shape_and_determinism(spark, embeddings):
+    from neural_search_spark.pipeline.quantization import pq_codes_wide, pq_encode
+
+    codes = pq_codes_wide(pq_encode(embeddings, m=8)).collect()
+    assert all(len(r["codes"]) == 8 for r in codes)
+    assert all(0 <= c < 8 for r in codes for c in r["codes"])
+    again = pq_codes_wide(pq_encode(embeddings, m=8)).collect()
+    assert sorted(map(tuple, ((r["vec_id"], tuple(r["codes"])) for r in codes))) == \
+        sorted(map(tuple, ((r["vec_id"], tuple(r["codes"])) for r in again)))
+
+
+def test_pq_rerank_recall_floor(spark, embeddings):
+    """The recall-row config (32 fixed codewords, exact refine of the
+    ADC top-100) must keep >= 0.85 of the exact top-10; plain ADC with
+    the tiny 8-codeword parity codebook is allowed to be coarse but the
+    refine stage must strictly improve on it."""
+    from __spark_entry__ import PQ_RECALL_CODEBOOK_IDS, PQ_RERANK
+    from neural_search_spark.pipeline.quantization import pq_recall_frame
+
+    row = pq_recall_frame(
+        embeddings, 0, k=10, codebook_ids=PQ_RECALL_CODEBOOK_IDS, rerank=PQ_RERANK
+    ).collect()[0]
+    assert row["exact_k"] == 10
+    assert row["recall"] >= 0.85, row
+    plain = pq_recall_frame(embeddings, 0, k=10).collect()[0]
+    assert row["recall"] > plain["recall"], (row, plain)
+
+
+def test_trained_pq_recall(spark, embeddings):
+    """Lloyd-trained codebooks + refine must reach >= 0.9 recall and be
+    deterministic across runs (no RNG anywhere)."""
+    from __spark_entry__ import PQ_RECALL_CODEBOOK_IDS
+    from neural_search_spark.pipeline.quantization import (
+        pq_recall_frame,
+        train_pq_codebooks,
+    )
+
+    cb = train_pq_codebooks(
+        embeddings, m=8, ksub=32, iters=2, seed_ids=PQ_RECALL_CODEBOOK_IDS
+    )
+    row = pq_recall_frame(embeddings, 0, k=10, codebooks=cb, rerank=50).collect()[0]
+    assert row["recall"] >= 0.9, row
+    cb2 = train_pq_codebooks(
+        embeddings, m=8, ksub=32, iters=2, seed_ids=PQ_RECALL_CODEBOOK_IDS
+    )
+    a = sorted((r["sub"], r["code"], tuple(r["cw"])) for r in cb.collect())
+    b = sorted((r["sub"], r["code"], tuple(r["cw"])) for r in cb2.collect())
+    assert a == b
