@@ -143,6 +143,38 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_hash_arrays(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, hs array<long>): each doc's DISTINCT shingle set as
+    56-bit md5 hashes, computed entirely inside one projection —
+    tokenize → shingle → hash → array_distinct are all per-row array
+    expressions, so producing this frame involves NO shuffle and NO
+    explode (the round-2 layout exploded ~token-count rows and paid a
+    doc_id groupBy to re-assemble signatures). Docs with no shingles
+    (fewer than n tokens) are dropped, matching the exploded layout's
+    absence semantics."""
+    t = _toks(docs, id_col, text_col)
+    spark_sh, _ = shingles_sql("toks", n)
+    spark_h, _ = hash64_sql("s")
+    return t.select(
+        "doc_id",
+        F.expr(f"array_distinct(transform({spark_sh}, s -> {spark_h}))").alias("hs"),
+    ).where(F.size("hs") > 0)
+
+
+def _minhash_cols(num_perm: int) -> list:
+    """mh_i = array_min over the permuted per-doc hash set — the same
+    universal-hash math as the exploded layout's min() aggregate, as a
+    per-row expression (no shuffle)."""
+    return [
+        F.expr(f"array_min(transform(hs, h -> {minhash_expr('h', a, b)}))").alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(minhash_params(num_perm))
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame,
     n: int = 1,
@@ -150,17 +182,11 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, mh0..mh{P-1}) — one groupBy over exploded shingles; the
-    num_perm min-aggregates fold into a single partial-aggregating
-    shuffle keyed on doc_id (map-side combine keeps it linear)."""
-    sh = shingle_sets(docs, n, id_col, text_col)
-    spark_h, _ = hash64_sql("shingle")
-    hashed = sh.withColumn("h", F.expr(spark_h))
-    aggs = [
-        F.min(F.expr(minhash_expr("h", a, b))).alias(f"mh{i}")
-        for i, (a, b) in enumerate(minhash_params(num_perm))
-    ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    """(doc_id, mh0..mh{P-1}) — per-row array expressions over the
+    per-doc shingle-hash set; zero shuffles (scale shape: was one
+    exploded-shingle groupBy in round 2)."""
+    hs = shingle_hash_arrays(docs, n, id_col, text_col)
+    return hs.select("doc_id", *_minhash_cols(num_perm))
 
 
 def minhash_lsh_pairs(
@@ -178,18 +204,20 @@ def minhash_lsh_pairs(
     The bucket join is keyed on (band_idx, band_key) — uniform md5-derived
     keys, so no skew salting needed; candidate volume is O(collisions),
     not O(docs^2). Verification touches candidate pairs only.
-    """
+
+    Round-3 layout: the whole pipeline runs over PER-DOC HASH-SET ARRAYS
+    (``shingle_hash_arrays``) — tokenize/shingle/hash/minhash are per-row
+    expressions, and the exact verify is ``array_intersect`` on the two
+    docs' hash sets. Jaccard is over 56-bit md5 shingle hashes in BOTH
+    engines (bit-identical across them; a hash collision would fold the
+    same two shingles in both). Scale shape: the only shuffles left are
+    the banded self-join and the two candidate joins — the round-2
+    exploded layout additionally shuffled ~token-count rows through a
+    doc_id groupBy and a two-sided shingle equi-join."""
     rows = num_perm // bands
-    # shared by signatures AND verification (4 scans total) — one
-    # tokenize+explode pass instead of four
-    sh = shingle_sets(docs, n, id_col, text_col).persist()
-    spark_h, _ = hash64_sql("shingle")
-    hashed = sh.withColumn("h", F.expr(spark_h))
-    aggs = [
-        F.min(F.expr(minhash_expr("h", a, b))).alias(f"mh{i}")
-        for i, (a, b) in enumerate(minhash_params(num_perm))
-    ]
-    sig = hashed.groupBy("doc_id").agg(*aggs)
+    # shared by signatures AND verification — one tokenize+hash pass
+    hs = shingle_hash_arrays(docs, n, id_col, text_col).persist()
+    sig = hs.select("doc_id", *_minhash_cols(num_perm))
     band_structs = F.array(
         *[
             F.struct(
@@ -214,24 +242,37 @@ def minhash_lsh_pairs(
     )
     # signature-estimate prefilter (standard LSH practice): the fraction
     # of equal minhashes is an unbiased Jaccard estimate; band collisions
-    # at modest similarity are plentiful (measured 316k candidates for
-    # 246 true pairs at sf0.1), so estimate first against the tiny
-    # broadcast signature table and run the exact shingle-join
-    # verification only on survivors. Margin 0.2 under the threshold
-    # keeps P(drop a true pair) < 1% at 32 permutations; deterministic —
+    # at modest similarity are plentiful, so estimate first against the
+    # broadcast signature table and run the exact hash-set verification
+    # only on survivors. Margin 0.2 under the threshold keeps
+    # P(drop a true pair) < 1% at 32 permutations; deterministic —
     # the DuckDB oracle applies the identical prefilter.
     est_min = int(np.ceil(max(0.0, threshold - 0.2) * num_perm))
     sig_arr = sig.select(
         "doc_id", F.array(*[F.col(f"mh{i}") for i in range(num_perm)]).alias("sig")
     )
+    # no broadcast hints: the signature/hash-set tables are O(n_docs) —
+    # Spark auto-broadcasts them at test scale and falls back to
+    # shuffle joins on uniform doc ids at corpus scale
     eq = "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
     cands = (
-        cands.join(F.broadcast(sig_arr.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))), "a")
-        .join(F.broadcast(sig_arr.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))), "b")
+        cands.join(sig_arr.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")), "a")
+        .join(sig_arr.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")), "b")
         .where(F.expr(eq) >= est_min)
         .select("a", "b")
     )
-    return _verify_jaccard(cands, sh, threshold)
+    joined = (
+        cands.join(hs.select(F.col("doc_id").alias("a"), F.col("hs").alias("ha")), "a")
+        .join(hs.select(F.col("doc_id").alias("b"), F.col("hs").alias("hb")), "b")
+        .withColumn("inter", F.size(F.array_intersect("ha", "hb")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("ha") + F.size("hb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return joined
 
 
 SIMHASH_BITS = 48  # stays exact in signed int64 in both engines

@@ -87,8 +87,12 @@ def minhash_lsh_sql(
         )
         for bi in range(bands)
     )
+    # jaccard is over the per-doc DISTINCT 56-bit shingle-hash SETS in
+    # both engines (pipeline/dedup.py round-3 array layout) — identical
+    # md5-derived hashes, so any collision folds identically here too
     return f"""{_shingle_ctes(n, table)},
-hashed AS (SELECT doc_id, shingle, {duck_h} AS h FROM sh),
+hashed AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id, {duck_h} AS h FROM sh)),
+hsizes AS (SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id),
 sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
 band AS ({band_selects}),
 cand0 AS (
@@ -104,12 +108,12 @@ cand AS (
 inter AS (
   SELECT c.a, c.b, count(*) AS inter
   FROM cand c
-  JOIN sh ha ON ha.doc_id = c.a
-  JOIN sh hb ON hb.doc_id = c.b AND hb.shingle = ha.shingle
+  JOIN hashed ha ON ha.doc_id = c.a
+  JOIN hashed hb ON hb.doc_id = c.b AND hb.h = ha.h
   GROUP BY c.a, c.b
 )
 SELECT a, b, round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
-FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+FROM inter JOIN hsizes sa ON sa.doc_id = a JOIN hsizes sb ON sb.doc_id = b
 WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {threshold}"""
 
 
