@@ -1271,3 +1271,79 @@ rolled AS (
 SELECT doc_id, round(score, {round_to}) AS score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
 FROM rolled ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def multiterm_topk_sql(
+    matcher: str,
+    max_expansions: int = 50,
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """MultiTermQuery oracle (prefix / wildcard / fuzzy): expand the
+    term dictionary with ``matcher`` (a SQL predicate over ``term`` —
+    the SAME string the Spark side evaluates, see
+    query/multiterm._matcher_sql), keep the top ``max_expansions`` by
+    (df DESC, term ASC), score the boolean OR with BM25. The expansion
+    df doubles as the scoring df (both are distinct-doc counts)."""
+    _, duck_toks = simple_tokens_sql("text")
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {duck_toks} AS toks FROM {table}
+),
+stats AS (
+  SELECT count(*) AS N, sum(len(toks)) * 1.0 / count(*) AS avgdl FROM tok
+),
+allt AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok
+),
+dict AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM allt GROUP BY term
+),
+exp AS (
+  SELECT term, df FROM dict WHERE {matcher}
+  ORDER BY df DESC, term ASC LIMIT {max_expansions}
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM allt JOIN exp USING (term)
+  GROUP BY doc_id, dl, term
+),
+scored AS (
+  SELECT tf.doc_id AS doc_id, round(sum({contrib}), {round_to}) AS score
+  FROM tf JOIN exp USING (term), stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, scored.score AS score,
+       CAST(row_number() OVER (ORDER BY scored.score DESC, scored.doc_id ASC) AS INT) AS rank
+FROM scored
+ORDER BY scored.score DESC, scored.doc_id ASC
+LIMIT {k}"""
+
+
+def bm25_msm_topk_sql(
+    terms: list[str],
+    min_should_match: int,
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """minimum_should_match oracle: boolean OR that keeps only docs
+    matching >= m distinct query terms (OpenSearch bool.should msm)."""
+    uniq = sorted(set(terms))
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    return f"""{bm25_base_ctes(uniq, table)},
+scored AS (
+  SELECT tf.doc_id AS doc_id, round(sum({contrib}), {round_to}) AS score,
+         count(DISTINCT tf.term) AS nt
+  FROM tf JOIN dfreq USING (term), stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, scored.score AS score,
+       CAST(row_number() OVER (ORDER BY scored.score DESC, scored.doc_id ASC) AS INT) AS rank
+FROM scored WHERE nt >= {min_should_match}
+ORDER BY scored.score DESC, scored.doc_id ASC
+LIMIT {k}"""

@@ -167,6 +167,53 @@ def bm25_conjunctive(
     return out
 
 
+def bm25_msm(
+    docs: DataFrame,
+    terms: list[str],
+    min_should_match: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """minimum_should_match semantics (OpenSearch ``bool.should`` with
+    ``minimum_should_match: m``): boolean OR scored with BM25, keeping
+    only docs matching >= m distinct query terms. Same one-traversal
+    shape as ``bm25_conjunctive`` — the distinct-term count rides the
+    per-doc scoring aggregate; ``m == len(terms)`` degenerates to AND,
+    ``m == 1`` to the plain OR."""
+    uniq = sorted(set(terms))
+    if not 1 <= min_should_match <= len(uniq):
+        raise ValueError(
+            f"min_should_match must be in [1, {len(uniq)}], got {min_should_match}"
+        )
+    tok = tokenized(docs, id_col, text_col)
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("N"),
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dl_expr = quantized_dl_sql("dl")
+    exploded = (
+        tok.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(uniq))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = exploded.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl", k1=K1, b=B)
+    out = (
+        exploded.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", F.expr(contrib))
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"), F.countDistinct("term").alias("nt"))
+        .where(F.col("nt") >= min_should_match)
+        .select("doc_id", "score")
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out
+
+
 def topk(scores: DataFrame, k: int = 10, round_to: int | None = 4) -> DataFrame:
     """Deterministic top-k: (score desc, doc_id asc) — the tiebreak the
     whole engine standardizes on (SURVEY.md §7.0)."""

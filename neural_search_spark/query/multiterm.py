@@ -1,0 +1,239 @@
+"""Multi-term query rewriting: prefix / wildcard / fuzzy BM25 queries.
+
+Lucene/OpenSearch analog (public semantics): ``MultiTermQuery`` with a
+top-terms scoring-boolean rewrite — seek the term dictionary for terms
+matching the pattern, keep the top ``max_expansions`` (OpenSearch
+default 50) and score the rewritten boolean OR with BM25. The reference
+plugin composes these core query types inside hybrid ``bool`` queries
+(HybridQueryBuilder accepts arbitrary sub-queries — see
+`src/main/java/org/opensearch/neuralsearch/query/HybridQueryBuilder.java`
+doWriteTo/fromXContent: sub-queries are opaque QueryBuilders), so the
+engine needs them for a user to run today's queries unchanged.
+
+Determinism: Lucene's TopTermsRewrite ranks expansions by docFreq with
+an implementation-defined tiebreak; here the cut is total-ordered by
+(df DESC, term ASC) and the DuckDB oracle applies the identical cut, so
+results are reproducible across engines.
+
+Scale posture
+-------------
+* The expansion runs against the term DICTIONARY, never the corpus:
+  on the indexed path it is a postings aggregate that reads ONLY the
+  ``term``/``n``/(``term_bucket``) columns — parquet column pruning
+  keeps the heavy payload bytes (docs/tf/position streams) unread, so
+  the scan cost is the vocabulary row count, not the index size. This
+  is the columnar analog of Lucene's FST dictionary seek; a dedicated
+  sorted dictionary table would prune further but adds nothing at the
+  scales where vocabulary ≪ postings (Heaps' law).
+* The collected expansion is ≤ ``max_expansions`` strings — query
+  metadata, exactly like Lucene's rewritten BooleanQuery — not a
+  driver-side data loop.
+* Scoring reuses the existing OR machinery unchanged: the exhaustive
+  one-traversal scorer or the block-max kernel path
+  (`wand.bm25_topk_indexed`), both rank-identical by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .exhaustive import bm25_scores, tokenized, topk
+
+MAX_EXPANSIONS = 50  # OpenSearch default for multi-term rewrites
+
+
+def like_escape(s: str) -> str:
+    """Escape LIKE metacharacters with ``!`` (the matcher SQL appends
+    ``ESCAPE '!'``). ``!`` rather than backslash because the SAME
+    matcher string is executed by Spark SQL (backslash-escaped string
+    literals) and DuckDB (standard SQL: backslash is literal) — ``!``
+    parses identically in both. ``_`` matters in practice: the code
+    tokenizer emits identifier terms like ``doc_id``."""
+    return s.replace("!", "!!").replace("%", "!%").replace("_", "!_")
+
+
+def wildcard_to_like(pattern: str) -> str:
+    """Lucene wildcard syntax → SQL LIKE: ``*`` → ``%``, ``?`` → ``_``;
+    everything else matches literally."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        else:
+            out.append(like_escape(ch))
+    return "".join(out)
+
+
+def _matcher_sql(
+    like: str | None = None,
+    fuzzy: tuple[str, int, int] | None = None,
+) -> str:
+    """SQL predicate over a ``term`` column — VALID IN BOTH Spark SQL
+    and DuckDB (the oracle embeds the same string, so the two engines
+    provably apply the same expansion rule).
+
+    ``fuzzy`` is (query_term, max_edits, prefix_length): Lucene
+    FuzzyQuery semantics — first ``prefix_length`` chars must match
+    exactly, Levenshtein distance ≤ ``max_edits`` (the exact term, at
+    distance 0, is included). The length window is a cheap prefilter
+    that both engines can evaluate without the O(len²) edit distance.
+    """
+    if (like is None) == (fuzzy is None):
+        raise ValueError("exactly one of like= / fuzzy= is required")
+    if like is not None:
+        return f"term LIKE '{like}' ESCAPE '!'"
+    q, max_edits, prefix_length = fuzzy
+    if max_edits < 0 or max_edits > 2:
+        raise ValueError(f"max_edits must be in [0, 2] (Lucene bound), got {max_edits}")
+    preds = [
+        f"length(term) BETWEEN {len(q) - max_edits} AND {len(q) + max_edits}",
+        f"levenshtein(term, '{q}') <= {max_edits}",
+    ]
+    if prefix_length > 0:
+        preds.insert(1, f"term LIKE '{like_escape(q[:prefix_length])}%' ESCAPE '!'")
+    return " AND ".join(preds)
+
+
+def _top_expansions(dictionary: DataFrame, matcher: str, max_expansions: int) -> list[str]:
+    """(term, df) frame → top ``max_expansions`` matching terms by
+    (df DESC, term ASC); returns the collected term list (≤ 50 strings
+    of query metadata — the rewritten BooleanQuery's term set)."""
+    rows = (
+        dictionary.where(F.expr(matcher))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions)
+        .select("term")
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def expand_terms_corpus(
+    docs: DataFrame,
+    like: str | None = None,
+    fuzzy: tuple[str, int, int] | None = None,
+    max_expansions: int = MAX_EXPANSIONS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[str]:
+    """Dictionary expansion for the exhaustive (index-free) path: the
+    dictionary is derived from the corpus (term → distinct-doc df)."""
+    tok = tokenized(docs, id_col, text_col)
+    dictionary = (
+        tok.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    return _top_expansions(dictionary, _matcher_sql(like, fuzzy), max_expansions)
+
+
+def expand_terms_indexed(
+    reader,
+    like: str | None = None,
+    fuzzy: tuple[str, int, int] | None = None,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> list[str]:
+    """Dictionary expansion against the index: Σ ``n`` over a term's
+    posting rows is its df (each posting is one doc — builder
+    invariant), so `SELECT term, sum(n) GROUP BY term` over the
+    postings IS the dictionary. Only the ``term``/``n`` columns are
+    read (columnar pruning; see PLANS.md §9)."""
+    dictionary = (
+        reader.postings()
+        .select("term", "n")
+        .groupBy("term")
+        .agg(F.sum("n").alias("df"))
+    )
+    return _top_expansions(dictionary, _matcher_sql(like, fuzzy), max_expansions)
+
+
+def _scored_or(docs, terms, k, id_col, text_col):
+    if not terms:
+        spark = docs.sparkSession
+        return spark.createDataFrame([], "doc_id long, score double, rank int")
+    # rank on the ROUNDED score: multi-term expansions sum many small
+    # contributions, so cross-engine float ULP ties at the 4-decimal
+    # boundary are likely — both this path and the DuckDB oracle order
+    # by (round(score,4) DESC, doc_id ASC), making ranks reproducible.
+    return topk(
+        bm25_scores(docs, terms, id_col, text_col, round_to=4), k=k, round_to=None
+    )
+
+
+def prefix_topk(
+    docs: DataFrame,
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``prefix`` query, scoring-boolean rewrite, exhaustive path."""
+    terms = expand_terms_corpus(
+        docs, like=like_escape(prefix) + "%", max_expansions=max_expansions,
+        id_col=id_col, text_col=text_col,
+    )
+    return _scored_or(docs, terms, k, id_col, text_col)
+
+
+def wildcard_topk(
+    docs: DataFrame,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``wildcard`` query (``*``/``?``), scoring-boolean rewrite."""
+    terms = expand_terms_corpus(
+        docs, like=wildcard_to_like(pattern), max_expansions=max_expansions,
+        id_col=id_col, text_col=text_col,
+    )
+    return _scored_or(docs, terms, k, id_col, text_col)
+
+
+def fuzzy_topk(
+    docs: DataFrame,
+    term: str,
+    max_edits: int = 1,
+    prefix_length: int = 0,
+    k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``fuzzy`` query (Levenshtein ≤ max_edits), scoring-boolean
+    rewrite, exhaustive path."""
+    terms = expand_terms_corpus(
+        docs, fuzzy=(term, max_edits, prefix_length),
+        max_expansions=max_expansions, id_col=id_col, text_col=text_col,
+    )
+    return _scored_or(docs, terms, k, id_col, text_col)
+
+
+def multiterm_topk_indexed(
+    reader,
+    like: str | None = None,
+    fuzzy: tuple[str, int, int] | None = None,
+    k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """Indexed path: dictionary expansion over postings metadata, then
+    the block-max OR kernel (`wand.bm25_topk_indexed`) — prefix,
+    wildcard and fuzzy all ride this after their pattern is rewritten
+    to a matcher."""
+    from .wand import bm25_topk_indexed
+
+    terms = expand_terms_indexed(reader, like, fuzzy, max_expansions)
+    if not terms:
+        spark = reader.spark
+        return spark.createDataFrame([], "doc_id long, score double, rank int")
+    # over-fetch 4k from the kernel (whose internal cut orders by the
+    # unrounded float sum), then re-rank on the ROUNDED score so the
+    # final top-k and its ranks are stable across engines even when
+    # expansion sums tie at the 4-decimal boundary (see _scored_or).
+    cand = bm25_topk_indexed(reader, terms, k=max(4 * k, 40), mode="or")
+    cand = cand.withColumn("score", F.round("score", 4))
+    return topk(cand.select("doc_id", "score"), k=k, round_to=None)

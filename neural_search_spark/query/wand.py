@@ -158,6 +158,20 @@ class IndexReader:
         return {t: self._dfs[t] for t in terms if self._dfs.get(t, 0) > 0}
 
 
+def _min_matched(mode: str, n_terms: int) -> int:
+    """Distinct-matched-term threshold for a doc to be a hit: 1 for
+    ``or``, ``n_terms`` for ``and``, ``m`` for ``msm:m``
+    (minimum_should_match — OpenSearch ``bool.should`` semantics)."""
+    if mode == "and":
+        return n_terms
+    if mode.startswith("msm:"):
+        m = int(mode[4:])
+        if m < 1:
+            raise ValueError(f"minimum_should_match must be >= 1, got {m}")
+        return m
+    return 1
+
+
 def _wand_kernel(
     terms: list[str],
     idf_by_term: dict[str, float],
@@ -336,6 +350,7 @@ def _bulk_kernel(
         k1f, bf, av = ft(k1), ft(b), ft(avgdl)
         from ..index.builder import decode_term_deltas
 
+        min_match = _min_matched(mode, n_terms)
         size = 0
         decoded = []
         for r in pdf.itertuples():
@@ -360,7 +375,7 @@ def _bulk_kernel(
         for ids, contrib in decoded:  # sorted-term order → deterministic
             acc[ids] += contrib
             cnt[ids] += 1
-        hit = np.flatnonzero(cnt > 0) if mode != "and" else np.flatnonzero(cnt == n_terms)
+        hit = np.flatnonzero(cnt >= min_match)
         if allow is not None and len(hit):
             mask = np.zeros(size, dtype=bool)
             in_range = allow[(allow >= 0) & (allow < size)]
@@ -410,11 +425,16 @@ def bm25_topk_indexed(
     allow-list; global stats (N, avgdl, df) stay UNfiltered, matching
     Lucene (filters don't alter index statistics)."""
     terms = sorted(set(terms))
+    if mode.startswith("msm:") and strategy != "bulk":
+        # WAND's block-max pruning bounds the OR top-k; under an msm
+        # cut a pruned range could hide a qualifying lower-scored doc,
+        # so minimum_should_match requires the exact bulk decode.
+        raise ValueError("minimum_should_match requires strategy='bulk'")
     N, avgdl = reader.global_stats()
     dfs = reader.term_dfs(terms)
     live = [t for t in terms if t in dfs]
     spark = reader.spark
-    if not live or N == 0 or (mode == "and" and len(live) < len(terms)):
+    if not live or N == 0 or len(live) < _min_matched(mode, len(terms)):
         empty = spark.createDataFrame([], RESULT_SCHEMA)
         return _attach_keys(reader, empty, k) if with_keys else empty
 

@@ -1,0 +1,179 @@
+"""Multi-term rewrites (prefix/wildcard/fuzzy) + minimum_should_match.
+
+Parity strategy: the pattern→matcher rewrite is unit-tested pure; the
+dictionary expansion is checked corpus-vs-index (two independent
+derivations of the same term dictionary); scoring parity rides the
+existing exhaustive==indexed rank-identity machinery; msm degenerates
+(m=1 == OR, m=n == AND) are asserted bit-identical on the kernel path.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from neural_search_spark.index.builder import build_index
+from neural_search_spark.query.multiterm import (
+    _matcher_sql,
+    expand_terms_corpus,
+    expand_terms_indexed,
+    fuzzy_topk,
+    like_escape,
+    multiterm_topk_indexed,
+    prefix_topk,
+    wildcard_to_like,
+)
+from neural_search_spark.query.wand import IndexReader, bm25_topk_indexed
+
+
+@pytest.fixture(scope="module")
+def doc_index(spark, documents, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_mt"))
+    build_index(spark, documents, d, key_cols=["doc_id"], text_col="text",
+                tokenizer="simple", num_segments=4, range_block=64)
+    return IndexReader(spark, d, cache_hot=True)
+
+
+# --- pure rewrite helpers ---------------------------------------------
+
+def test_like_escape():
+    assert like_escape("a_b%c!d") == "a!_b!%c!!d"
+
+
+def test_wildcard_to_like():
+    assert wildcard_to_like("s*a?_x") == "s%a_!_x"
+
+
+def test_matcher_requires_exactly_one():
+    with pytest.raises(ValueError):
+        _matcher_sql()
+    with pytest.raises(ValueError):
+        _matcher_sql(like="a%", fuzzy=("a", 1, 0))
+
+
+def test_fuzzy_matcher_bounds():
+    with pytest.raises(ValueError):
+        _matcher_sql(fuzzy=("abc", 3, 0))
+    m = _matcher_sql(fuzzy=("scal", 2, 1))
+    assert "levenshtein" in m and "BETWEEN 2 AND 6" in m and "'s%'" in m
+
+
+def test_matcher_is_dual_dialect(spark, duck):
+    """The SAME matcher string evaluates identically in Spark SQL and
+    DuckDB over the same term list (incl. the ! LIKE escape)."""
+    terms = ["scan", "small", "spark", "s_core", "s%x", "other"]
+    for matcher in [
+        _matcher_sql(like=like_escape("s") + "%"),
+        _matcher_sql(like=like_escape("s_") + "%"),
+        _matcher_sql(like=wildcard_to_like("s*a*")),
+        _matcher_sql(fuzzy=("scal", 2, 1)),
+    ]:
+        got_spark = sorted(
+            r["term"]
+            for r in spark.createDataFrame([(t,) for t in terms], ["term"])
+            .where(F.expr(matcher)).collect()
+        )
+        got_duck = sorted(
+            r[0]
+            for r in duck.execute(
+                "SELECT term FROM (SELECT unnest(?) AS term) WHERE " + matcher,
+                [terms],
+            ).fetchall()
+        )
+        assert got_spark == got_duck, matcher
+
+
+# --- dictionary expansion ---------------------------------------------
+
+def test_expansion_corpus_matches_index(documents, doc_index):
+    for kwargs in [
+        {"like": "s%"},
+        {"like": wildcard_to_like("s*a*")},
+        {"fuzzy": ("scal", 2, 1)},
+        {"like": "zzz%"},  # no matches
+    ]:
+        assert expand_terms_corpus(documents, **kwargs) == expand_terms_indexed(
+            doc_index, **kwargs
+        ), kwargs
+
+
+def test_expansion_cap_is_df_ordered(documents):
+    full = expand_terms_corpus(documents, like="%")  # whole dictionary
+    capped = expand_terms_corpus(documents, like="%", max_expansions=5)
+    assert len(capped) == 5 and set(capped) <= set(full)
+
+
+# --- scoring parity ----------------------------------------------------
+
+def _pdf(df):
+    return df.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def test_prefix_exhaustive_matches_indexed(documents, doc_index):
+    ex = _pdf(prefix_topk(documents, "s", k=10))
+    ix = _pdf(multiterm_topk_indexed(doc_index, like=like_escape("s") + "%", k=10))
+    assert ex["doc_id"].tolist() == ix["doc_id"].tolist()
+    assert (ex["score"] - ix["score"]).abs().max() < 1e-9
+
+
+def test_fuzzy_exhaustive_matches_indexed(documents, doc_index):
+    ex = _pdf(fuzzy_topk(documents, "scal", 2, 1, k=10))
+    ix = _pdf(multiterm_topk_indexed(doc_index, fuzzy=("scal", 2, 1), k=10))
+    assert ex["doc_id"].tolist() == ix["doc_id"].tolist()
+
+
+def test_empty_expansion_returns_empty(documents, doc_index):
+    assert prefix_topk(documents, "zzz", k=10).count() == 0
+    assert multiterm_topk_indexed(doc_index, like="zzz%", k=10).count() == 0
+
+
+# --- minimum_should_match ---------------------------------------------
+
+MSM_TERMS = ["spark", "window", "merge", "vector"]
+
+
+def test_msm_degenerates_to_or_and(doc_index):
+    or_top = bm25_topk_indexed(doc_index, MSM_TERMS, k=10, mode="or").toPandas()
+    msm1 = bm25_topk_indexed(doc_index, MSM_TERMS, k=10, mode="msm:1").toPandas()
+    assert or_top["doc_id"].tolist() == msm1["doc_id"].tolist()
+    assert (or_top["score"] - msm1["score"]).abs().max() == 0.0  # bit-identical
+
+    and_top = bm25_topk_indexed(doc_index, MSM_TERMS, k=10, mode="and").toPandas()
+    msm_all = bm25_topk_indexed(
+        doc_index, MSM_TERMS, k=10, mode=f"msm:{len(MSM_TERMS)}"
+    ).toPandas()
+    assert and_top["doc_id"].tolist() == msm_all["doc_id"].tolist()
+
+
+def test_msm_monotone_hit_counts(doc_index):
+    """Raising m can only shrink the hit set."""
+    counts = []
+    for m in range(1, len(MSM_TERMS) + 1):
+        hits = bm25_topk_indexed(
+            doc_index, MSM_TERMS, k=10_000, mode=f"msm:{m}"
+        ).count()
+        counts.append(hits)
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_msm_exhaustive_matches_indexed(documents, doc_index):
+    from neural_search_spark.query.exhaustive import bm25_msm
+
+    ex = _pdf(bm25_msm(documents, MSM_TERMS, 3, round_to=None))
+    ix = _pdf(
+        bm25_topk_indexed(doc_index, MSM_TERMS, k=10_000, mode="msm:3")
+        .select("doc_id", "score")
+    )
+    assert ex["doc_id"].tolist() == ix["doc_id"].tolist()
+    assert (ex["score"] - ix["score"]).abs().max() < 1e-9
+
+
+def test_msm_validation(doc_index, documents):
+    from neural_search_spark.query.exhaustive import bm25_msm
+
+    with pytest.raises(ValueError):
+        bm25_topk_indexed(doc_index, MSM_TERMS, mode="msm:0")
+    with pytest.raises(ValueError):
+        bm25_topk_indexed(doc_index, MSM_TERMS, mode="msm:2", strategy="wand")
+    with pytest.raises(ValueError):
+        bm25_msm(documents, MSM_TERMS, 0)
+    with pytest.raises(ValueError):
+        bm25_msm(documents, MSM_TERMS, 5)
