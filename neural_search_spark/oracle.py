@@ -1347,3 +1347,120 @@ SELECT doc_id, scored.score AS score,
 FROM scored WHERE nt >= {min_should_match}
 ORDER BY scored.score DESC, scored.doc_id ASC
 LIMIT {k}"""
+
+
+def phrase_prefix_topk_sql(
+    fixed_terms: list[str],
+    prefix_matcher: str,
+    max_expansions: int = 50,
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """match_phrase_prefix oracle: expand the last slot with
+    ``prefix_matcher`` (the SAME predicate string the Spark side
+    evaluates), gate on the fixed terms appearing contiguously followed
+    by any expanded term, score BM25 over fixed+expanded terms, rank on
+    the rounded score."""
+    _, duck_toks = simple_tokens_sql("text")
+    nfix = len(fixed_terms)
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    fixed_list = _terms_list(sorted(set(fixed_terms)))
+    ord_ctes = []
+    for i, t in enumerate(fixed_terms):
+        t_sql = t.replace("'", "''")
+        ord_ctes.append(
+            f"o{i} AS (SELECT doc_id, pos AS p{i} FROM pos WHERE term = '{t_sql}')"
+        )
+    ord_ctes.append(
+        f"o{nfix} AS (SELECT doc_id, pos AS p{nfix} FROM pos "
+        f"JOIN exp ON pos.term = exp.term)"
+    )
+    joins = "o0" + "".join(f" JOIN o{i} USING (doc_id)" for i in range(1, nfix + 1))
+    adj = " AND ".join(f"p{i} = p{i - 1} + 1" for i in range(1, nfix + 1))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {duck_toks} AS toks FROM {table}
+),
+stats AS (
+  SELECT count(*) AS N, sum(len(toks)) * 1.0 / count(*) AS avgdl FROM tok
+),
+allt AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok
+),
+dict AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM allt GROUP BY term
+),
+exp AS (
+  SELECT term, df FROM dict WHERE {prefix_matcher}
+  ORDER BY df DESC, term ASC LIMIT {max_expansions}
+),
+pos AS (
+  SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos, unnest(toks) AS term
+  FROM tok
+),
+{",".join(ord_ctes)},
+phr AS (
+  SELECT DISTINCT doc_id FROM {joins} WHERE {adj}
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM allt
+  WHERE term IN {fixed_list} OR term IN (SELECT term FROM exp)
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id AS doc_id, round(sum({contrib}), {round_to}) AS score
+  FROM tf JOIN dfreq USING (term), stats
+  WHERE tf.doc_id IN (SELECT doc_id FROM phr)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, scored.score AS score,
+       CAST(row_number() OVER (ORDER BY scored.score DESC, scored.doc_id ASC) AS INT) AS rank
+FROM scored
+ORDER BY scored.score DESC, scored.doc_id ASC
+LIMIT {k}"""
+
+
+def highlight_topk_sql(
+    terms: list[str],
+    k: int = 10,
+    window: int = 5,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """Snippet highlighting oracle (query/highlight.py): window of
+    ``window`` tokens either side of the FIRST occurrence of any query
+    term (min 1-based list_position, both engines return 0→NULL for
+    absent terms and least() skips NULLs)."""
+    uniq = sorted(set(terms))
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    firsts = ", ".join(
+        "nullif(list_position(toks, '" + t.replace("'", "''") + "'), 0)" for t in uniq
+    )
+    return f"""{bm25_base_ctes(uniq, table)},
+scored AS (
+  SELECT tf.doc_id AS doc_id, round(sum({contrib}), {round_to}) AS score
+  FROM tf JOIN dfreq USING (term), stats
+  GROUP BY tf.doc_id
+),
+top AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scored
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {k}
+)
+SELECT top.doc_id AS doc_id, top.score AS score, top.rank AS rank,
+       array_to_string(
+         list_slice(toks,
+                    greatest(1, least({firsts}) - {window}),
+                    greatest(1, least({firsts}) - {window}) + {2 * window}),
+         ' ') AS snippet
+FROM top JOIN tok ON top.doc_id = tok.doc_id
+ORDER BY top.rank"""

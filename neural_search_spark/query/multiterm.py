@@ -237,3 +237,97 @@ def multiterm_topk_indexed(
     cand = bm25_topk_indexed(reader, terms, k=max(4 * k, 40), mode="or")
     cand = cand.withColumn("score", F.round("score", 4))
     return topk(cand.select("doc_id", "score"), k=k, round_to=None)
+
+
+def phrase_prefix_topk(
+    docs: DataFrame,
+    fixed_terms: list[str],
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``match_phrase_prefix``: contiguous phrase whose LAST slot is a
+    prefix. The last slot expands like a prefix query (top
+    ``max_expansions`` dictionary terms by df — OpenSearch's
+    max_expansions knob); a doc matches when the fixed terms appear
+    contiguously followed immediately by ANY expanded term.
+
+    Scoring convention (documented, mirrored by the oracle): BM25 over
+    the union of fixed + expanded terms — the positional constraint
+    gates matching, term statistics drive scoring, exactly the
+    phrase-vs-scoring split ``bm25_phrase`` already standardizes on.
+    Ranks cut on the rounded score (multi-term sums tie at the
+    4-decimal boundary across engines)."""
+    exp = expand_terms_corpus(
+        docs, like=like_escape(prefix) + "%", max_expansions=max_expansions,
+        id_col=id_col, text_col=text_col,
+    )
+    if not exp:
+        spark = docs.sparkSession
+        return spark.createDataFrame([], "doc_id long, score double, rank int")
+    all_terms = sorted(set(fixed_terms) | set(exp))
+    tok = tokenized(docs, id_col, text_col)
+    scored = bm25_scores(docs, all_terms, id_col, text_col, round_to=4, tok=tok)
+    pos = tok.select("doc_id", F.posexplode("toks").alias("pos", "term"))
+    witness = None
+    for i, t in enumerate(fixed_terms):
+        p_i = pos.where(F.col("term") == t).select("doc_id", F.col("pos").alias(f"p{i}"))
+        if witness is None:
+            witness = p_i
+        else:
+            witness = witness.join(p_i, "doc_id").where(
+                F.col(f"p{i}") == F.col(f"p{i - 1}") + 1
+            )
+    last = len(fixed_terms)
+    p_last = pos.where(F.col("term").isin(exp)).select(
+        "doc_id", F.col("pos").alias(f"p{last}")
+    )
+    witness = witness.join(p_last, "doc_id").where(
+        F.col(f"p{last}") == F.col(f"p{last - 1}") + 1
+    )
+    gate = witness.select("doc_id").distinct()
+    return topk(scored.join(gate, "doc_id"), k=k, round_to=None)
+
+
+def phrase_prefix_topk_indexed(
+    reader,
+    fixed_terms: list[str],
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
+) -> DataFrame:
+    """Indexed ``match_phrase_prefix``: dictionary expansion over
+    postings metadata, one positional phrase-kernel probe per expanded
+    term for the gate (each probe prunes its scan to that phrase's
+    terms/buckets — per-query I/O ∝ candidate postings, not corpus),
+    then ONE scoring pass: the block-max OR kernel over fixed+expanded
+    terms restricted to the gated docs via the FILTER-occur ``allowed``
+    channel (stats stay global/unfiltered — Lucene semantics, same as
+    filtered hybrid). A production refinement would accept a term-SET
+    per phrase slot inside one kernel; at OpenSearch's max_expansions
+    default (50) the probe fan-out is bounded and embarrassingly
+    parallel."""
+    from functools import reduce
+
+    from .phrase import bm25_phrase_indexed
+    from .wand import bm25_topk_indexed
+
+    exp = expand_terms_indexed(
+        reader, like=like_escape(prefix) + "%", max_expansions=max_expansions
+    )
+    if not exp:
+        spark = reader.spark
+        return spark.createDataFrame([], "doc_id long, score double, rank int")
+    gates = [
+        bm25_phrase_indexed(reader, list(fixed_terms) + [e]).select("nss_doc_id")
+        for e in exp
+    ]
+    gate = reduce(lambda a, b: a.unionByName(b), gates).distinct()
+    all_terms = sorted(set(fixed_terms) | set(exp))
+    cand = bm25_topk_indexed(
+        reader, all_terms, k=max(4 * k, 40), mode="or", allowed=gate
+    )
+    cand = cand.withColumn("score", F.round("score", 4))
+    return topk(cand.select("doc_id", "score"), k=k, round_to=None)

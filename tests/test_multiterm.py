@@ -177,3 +177,68 @@ def test_msm_validation(doc_index, documents):
         bm25_msm(documents, MSM_TERMS, 0)
     with pytest.raises(ValueError):
         bm25_msm(documents, MSM_TERMS, 5)
+
+
+# --- match_phrase_prefix ----------------------------------------------
+
+def test_phrase_prefix_exhaustive_matches_indexed(documents, doc_index):
+    from neural_search_spark.query.multiterm import (
+        phrase_prefix_topk,
+        phrase_prefix_topk_indexed,
+    )
+
+    ex = _pdf(phrase_prefix_topk(documents, ["data"], "s", k=10))
+    ix = _pdf(phrase_prefix_topk_indexed(doc_index, ["data"], "s", k=10))
+    assert len(ex) == 10
+    assert ex["doc_id"].tolist() == ix["doc_id"].tolist()
+    assert (ex["score"] - ix["score"]).abs().max() < 1e-9
+
+
+def test_phrase_prefix_single_expansion_equals_phrase_gate(documents):
+    """prefix 'win' expands only to 'window', so the gated doc set must
+    equal the exact-phrase gate of ['spark','window']."""
+    from neural_search_spark.query.exhaustive import bm25_phrase
+    from neural_search_spark.query.multiterm import phrase_prefix_topk
+
+    pp = phrase_prefix_topk(documents, ["spark"], "win", k=10_000)
+    ph = bm25_phrase(documents, ["spark", "window"])
+    assert sorted(r["doc_id"] for r in pp.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in ph.select("doc_id").collect()
+    )
+
+
+def test_phrase_prefix_empty_expansion(documents, doc_index):
+    from neural_search_spark.query.multiterm import (
+        phrase_prefix_topk,
+        phrase_prefix_topk_indexed,
+    )
+
+    assert phrase_prefix_topk(documents, ["data"], "zzz", k=10).count() == 0
+    assert phrase_prefix_topk_indexed(doc_index, ["data"], "zzz", k=10).count() == 0
+
+
+# --- highlighting ------------------------------------------------------
+
+def test_highlight_snippet_contains_a_query_term(documents):
+    from neural_search_spark.query.highlight import highlight_topk
+
+    rows = highlight_topk(documents, ["spark", "window", "merge"], k=10, window=5).collect()
+    assert len(rows) == 10
+    for r in rows:
+        toks = r["snippet"].split(" ")
+        assert len(toks) <= 11  # 2*window+1 cap
+        assert set(toks) & {"spark", "window", "merge"}, r["snippet"]
+
+
+def test_highlight_window_centering(spark):
+    """Doc with a known token stream: snippet must center on the first
+    query-term occurrence, clamped at the document start."""
+    from neural_search_spark.query.highlight import highlight_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g target h i j k l m n"), (2, "target x y z")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["snippet"] for r in highlight_topk(docs, ["target"], k=2, window=2).collect()}
+    assert got[1] == "f g target h i"
+    assert got[2] == "target x y z"  # clamped left, short right
