@@ -1464,3 +1464,98 @@ SELECT top.doc_id AS doc_id, top.score AS score, top.rank AS rank,
          ' ') AS snippet
 FROM top JOIN tok ON top.doc_id = tok.doc_id
 ORDER BY top.rank"""
+
+
+def bool_topk_sql(
+    must: list[str],
+    should: list[str],
+    must_not: list[str],
+    minimum_should_match: int = 0,
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """``bool`` query oracle (query/booleans.bool_topk): must AND-gates
+    and scores, should scores (optionally >= msm), must_not excludes
+    without scoring; one aggregate carries score + 3 clause counters."""
+    must = sorted(set(must))
+    should = sorted(set(should))
+    must_not = sorted(set(must_not))
+    scoring = sorted(set(must) | set(should))
+    all_terms = sorted(set(scoring) | set(must_not))
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    _, duck_toks = simple_tokens_sql("text")
+
+    def _in(terms: list[str]) -> str:
+        return f"tf.term IN {_terms_list(terms)}" if terms else "FALSE"
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {duck_toks} AS toks FROM {table}
+),
+stats AS (
+  SELECT count(*) AS N, sum(len(toks)) * 1.0 / count(*) AS avgdl FROM tok
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
+  WHERE term IN {_terms_list(all_terms)}
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf
+  WHERE term IN {_terms_list(scoring)} GROUP BY term
+),
+agg AS (
+  SELECT tf.doc_id AS doc_id,
+         round(sum(CASE WHEN {_in(scoring)} THEN {contrib} ELSE 0.0 END), {round_to}) AS score,
+         sum(CASE WHEN {_in(must)} THEN 1 ELSE 0 END) AS n_must,
+         sum(CASE WHEN {_in(should)} THEN 1 ELSE 0 END) AS n_should,
+         sum(CASE WHEN {_in(must_not)} THEN 1 ELSE 0 END) AS n_not
+  FROM tf LEFT JOIN dfreq USING (term), stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, agg.score AS score,
+       CAST(row_number() OVER (ORDER BY agg.score DESC, agg.doc_id ASC) AS INT) AS rank
+FROM agg
+WHERE n_must = {len(must)} AND n_should >= {minimum_should_match} AND n_not = 0
+ORDER BY agg.score DESC, agg.doc_id ASC
+LIMIT {k}"""
+
+
+def dis_max_topk_sql(
+    term_groups: list[list[str]],
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """``dis_max`` oracle (query/booleans.dis_max_topk): per-group BM25
+    OR scores from one shared tf frame, combined as
+    best + tie_breaker * (total - best) per doc."""
+    all_terms = sorted({t for g in term_groups for t in g})
+    member_rows = ", ".join(
+        f"({i}, '" + t.replace("'", "''") + "')"
+        for i, g in enumerate(term_groups)
+        for t in sorted(set(g))
+    )
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    return f"""{bm25_base_ctes(all_terms, table)},
+member (idx, term) AS (VALUES {member_rows}),
+scoredg AS (
+  SELECT m.idx AS idx, tf.doc_id AS doc_id, sum({contrib}) AS score
+  FROM tf JOIN dfreq USING (term) JOIN member m ON m.term = tf.term, stats
+  GROUP BY m.idx, tf.doc_id
+),
+comb AS (
+  SELECT doc_id,
+         round(max(score) + {tie_breaker} * (sum(score) - max(score)), {round_to}) AS score
+  FROM scoredg GROUP BY doc_id
+)
+SELECT doc_id, comb.score AS score,
+       CAST(row_number() OVER (ORDER BY comb.score DESC, comb.doc_id ASC) AS INT) AS rank
+FROM comb
+ORDER BY comb.score DESC, comb.doc_id ASC
+LIMIT {k}"""

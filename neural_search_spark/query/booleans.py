@@ -1,0 +1,173 @@
+"""Lucene boolean-query scoring shapes: ``bool`` and ``dis_max``.
+
+Public semantics (Lucene/OpenSearch core — the reference plugin nests
+its hybrid/neural clauses inside exactly these compound queries, see
+`HybridQueryBuilder` accepting arbitrary sub-QueryBuilders):
+
+* ``bool``: MUST clauses are conjunctive and scoring; SHOULD clauses
+  are optional and scoring (with an optional ``minimum_should_match``);
+  MUST_NOT clauses exclude and never score. Per-doc score is the sum
+  over matched scoring clauses — for term clauses under BM25 that is
+  the per-term contribution sum this engine already computes.
+* ``dis_max``: per-doc score is the best sub-query score plus
+  ``tie_breaker`` × (sum of the other sub-query scores). A bool-should
+  degenerates to ``tie_breaker=1``; pure best-field is ``0``.
+
+Execution shapes
+----------------
+Exhaustive ``bool``: ONE corpus traversal — the per-doc aggregate
+counts matched must-terms and should-terms alongside the score sum
+(the ``bm25_conjunctive`` shape extended with two counters); the
+must_not gate is an aggregate-side count of excluded terms == 0, so
+exclusion costs no extra join or scan.
+
+Indexed ``bool``: gate × score composition — the allow-list channel of
+the block-max kernel (FILTER-occur, stats unfiltered) carries the
+(must AND) ∖ (must_not OR) doc set computed by ``matched_ids_indexed``,
+while the kernel scores the must+should OR in one pass.
+
+``dis_max``: rides ``bm25_scores_by_group`` (every sub-query scored in
+one corpus traversal); the max/sum combine is a per-doc aggregate over
+the (subquery_idx, doc_id, score) frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.norms import quantized_dl_sql
+from .bm25 import B, K1, bm25_sql
+from .exhaustive import bm25_scores_by_group, tokenized, topk
+
+
+def bool_topk(
+    docs: DataFrame,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    minimum_should_match: int = 0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exhaustive ``bool`` query, one corpus traversal. Ranks cut on
+    the rounded score (cross-engine tie rule, query/multiterm.py)."""
+    must = sorted(set(must or []))
+    should = sorted(set(should or []))
+    must_not = sorted(set(must_not or []))
+    if not must and not should:
+        raise ValueError("bool query needs at least one scoring clause (must/should)")
+    if overlap := (set(must) | set(should)) & set(must_not):
+        raise ValueError(f"terms cannot be both scoring and must_not: {sorted(overlap)}")
+    if minimum_should_match > len(should):
+        raise ValueError("minimum_should_match exceeds the should-clause count")
+    scoring = sorted(set(must) | set(should))
+    all_terms = sorted(set(scoring) | set(must_not))
+    tok = tokenized(docs, id_col, text_col)
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("N"),
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dl_expr = quantized_dl_sql("dl")
+    exploded = (
+        tok.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # df over scoring terms only (must_not terms never contribute —
+    # Lucene: prohibited clauses are non-scoring)
+    dfreq = (
+        exploded.where(F.col("term").isin(scoring))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl", k1=K1, b=B)
+    is_must = F.col("term").isin(must) if must else F.lit(False)
+    is_should = F.col("term").isin(should) if should else F.lit(False)
+    is_not = F.col("term").isin(must_not) if must_not else F.lit(False)
+    agg = (
+        exploded.join(F.broadcast(dfreq), "term", "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.when(F.col("term").isin(scoring), F.expr(contrib)).otherwise(F.lit(0.0)),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.sum(is_must.cast("int")).alias("n_must"),
+            F.sum(is_should.cast("int")).alias("n_should"),
+            F.sum(is_not.cast("int")).alias("n_not"),
+        )
+        .where(
+            (F.col("n_must") == len(must))
+            & (F.col("n_should") >= minimum_should_match)
+            & (F.col("n_not") == 0)
+        )
+        .select("doc_id", F.round("score", 4).alias("score"))
+    )
+    return topk(agg, k=k, round_to=None)
+
+
+def bool_topk_indexed(
+    reader,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Indexed ``bool``: allow-list gate × one OR scoring pass.
+
+    The gate is (must AND-matched ids) minus (must_not OR-matched ids)
+    — both from ``matched_ids_indexed`` (per-segment kernel match
+    streams, no scoring); the exclusion is a broadcast-able left-anti
+    join at query-result cardinality, not corpus cardinality. Scoring
+    runs the block-max kernel over must+should with global stats
+    (FILTER-occur: gates never alter index statistics)."""
+    from .wand import bm25_topk_indexed, matched_ids_indexed
+
+    must = sorted(set(must or []))
+    should = sorted(set(should or []))
+    must_not = sorted(set(must_not or []))
+    if not must:
+        raise ValueError("indexed bool path requires at least one must term")
+    if overlap := (set(must) | set(should)) & set(must_not):
+        raise ValueError(f"terms cannot be both scoring and must_not: {sorted(overlap)}")
+    gate = matched_ids_indexed(reader, must, mode="and").select("nss_doc_id")
+    if must_not:
+        excluded = matched_ids_indexed(reader, must_not, mode="or").select("nss_doc_id")
+        gate = gate.join(excluded, "nss_doc_id", "left_anti")
+    scoring = sorted(set(must) | set(should))
+    cand = bm25_topk_indexed(
+        reader, scoring, k=max(4 * k, 40), mode="or", allowed=gate
+    )
+    cand = cand.withColumn("score", F.round("score", 4))
+    return topk(cand.select("doc_id", "score"), k=k, round_to=None)
+
+
+def dis_max_topk(
+    docs: DataFrame,
+    term_groups: list[list[str]],
+    tie_breaker: float = 0.0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``dis_max`` over BM25 term sub-queries: best sub-query score +
+    ``tie_breaker`` × sum of the rest, per doc. All sub-queries score
+    in ONE corpus traversal (`bm25_scores_by_group`)."""
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    per_group = bm25_scores_by_group(docs, term_groups, id_col, text_col)
+    combined = (
+        per_group.groupBy("doc_id")
+        .agg(F.max("score").alias("best"), F.sum("score").alias("total"))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("best") + F.lit(tie_breaker) * (F.col("total") - F.col("best")), 4
+            ).alias("score"),
+        )
+    )
+    return topk(combined, k=k, round_to=None)

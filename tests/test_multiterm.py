@@ -242,3 +242,88 @@ def test_highlight_window_centering(spark):
     got = {r["doc_id"]: r["snippet"] for r in highlight_topk(docs, ["target"], k=2, window=2).collect()}
     assert got[1] == "f g target h i"
     assert got[2] == "target x y z"  # clamped left, short right
+
+
+# --- bool / dis_max ----------------------------------------------------
+
+def test_bool_must_not_excludes(documents):
+    from neural_search_spark.query.booleans import bool_topk
+
+    with_not = bool_topk(documents, must=["data"], must_not=["dup"], k=10_000)
+    without = bool_topk(documents, must=["data"], k=10_000)
+    ids_with = {r["doc_id"] for r in with_not.select("doc_id").collect()}
+    ids_without = {r["doc_id"] for r in without.select("doc_id").collect()}
+    assert ids_with <= ids_without
+    # every excluded doc really contains the prohibited term
+    from neural_search_spark.query.exhaustive import tokenized
+    dup_docs = {
+        r["doc_id"]
+        for r in tokenized(documents).where(F.array_contains("toks", "dup"))
+        .select("doc_id").collect()
+    }
+    assert ids_without - ids_with == ids_without & dup_docs
+
+
+def test_bool_pure_must_equals_conjunctive(documents):
+    from neural_search_spark.query.booleans import bool_topk
+    from neural_search_spark.query.exhaustive import bm25_conjunctive, topk
+
+    terms = ["data", "query", "table"]
+    b = bool_topk(documents, must=terms, k=10_000).select("doc_id", "score")
+    c = topk(bm25_conjunctive(documents, terms, round_to=4), k=10_000, round_to=None
+             ).select("doc_id", "score")
+    bp = _pdf(b); cp = _pdf(c)
+    assert bp["doc_id"].tolist() == cp["doc_id"].tolist()
+    assert (bp["score"] - cp["score"]).abs().max() < 1e-9
+
+
+def test_bool_indexed_matches_exhaustive(documents, doc_index):
+    from neural_search_spark.query.booleans import bool_topk, bool_topk_indexed
+
+    ex = _pdf(bool_topk(documents, must=["data"], should=["spark", "window"],
+                        must_not=["dup"], k=10))
+    ix = _pdf(bool_topk_indexed(doc_index, must=["data"], should=["spark", "window"],
+                                must_not=["dup"], k=10))
+    assert ex["doc_id"].tolist() == ix["doc_id"].tolist()
+    assert (ex["score"] - ix["score"]).abs().max() < 1e-9
+
+
+def test_bool_validation(documents, doc_index):
+    from neural_search_spark.query.booleans import bool_topk, bool_topk_indexed
+
+    with pytest.raises(ValueError):
+        bool_topk(documents)  # no scoring clause
+    with pytest.raises(ValueError):
+        bool_topk(documents, must=["data"], must_not=["data"])
+    with pytest.raises(ValueError):
+        bool_topk(documents, should=["a"], minimum_should_match=2)
+    with pytest.raises(ValueError):
+        bool_topk_indexed(doc_index, should=["spark"])  # indexed needs must
+
+
+def test_dis_max_tie_breaker_bounds(documents):
+    from neural_search_spark.query.booleans import dis_max_topk
+
+    with pytest.raises(ValueError):
+        dis_max_topk(documents, [["a"]], tie_breaker=1.5)
+
+
+def test_dis_max_degenerates(documents):
+    """tie_breaker=1 == bool-should sum; tie_breaker=0 == best field."""
+    from neural_search_spark.query.booleans import dis_max_topk
+    from neural_search_spark.query.exhaustive import bm25_scores, topk
+
+    groups = [["spark", "window"], ["merge"]]
+    dm1 = _pdf(dis_max_topk(documents, groups, tie_breaker=1.0, k=10_000))
+    flat = _pdf(topk(bm25_scores(documents, ["spark", "window", "merge"], round_to=4),
+                     k=10_000, round_to=None))
+    assert dm1["doc_id"].tolist() == flat["doc_id"].tolist()
+    assert (dm1["score"] - flat["score"]).abs().max() <= 1e-4  # per-group rounding
+
+    dm0 = dis_max_topk(documents, groups, tie_breaker=0.0, k=10_000).toPandas()
+    per_g = {}
+    for g in groups:
+        for r in bm25_scores(documents, g, round_to=None).collect():
+            per_g.setdefault(r["doc_id"], []).append(r["score"])
+    for r in dm0.itertuples():
+        assert abs(r.score - round(max(per_g[r.doc_id]), 4)) <= 1e-4
