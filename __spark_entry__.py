@@ -295,6 +295,20 @@ def _q_ann_ivfpq_topk(spark, sf_dir):
     )
 
 
+def _q_ann_hnsw_topk(spark, sf_dir):
+    """Graph-ANN (HNSW-class) top-k: per-segment NSW graphs built and
+    beam-searched in applyInPandas — the Spark-native analog of the
+    k-NN plugin's per-segment Lucene HNSW engine the reference's neural
+    query delegates to (query/NeuralQueryBuilder.java:300-325) — with
+    exact JVM cosine rerank of the candidate union. The oracle is the
+    EXACT brute-force top-k (not a mirrored graph replay), so this row
+    is a true third-party recall gate: a graph regression that loses a
+    neighbor turns it red."""
+    from neural_search_spark.pipeline.graph_ann import hnsw_topk
+
+    return hnsw_topk(_emb(spark, sf_dir), ANN_QUERY_ID, k=10)
+
+
 def _q_dedup_lsh_recall(spark, sf_dir):
     """Measured pair recall of embedding-LSH vs the exact all-pairs set
     on the same vectors (ADVICE r02: the mirrored LSH oracle applies the
@@ -1359,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_recall": _q_ann_pq_recall,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
+        "ann_hnsw_topk": _q_ann_hnsw_topk,
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         # -- round-3 multi-term rewrites + minimum_should_match --
         "indexed_prefix_topk": _q_indexed_prefix_topk,
@@ -1596,6 +1611,9 @@ def oracle_sql() -> dict[str, str]:
             ANN_QUERY_ID, k=10, nprobe=2,
             codebook_ids=PQ_RECALL_CODEBOOK_IDS, rerank=50,
         ),
+        # hnsw is gated against the EXACT top-k (independent oracle: a
+        # graph recall loss turns this row red — see _q_ann_hnsw_topk)
+        "ann_hnsw_topk": poracle.cosine_topk_sql(ANN_QUERY_ID, k=10),
         "ann_radial": poracle.radial_search_sql(ANN_QUERY_ID, RADIAL_MIN_SCORE),
         "text_token_counts": poracle.token_counts_sql(),
         "text_quality": poracle.quality_scores_sql(),

@@ -47,6 +47,7 @@ HEADLINE += [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_pq_topk",           # PQ-ADC quantized scan (round-3)
+    "ann_hnsw_topk",         # per-segment NSW graph search (round-3)
     "indexed_phrase_slop",   # positional proximity over the index (round-3)
     "text_quality",
     "rescore_window",

@@ -1,0 +1,272 @@
+"""Graph-based ANN (HNSW-class) over an embedding column — per segment.
+
+The reference's ``neural`` query delegates dense retrieval to the k-NN
+plugin (query/NeuralQueryBuilder.java:300-325), whose default engine is
+a per-segment Lucene HNSW graph: every segment builds its own graph,
+a query searches each segment's graph independently, and the per-segment
+top candidates merge. This module reproduces that architecture
+Spark-natively:
+
+* **Build** — vectors are hash-partitioned into ``n_segments`` segments
+  (``pmod(vec_id, n_segments)``; at ingest scale this is the stored
+  segment/bucket column, exactly like the postings index's
+  ``segment_id``). Each segment builds a navigable-small-world graph
+  (Malkov & Yashunin 2016, single layer — Lucene's own graphs are
+  per-segment and rebuilt on merge, so the layer hierarchy buys little
+  at per-segment sizes) inside one ``applyInPandas`` group: insert in
+  ascending vec_id order, locate each new node's ``M`` nearest among the
+  already-inserted via the graph's own beam search (``ef_construction``),
+  link bidirectionally, prune reverse lists to ``2·M`` by similarity.
+  Deterministic: no RNG anywhere — insertion order, tie-breaks
+  (similarity desc, vec_id asc) and the entry point (first inserted node)
+  are all fixed, so the graph is bit-identical across parallelism levels.
+* **Search** — the query vector rides in as a broadcast 1-row frame;
+  each segment group beam-searches its graph (``ef`` candidates) and
+  emits candidate vec_ids only. The candidate union is then scored
+  EXACTLY on the JVM (same zip_with/aggregate cosine and rounding as
+  :func:`..similarity.cosine_topk`) and top-k'd — so when the graphs'
+  candidate sets cover the true neighbors, the output is bit-identical
+  to exact brute force, and the DuckDB *exact* oracle becomes a true
+  third-party recall gate (a graph recall regression turns the
+  CORRECTNESS row red; mirrored-oracle parity could never see it).
+
+Scale shape at 100 TB: graphs are per-segment (executor-memory sized,
+like Lucene's per-segment HNSW heaps), build is embarrassingly parallel
+across segments (one shuffle on the uniform segment key), search visits
+O(ef·M·log n) vectors per segment instead of scanning, and the exact
+rerank touches only |segments|·ef rows. The Python graph kernel is
+Arrow-batched (one group = one segment = one batch); neighbor-similarity
+steps are vectorized numpy over the packed (n, dim) matrix.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import DOT, NORM, _as_double
+
+DEFAULT_M = 8
+DEFAULT_EF = 48
+DEFAULT_EF_CONSTRUCTION = 48
+DEFAULT_SEGMENTS = 4
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    return mat / norms[:, None]
+
+
+def _beam_search(
+    vecs: np.ndarray,
+    nbrs: list[np.ndarray],
+    q: np.ndarray,
+    ef: int,
+    n_valid: int,
+) -> list[int]:
+    """Greedy best-first search over the first ``n_valid`` nodes.
+
+    Returns up to ``ef`` node indices ordered (similarity desc, index
+    asc). Entry point is node 0 (first inserted). Deterministic: the
+    frontier heap orders by (-sim, index) and neighbor expansion is in
+    index order."""
+    if n_valid <= 0:
+        return []
+    visited = np.zeros(n_valid, dtype=bool)
+    visited[0] = True
+    s0 = float(vecs[0] @ q)
+    frontier = [(-s0, 0)]  # max-heap on sim via negation
+    # result: min-heap on sim so the worst of the best-ef is at the top
+    result = [(s0, -0)]
+    while frontier:
+        neg_sim, node = heapq.heappop(frontier)
+        if len(result) >= ef and -neg_sim < result[0][0]:
+            break
+        cand = nbrs[node]
+        if len(cand) == 0:
+            continue
+        cand = cand[cand < n_valid]
+        cand = cand[~visited[cand]]
+        if len(cand) == 0:
+            continue
+        visited[cand] = True
+        sims = vecs[cand] @ q
+        for j, s in zip(cand.tolist(), sims.tolist()):
+            if len(result) < ef or s > result[0][0]:
+                heapq.heappush(result, (s, -j))
+                if len(result) > ef:
+                    heapq.heappop(result)
+                heapq.heappush(frontier, (-s, j))
+    # (sim desc, index asc); -j in the tuple makes equal-sim pop order j asc
+    out = sorted(result, key=lambda t: (-t[0], -t[1]))
+    return [-j for _, j in out]
+
+
+def _build_graph(vecs: np.ndarray, m: int, ef_construction: int) -> list[np.ndarray]:
+    """NSW construction over row-ordered ``vecs`` (already normalized).
+
+    Node i links to its ``m`` best among nodes 0..i-1 found by the
+    graph's own beam search; reverse lists prune to ``2·m`` keeping the
+    most similar (tiebreak index asc)."""
+    n = len(vecs)
+    nbrs: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(n)]
+    max_rev = 2 * m
+    for i in range(1, n):
+        found = _beam_search(vecs, nbrs, vecs[i], ef_construction, n_valid=i)
+        sel = np.asarray(found[:m], dtype=np.int64)
+        nbrs[i] = sel
+        for j in sel.tolist():
+            lst = np.append(nbrs[j], i)
+            if len(lst) > max_rev:
+                sims = vecs[lst] @ vecs[j]
+                order = np.lexsort((lst, -sims))[:max_rev]
+                lst = lst[np.sort(order)]  # keep storage in insertion order
+            nbrs[j] = lst
+    return nbrs
+
+
+def _with_segments(
+    emb: DataFrame, n_segments: int, id_col: str, vec_col: str
+) -> DataFrame:
+    v = _as_double(emb, id_col, vec_col, "vec_id", "v")
+    return v.withColumn("segment", F.pmod(F.col("vec_id"), F.lit(n_segments)).cast("int"))
+
+
+def hnsw_build_frame(
+    emb: DataFrame,
+    m: int = DEFAULT_M,
+    ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+    n_segments: int = DEFAULT_SEGMENTS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The stored-index form: (segment, vec_id, neighbors array<bigint>).
+
+    At ingest scale this is what you'd persist partitioned by
+    ``segment`` next to the vectors; ``tests/test_round3.py`` asserts it
+    is bit-identical across shuffle-parallelism levels."""
+    seg = _with_segments(emb, n_segments, id_col, vec_col)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        vecs = _normalize_rows(np.vstack(pdf["v"].to_numpy()).astype(np.float64))
+        nbrs = _build_graph(vecs, m, ef_construction)
+        return pd.DataFrame(
+            {
+                "segment": pdf["segment"],
+                "vec_id": ids,
+                "neighbors": [ids[lst].tolist() for lst in nbrs],
+            }
+        )
+
+    return seg.groupBy("segment").applyInPandas(
+        build, "segment int, vec_id long, neighbors array<long>"
+    )
+
+
+def hnsw_candidates(
+    emb: DataFrame,
+    query_vec_id: int,
+    ef: int = DEFAULT_EF,
+    m: int = DEFAULT_M,
+    ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+    n_segments: int = DEFAULT_SEGMENTS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id) candidates — up to ``ef`` per segment from each segment
+    graph's beam search for the query vector. Build+search run in the
+    same per-segment group (at serving scale the build half is replaced
+    by reading the persisted :func:`hnsw_build_frame` output)."""
+    seg = _with_segments(emb, n_segments, id_col, vec_col)
+    q = seg.where(F.col("vec_id") == F.lit(query_vec_id)).select(
+        F.col("v").alias("qv")
+    )
+    with_q = seg.crossJoin(F.broadcast(q))
+
+    def search(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        vecs = _normalize_rows(np.vstack(pdf["v"].to_numpy()).astype(np.float64))
+        qv = np.asarray(pdf["qv"].iloc[0], dtype=np.float64)
+        qn = np.linalg.norm(qv)
+        if qn > 0.0:
+            qv = qv / qn
+        nbrs = _build_graph(vecs, m, ef_construction)
+        found = _beam_search(vecs, nbrs, qv, ef, n_valid=len(vecs))
+        return pd.DataFrame({"vec_id": ids[np.asarray(found, dtype=np.int64)]})
+
+    return with_q.groupBy("segment").applyInPandas(search, "vec_id long")
+
+
+def hnsw_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    ef: int = DEFAULT_EF,
+    m: int = DEFAULT_M,
+    ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+    n_segments: int = DEFAULT_SEGMENTS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Graph-ANN top-k: per-segment NSW beam search → exact JVM cosine
+    rerank of the |segments|·ef candidate union → (vec_id, cos, rank),
+    the same schema/rounding as :func:`..similarity.cosine_topk`. When
+    the graphs cover the true neighbors (measured ≥0.95 by
+    :func:`hnsw_recall_at_k`; 1.0 at the gate parameters) the result is
+    bit-identical to exact brute force — which is exactly what the
+    driver-gate oracle checks."""
+    cand = hnsw_candidates(
+        emb, query_vec_id, ef=ef, m=m, ef_construction=ef_construction,
+        n_segments=n_segments, id_col=id_col, vec_col=vec_col,
+    ).distinct()
+    v = _as_double(emb, id_col, vec_col, "vec_id", "v")
+    q = v.where(F.col("vec_id") == F.lit(query_vec_id)).select(F.col("v").alias("qv"))
+    dot = DOT.format(a="v", b="qv")
+    na, nq = NORM.format(a="v"), NORM.format(a="qv")
+    scored = (
+        v.join(cand, "vec_id")
+        .where(F.col("vec_id") != F.lit(query_vec_id))
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos", F.round(F.expr(dot) / (F.expr(na) * F.expr(nq)), 6))
+        .select("vec_id", "cos")
+    )
+    top = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return top.select("vec_id", "cos", F.row_number().over(w).cast("int").alias("rank"))
+
+
+def hnsw_recall_at_k(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    ef: int = DEFAULT_EF,
+    m: int = DEFAULT_M,
+    ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+    n_segments: int = DEFAULT_SEGMENTS,
+) -> float:
+    """Measured recall@k of the graph path vs exact brute force over a
+    query set — the 'measure, don't guess' harness (same contract as
+    :func:`..similarity.ivf_recall_at_k`)."""
+    from .similarity import cosine_topk
+
+    hit = tot = 0
+    for qid in query_ids:
+        exact = {r["vec_id"] for r in cosine_topk(emb, qid, k=k).collect()}
+        approx = {
+            r["vec_id"]
+            for r in hnsw_topk(
+                emb, qid, k=k, ef=ef, m=m, ef_construction=ef_construction,
+                n_segments=n_segments,
+            ).collect()
+        }
+        hit += len(exact & approx)
+        tot += len(exact)
+    return hit / tot if tot else 1.0

@@ -270,3 +270,66 @@ def test_trained_pq_recall(spark, embeddings):
     a = sorted((r["sub"], r["code"], tuple(r["cw"])) for r in cb.collect())
     b = sorted((r["sub"], r["code"], tuple(r["cw"])) for r in cb2.collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Graph-ANN (HNSW-class, per-segment NSW) — pipeline/graph_ann.py
+# ---------------------------------------------------------------------------
+
+
+def test_hnsw_topk_matches_exact(spark, embeddings):
+    """At the gate parameters the per-segment graphs must cover the true
+    neighbors, making the graph path bit-identical to exact brute force
+    (this is what the driver gate's independent exact oracle checks)."""
+    from neural_search_spark.pipeline.graph_ann import hnsw_topk
+    from neural_search_spark.pipeline.similarity import cosine_topk
+
+    exact = [tuple(r) for r in cosine_topk(embeddings, 0, k=10).collect()]
+    approx = [tuple(r) for r in hnsw_topk(embeddings, 0, k=10).collect()]
+    assert exact == approx
+
+
+def test_hnsw_recall_floor(spark, embeddings):
+    """Measured recall@10 over a query set: >= 0.95 at the default
+    ef=48, and still >= 0.8 at a deliberately tight ef=16 (shows the
+    beam is a real approximation knob, not accidental full coverage)."""
+    from neural_search_spark.pipeline.graph_ann import hnsw_recall_at_k
+
+    qids = [0, 7, 42, 123, 260]
+    assert hnsw_recall_at_k(embeddings, qids, k=10) >= 0.95
+    assert hnsw_recall_at_k(embeddings, qids, k=10, ef=16) >= 0.8
+
+
+def test_hnsw_graph_deterministic_across_parallelism(spark, embeddings):
+    """The stored-graph frame (segment, vec_id, neighbors) must be
+    bit-identical regardless of shuffle partitioning — no RNG, fixed
+    insertion order/tie-breaks (the same invariant the postings index
+    holds for its bytes)."""
+    from neural_search_spark.pipeline.graph_ann import hnsw_build_frame
+
+    def rows(df):
+        return [
+            (r["segment"], r["vec_id"], tuple(r["neighbors"]))
+            for r in df.orderBy("segment", "vec_id").collect()
+        ]
+
+    g1 = rows(hnsw_build_frame(embeddings))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        g2 = rows(hnsw_build_frame(embeddings.repartition(13)))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert g1 == g2
+
+
+def test_hnsw_graph_degree_bounds(spark, embeddings):
+    """Every node's stored neighbor list respects the 2*M cap and stays
+    inside its own segment (graphs never cross segment boundaries)."""
+    from neural_search_spark.pipeline.graph_ann import DEFAULT_M, hnsw_build_frame
+
+    rows = hnsw_build_frame(embeddings).collect()
+    n_segments = 4
+    for r in rows:
+        assert len(r["neighbors"]) <= 2 * DEFAULT_M
+        assert all(n % n_segments == r["segment"] for n in r["neighbors"])
