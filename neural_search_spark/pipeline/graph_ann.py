@@ -231,8 +231,11 @@ def hnsw_topk(
     q = v.where(F.col("vec_id") == F.lit(query_vec_id)).select(F.col("v").alias("qv"))
     dot = DOT.format(a="v", b="qv")
     na, nq = NORM.format(a="v"), NORM.format(a="qv")
+    # candidates are bounded (|segments|·ef rows) — broadcast THEM, so
+    # the corpus side streams; without the hint Catalyst broadcasts the
+    # tiny test corpus instead, which inverts at scale
     scored = (
-        v.join(cand, "vec_id")
+        v.join(F.broadcast(cand), "vec_id")
         .where(F.col("vec_id") != F.lit(query_vec_id))
         .crossJoin(F.broadcast(q))
         .withColumn("cos", F.round(F.expr(dot) / (F.expr(na) * F.expr(nq)), 6))

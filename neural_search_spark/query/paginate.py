@@ -32,6 +32,30 @@ def search_after(
     )
 
 
+def search_after_frame(
+    scores: DataFrame,
+    after: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """:func:`search_after` with the after-tuple as a 1-row frame
+    (columns ``after_score``, ``after_doc_id``) instead of driver-side
+    scalars — the tuple rides as a broadcast, so chained pagination
+    (page N's tail feeding page N+1) stays entirely on executors. The
+    scalar form remains for the protocol case where the client supplies
+    the tuple."""
+    pred = (F.col("score") < F.col("after_score")) | (
+        (F.col("score") == F.col("after_score"))
+        & (F.col("doc_id") > F.col("after_doc_id"))
+    )
+    return (
+        scores.crossJoin(F.broadcast(after))
+        .where(pred)
+        .drop("after_score", "after_doc_id")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def search_after_fields(
     df: DataFrame,
     sort_cols: list[tuple[str, str]],
