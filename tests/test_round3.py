@@ -333,3 +333,75 @@ def test_hnsw_graph_degree_bounds(spark, embeddings):
     for r in rows:
         assert len(r["neighbors"]) <= 2 * DEFAULT_M
         assert all(n % n_segments == r["segment"] for n in r["neighbors"])
+
+
+# --- hand-computed phrase fixtures (third-source, test_round2 style) ---
+# corpus: dl 4 / 2 / 3 / 2, avgdl 2.75, N 4 — all dls quantize exactly.
+# idf(red, df=3) = ln(1 + 1.5/3.5); idf(fox, df=4) = ln(1 + 0.5/4.5);
+# s(tf, dl) = idf * tf / (tf + 1.2*(0.25 + 0.75*dl/2.75)); a phrase
+# scores as the OR-sum over its unique terms (positions gate MATCHING,
+# not scoring). Constants below are plain-python math on those
+# formulas — independent of the shared SQL builders and of the Arrow
+# kernel, so a shared-formula bug in engine+oracle cannot pass these.
+PHRASE_TINY = [
+    (1, "red fox jumps red"),  # "red fox" contiguous at position 0
+    (2, "fox red"),            # both terms, wrong ORDER: no slop matches
+    (3, "red slow fox"),       # ordered, gap 1: matches slop>=1 only
+    (4, "blue fox"),           # missing "red": conjunctive prefilter drops
+]
+PHRASE_D1 = 0.23803570049823888  # idf_red*2/(2+1.2*(0.25+0.75*4/2.75)) + idf_fox*1/(1+…)
+PHRASE_D3 = 0.2024856595841492
+
+
+@pytest.fixture(scope="module")
+def phrase_tiny_docs(spark):
+    return spark.createDataFrame(PHRASE_TINY, ["doc_id", "text"])
+
+
+def _by_doc(rows):
+    return {r["doc_id"]: r["score"] for r in rows}
+
+
+def test_phrase_hand_fixture_exhaustive(phrase_tiny_docs):
+    got = _by_doc(
+        bm25_phrase(phrase_tiny_docs, ["red", "fox"], round_to=None).collect()
+    )
+    assert set(got) == {1}
+    assert got[1] == pytest.approx(PHRASE_D1, abs=1e-12)
+
+
+def test_phrase_slop_hand_fixture_exhaustive(phrase_tiny_docs):
+    from neural_search_spark.query.exhaustive import bm25_phrase_sloppy
+
+    got = _by_doc(
+        bm25_phrase_sloppy(
+            phrase_tiny_docs, ["red", "fox"], slop=1, round_to=None
+        ).collect()
+    )
+    # doc 2 has both terms adjacently but in the WRONG order — the
+    # ordered-match rule (in-order Lucene slop) must exclude it at any slop
+    assert set(got) == {1, 3}
+    assert got[1] == pytest.approx(PHRASE_D1, abs=1e-12)
+    assert got[3] == pytest.approx(PHRASE_D3, abs=1e-12)
+
+
+def test_phrase_hand_fixture_indexed(phrase_tiny_docs, tmp_path):
+    spark = phrase_tiny_docs.sparkSession
+    idx = str(tmp_path / "tiny_idx_pos")
+    build_index(spark, phrase_tiny_docs, idx, key_cols=["doc_id"],
+                text_col="text", tokenizer="simple", num_segments=2,
+                range_block=4, store_positions=True)
+    reader = IndexReader(spark, idx)
+    got0 = _by_doc(
+        bm25_phrase_indexed(reader, ["red", "fox"])
+        .select("doc_id", "score").collect()
+    )
+    assert set(got0) == {1}
+    assert got0[1] == pytest.approx(PHRASE_D1, abs=1e-12)
+    got1 = _by_doc(
+        bm25_phrase_indexed(reader, ["red", "fox"], slop=1)
+        .select("doc_id", "score").collect()
+    )
+    assert set(got1) == {1, 3}
+    assert got1[1] == pytest.approx(PHRASE_D1, abs=1e-12)
+    assert got1[3] == pytest.approx(PHRASE_D3, abs=1e-12)
