@@ -1346,6 +1346,41 @@ def _q_dis_max_topk(spark, sf_dir):
     return dis_max_topk(_docs(spark, sf_dir), DISMAX_GROUPS, tie_breaker=DISMAX_TIE, k=10)
 
 
+NEURAL_HYBRID_WEIGHTS = (0.7, 0.3)
+NEURAL_HYBRID_KNN_K = 50
+
+
+def _q_hybrid_neural_bm25(spark, sf_dir):
+    """The reference plugin's HEADLINE query shape — one hybrid query
+    mixing a BM25 ``match`` sub-query with a ``neural`` dense-kNN
+    sub-query (HybridQueryIT's match+neural cases; the kNN slot is
+    NeuralQueryBuilder.java:300-325 delegating to the k-NN engine),
+    min_max-normalized and weight-combined. The neural side contributes
+    its top-``NEURAL_HYBRID_KNN_K`` cosine hits only, like a kNN query
+    clause returning k hits. documents.doc_id and embeddings.vec_id
+    share one id space in the test corpus."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.pipeline.similarity import cosine_topk
+    from neural_search_spark.query.exhaustive import bm25_scores
+    from neural_search_spark.query.hybrid import combine, normalize
+
+    s0 = bm25_scores(_docs(spark, sf_dir), TERMS_OR, round_to=None).select(
+        F.lit(0).alias("subquery_idx"), "doc_id", "score"
+    )
+    s1 = cosine_topk(_emb(spark, sf_dir), ANN_QUERY_ID, k=NEURAL_HYBRID_KNN_K).select(
+        F.lit(1).alias("subquery_idx"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("cos").alias("score"),
+    )
+    tagged = s0.unionByName(s1)
+    out = combine(
+        normalize(tagged, "min_max"), "arithmetic_mean",
+        list(NEURAL_HYBRID_WEIGHTS), 2,
+    )
+    return out.withColumn("score", F.round("score", 4))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's CORRECTNESS gate checks exactly the FIRST 50 dict entries
     # (verified by the round-2 judge).  Ordering discipline: positions 0-11
@@ -1394,6 +1429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_query_topk": _q_bool_query_topk,
         "indexed_bool_query": _q_indexed_bool_query,
         "dis_max_topk": _q_dis_max_topk,
+        # -- the reference's headline shape: hybrid of match + neural kNN --
+        "hybrid_neural_bm25": _q_hybrid_neural_bm25,
         # -- reworked this round (hash-set array MinHash): needs a fresh row --
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         # -- core load-bearing queries (green in r01/r02, re-checked here) --
@@ -1506,6 +1543,10 @@ def oracle_sql() -> dict[str, str]:
             BOOL_MUST, BOOL_SHOULD, BOOL_MUST_NOT, minimum_should_match=0, k=10
         ),
         "dis_max_topk": oracle.dis_max_topk_sql(DISMAX_GROUPS, tie_breaker=DISMAX_TIE, k=10),
+        "hybrid_neural_bm25": oracle.hybrid_neural_bm25_sql(
+            TERMS_OR, ANN_QUERY_ID, knn_k=NEURAL_HYBRID_KNN_K,
+            weights=NEURAL_HYBRID_WEIGHTS,
+        ),
         "bm25_or_scores": oracle.bm25_scores_sql(TERMS_OR),
         "bm25_common_term": oracle.bm25_scores_sql(TERM_COMMON),
         "bm25_rare_term": oracle.bm25_scores_sql(TERM_RARE),

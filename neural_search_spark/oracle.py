@@ -1559,3 +1559,56 @@ SELECT doc_id, comb.score AS score,
 FROM comb
 ORDER BY comb.score DESC, comb.doc_id ASC
 LIMIT {k}"""
+
+
+def hybrid_neural_bm25_sql(
+    terms: list[str],
+    query_vec_id: int,
+    knn_k: int = 50,
+    weights: tuple[float, float] = (0.7, 0.3),
+    table: str = "documents",
+    emb_table: str = "embeddings",
+    round_to: int = 4,
+) -> str:
+    """Oracle for the reference's headline hybrid shape — sub-query 0 a
+    BM25 ``match``, sub-query 1 a ``neural`` dense kNN (top-``knn_k``
+    cosine hits, cos rounded to 6 like the engine's cosine kernel),
+    min_max-normalized and weight-combined [HybridQueryIT's
+    match+neural cases; NeuralQueryBuilder.java delegates the kNN slot].
+    Doc and vector ids share one id space here (vec_id == doc_id)."""
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    w0, w1 = float(weights[0]), float(weights[1])
+    total_w = w0 + w1
+    return f"""{bm25_base_ctes(terms, table)},
+sub0 AS (
+  SELECT doc_id, sum({contrib}) AS score
+  FROM tf JOIN dfreq USING (term), stats
+  WHERE tf.term IN {_terms_list(sorted(set(terms)))} GROUP BY doc_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {emb_table}),
+qv AS (SELECT v AS qvec FROM e WHERE vec_id = {query_vec_id}),
+knn AS (
+  SELECT vec_id AS doc_id,
+         round(list_dot_product(v, qvec)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))), 6) AS score
+  FROM e, qv WHERE vec_id <> {query_vec_id}
+  ORDER BY score DESC, vec_id ASC LIMIT {knn_k}
+),
+allsub AS (
+  SELECT 0 AS subquery_idx, doc_id, score FROM sub0
+  UNION ALL SELECT 1 AS subquery_idx, doc_id, score FROM knn
+),
+nstats AS (
+  SELECT subquery_idx, min(score) AS mn, max(score) AS mx FROM allsub GROUP BY subquery_idx
+),
+normed AS (
+  SELECT a.doc_id,
+         CASE WHEN subquery_idx = 0 THEN {w0!r} ELSE {w1!r} END AS w,
+         CASE WHEN mx = mn THEN 1.0
+              WHEN (a.score - mn) / (mx - mn) = 0.0 THEN 0.001
+              ELSE (a.score - mn) / (mx - mn) END AS nscore
+  FROM allsub a JOIN nstats USING (subquery_idx)
+)
+SELECT doc_id, round(sum(w * nscore) / {total_w!r}, {round_to}) AS score
+FROM normed WHERE nscore >= 0.0 GROUP BY doc_id"""
