@@ -34,6 +34,7 @@ HEADLINE = [
     "indexed_bm25_filtered", # FILTER-occur via cogrouped allow-list
     "indexed_msearch",       # 3-query batch in one kernel pass
     "hybrid_minmax_arith",   # normalization/combination layer
+    "hybrid_neural_bm25",    # the reference's headline match+neural hybrid
     "sparse_two_phase_topk", # two-phase sparse retrieval
     "hybrid_aggs",           # aggregations over matched docs
 ]
