@@ -131,29 +131,57 @@ def main() -> int:
             timings[name] = round(_median(xs), 3)
 
     total = round(sum(timings.values()), 3)
+    # The stdout line must stay COMPACT: the driver's capture buffer
+    # truncated round 3's line once it carried per-run arrays plus the
+    # embedded scaling evidence (BENCH_r03.json came back unparseable).
+    # Medians + totals go to stdout; runs + scaling evidence go to a
+    # side file under BENCH/.
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "runs": runs,
         "repeats": repeats,
         "sf": _sf_of(sf_dir),
         "n_docs": n_docs,
         "index_build_files_per_sec": round(n_docs / build_s, 1),
-        "note": "per-query values are MEDIANS over `repeats` interleaved "
-                "runs (multi-tenant box, ±25% single-run noise — see "
-                "BENCH/BASELINE.md); sf0.1 is 5k docs — build time here is "
-                "fixed overhead; throughput/scaling at 1.2M-2.4M files below",
+        "scaling_8to32_query": None,
+        "scaling_8to32_build": None,
+        "detail": "BENCH/bench_runs_latest.json",
     }
-    # fold in the N-vs-4N scaling evidence (BENCH/scaling.json, produced
-    # by scripts/scaling_bench.py) so the per-round bench line carries
-    # the BASELINE.json-relevant numbers
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "BENCH", "scaling.json")
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    bench_dir = os.path.join(repo_dir, "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    side = {
+        "runs": runs,
+        "repeats": repeats,
+        "sf": _sf_of(sf_dir),
+        "note": "per-query bench values are MEDIANS over `repeats` "
+                "interleaved runs (multi-tenant box, ±25% single-run "
+                "noise — see BENCH/BASELINE.md); sf0.1 is 5k docs — "
+                "build time there is fixed overhead; throughput/scaling "
+                "at 1.2M-2.4M files is in scaling_evidence",
+    }
+    scaling_path = os.path.join(bench_dir, "scaling.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as fh:
-            out["scaling_evidence"] = json.load(fh)
+            sc = json.load(fh)
+        side["scaling_evidence"] = sc
+        # surface just the two headline efficiency scalars on stdout
+        try:
+            pair = sc.get("pairs", {}).get("8_to_32", {})
+            out["scaling_8to32_query"] = pair.get("query", {}).get("efficiency")
+            out["scaling_8to32_build"] = pair.get("build", {}).get("efficiency")
+        except Exception:
+            pass
+    # round number = 1 + highest BENCH_r{N}.json already recorded (the
+    # driver writes BENCH_r{N}.json after this run), fallback "latest"
+    rounds = [int(m.group(1)) for f in os.listdir(repo_dir)
+              if (m := re.match(r"BENCH_r(\d+)\.json$", f))]
+    tag = f"r{max(rounds) + 1:02d}" if rounds else "latest"
+    for name in (f"bench_runs_{tag}.json", "bench_runs_latest.json"):
+        with open(os.path.join(bench_dir, name), "w") as fh:
+            json.dump(side, fh, indent=1)
     print(json.dumps(out))
     return 0
 

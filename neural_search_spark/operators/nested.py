@@ -125,7 +125,25 @@ def nested_chunk_topk(
         F.col(id_col).alias("parent_id"),
         F.posexplode(F.expr(spark_chunks)).alias("chunk_idx", "chunk_text"),
     ).select(
-        (F.col("parent_id") * NESTED_CHUNK_ID_BASE + F.col("chunk_idx")).alias("chunk_id"),
+        # guard the arithmetic packing: a doc with >= BASE chunks would
+        # silently collide into another parent's id space (and the
+        # oracle shares the encoding, so parity could never catch it)
+        F.when(
+            F.col("chunk_idx") < F.lit(NESTED_CHUNK_ID_BASE),
+            F.col("parent_id") * NESTED_CHUNK_ID_BASE + F.col("chunk_idx"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "nested_chunk_topk: parent %s has >= %s chunks — "
+                    "chunk_id packing would collide; raise "
+                    "NESTED_CHUNK_ID_BASE or pre-chunk the document",
+                    F.col("parent_id"),
+                    F.lit(NESTED_CHUNK_ID_BASE),
+                )
+            ).cast("long")
+        )
+        .alias("chunk_id"),
         "chunk_text",
     )
     scored = bm25_scores(chunks, sorted(set(terms)), id_col="chunk_id",

@@ -139,11 +139,13 @@ def bool_topk_indexed(
         excluded = matched_ids_indexed(reader, must_not, mode="or").select("nss_doc_id")
         gate = gate.join(excluded, "nss_doc_id", "left_anti")
     scoring = sorted(set(must) | set(should))
-    cand = bm25_topk_indexed(
-        reader, scoring, k=max(4 * k, 40), mode="or", allowed=gate
+    from .multiterm import rounded_topk_from_kernel
+
+    return rounded_topk_from_kernel(
+        reader.spark,
+        lambda n: bm25_topk_indexed(reader, scoring, k=n, mode="or", allowed=gate),
+        k,
     )
-    cand = cand.withColumn("score", F.round("score", 4))
-    return topk(cand.select("doc_id", "score"), k=k, round_to=None)
 
 
 def dis_max_topk(

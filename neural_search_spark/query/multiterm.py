@@ -82,17 +82,24 @@ def _matcher_sql(
     """
     if (like is None) == (fuzzy is None):
         raise ValueError("exactly one of like= / fuzzy= is required")
+
+    def sq(s: str) -> str:
+        # '' is the standard-SQL quote escape — identical in Spark SQL
+        # and DuckDB, so a query term containing ' neither breaks nor
+        # injects into either engine's matcher evaluation
+        return s.replace("'", "''")
+
     if like is not None:
-        return f"term LIKE '{like}' ESCAPE '!'"
+        return f"term LIKE '{sq(like)}' ESCAPE '!'"
     q, max_edits, prefix_length = fuzzy
     if max_edits < 0 or max_edits > 2:
         raise ValueError(f"max_edits must be in [0, 2] (Lucene bound), got {max_edits}")
     preds = [
         f"length(term) BETWEEN {len(q) - max_edits} AND {len(q) + max_edits}",
-        f"levenshtein(term, '{q}') <= {max_edits}",
+        f"levenshtein(term, '{sq(q)}') <= {max_edits}",
     ]
     if prefix_length > 0:
-        preds.insert(1, f"term LIKE '{like_escape(q[:prefix_length])}%' ESCAPE '!'")
+        preds.insert(1, f"term LIKE '{sq(like_escape(q[:prefix_length]))}%' ESCAPE '!'")
     return " AND ".join(preds)
 
 
@@ -213,6 +220,44 @@ def fuzzy_topk(
     return _scored_or(docs, terms, k, id_col, text_col)
 
 
+def rounded_topk_from_kernel(spark, fetch, k: int, n_cap: int = 65536) -> DataFrame:
+    """Rank-with-ties-safe rounded top-k over a kernel that cuts on the
+    UNROUNDED score.
+
+    ``fetch(n)`` returns the kernel's top-``n`` (doc_id, score) on the
+    raw float score; the final ranking is on ``round(score, 4)`` (ties
+    at the 4-decimal boundary are likely when expansions sum many small
+    contributions). The kernel cut can only disturb the rounded top-k
+    if the boundary (n-th) candidate's ROUNDED score ties the k-th
+    final rounded score — rounding is monotone, so every excluded doc
+    rounds ≤ the boundary. Escalate ``n`` 4× until the boundary is
+    strictly below the k-th rounded score (or the result set is
+    complete); beyond ``n_cap`` accept the cut as a documented bound.
+
+    The collect is the kernel's bounded top-n — query-result metadata
+    (n starts at max(4k, 40)), not a corpus read; escalation only fires
+    on tie plateaus."""
+    n = max(4 * k, 40)
+    while True:
+        rows = fetch(n).select("doc_id", "score").collect()
+        if len(rows) < n:
+            break  # complete result set — no cut occurred
+        rounded = sorted((round(r["score"], 4) for r in rows), reverse=True)
+        if rounded[-1] < rounded[k - 1]:
+            break  # boundary strictly below the k-th rounded score
+        if n >= n_cap:
+            break  # documented approximation bound on tie plateaus
+        n *= 4
+    ranked = sorted(
+        ((round(r["score"], 4), r["doc_id"]) for r in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:k]
+    return spark.createDataFrame(
+        [(int(d), float(s), i + 1) for i, (s, d) in enumerate(ranked)],
+        "doc_id long, score double, rank int",
+    )
+
+
 def multiterm_topk_indexed(
     reader,
     like: str | None = None,
@@ -230,13 +275,9 @@ def multiterm_topk_indexed(
     if not terms:
         spark = reader.spark
         return spark.createDataFrame([], "doc_id long, score double, rank int")
-    # over-fetch 4k from the kernel (whose internal cut orders by the
-    # unrounded float sum), then re-rank on the ROUNDED score so the
-    # final top-k and its ranks are stable across engines even when
-    # expansion sums tie at the 4-decimal boundary (see _scored_or).
-    cand = bm25_topk_indexed(reader, terms, k=max(4 * k, 40), mode="or")
-    cand = cand.withColumn("score", F.round("score", 4))
-    return topk(cand.select("doc_id", "score"), k=k, round_to=None)
+    return rounded_topk_from_kernel(
+        reader.spark, lambda n: bm25_topk_indexed(reader, terms, k=n, mode="or"), k
+    )
 
 
 def phrase_prefix_topk(
@@ -260,6 +301,11 @@ def phrase_prefix_topk(
     phrase-vs-scoring split ``bm25_phrase`` already standardizes on.
     Ranks cut on the rounded score (multi-term sums tie at the
     4-decimal boundary across engines)."""
+    if not fixed_terms:
+        raise ValueError(
+            "match_phrase_prefix with no fixed terms is a plain prefix "
+            "query — use prefix_topk(docs, prefix) instead"
+        )
     exp = expand_terms_corpus(
         docs, like=like_escape(prefix) + "%", max_expansions=max_expansions,
         id_col=id_col, text_col=text_col,
@@ -314,6 +360,11 @@ def phrase_prefix_topk_indexed(
     from .phrase import bm25_phrase_indexed
     from .wand import bm25_topk_indexed
 
+    if not fixed_terms:
+        raise ValueError(
+            "match_phrase_prefix with no fixed terms is a plain prefix "
+            "query — use multiterm_topk_indexed(reader, like=...) instead"
+        )
     exp = expand_terms_indexed(
         reader, like=like_escape(prefix) + "%", max_expansions=max_expansions
     )
@@ -326,8 +377,8 @@ def phrase_prefix_topk_indexed(
     ]
     gate = reduce(lambda a, b: a.unionByName(b), gates).distinct()
     all_terms = sorted(set(fixed_terms) | set(exp))
-    cand = bm25_topk_indexed(
-        reader, all_terms, k=max(4 * k, 40), mode="or", allowed=gate
+    return rounded_topk_from_kernel(
+        reader.spark,
+        lambda n: bm25_topk_indexed(reader, all_terms, k=n, mode="or", allowed=gate),
+        k,
     )
-    cand = cand.withColumn("score", F.round("score", 4))
-    return topk(cand.select("doc_id", "score"), k=k, round_to=None)

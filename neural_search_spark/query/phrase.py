@@ -136,7 +136,14 @@ def _phrase_kernel(
                 p0, p1 = int(noff[j]), int(noff[j + 1])
                 d = decode_block_positions(pos_blob, int(j), pos_off, len(pos_blob))
                 pos_abs = chains_absolute(d, tfv[p0:p1])
-                assert pos_abs.max(initial=0) < (1 << POS_SHIFT)
+                # explicit raise (not assert: stripped under python -O) —
+                # a >=2^24-token doc would silently corrupt (doc<<24|pos)
+                if pos_abs.size and int(pos_abs.max()) >= (1 << POS_SHIFT):
+                    raise ValueError(
+                        f"document position {int(pos_abs.max())} exceeds the "
+                        f"2^{POS_SHIFT} positional-key limit; re-index with "
+                        "chunking for >16M-token documents"
+                    )
                 doc_rep = np.repeat(ids[p0:p1], tfv[p0:p1])
                 keep = np.repeat(in_cand[p0:p1], tfv[p0:p1])
                 keys_parts.append(((doc_rep << POS_SHIFT) + pos_abs)[keep])
