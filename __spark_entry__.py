@@ -295,18 +295,66 @@ def _q_ann_ivfpq_topk(spark, sf_dir):
     )
 
 
+def _ann_graphs(spark, sf_dir: str, layered: bool = False):
+    """Persisted per-segment ANN graphs (cached per sf + format), read
+    back from Parquet partitioned by segment — the serving-side input
+    the reference's engine prepares at index time (Lucene writes its
+    HNSW at segment flush; queries only search it)."""
+    import hashlib
+
+    from neural_search_spark.pipeline.graph_ann import (
+        GRAPH_FORMAT_VERSION,
+        hnsw_build_frame,
+    )
+
+    flavor = "hier" if layered else "nsw"
+    key = (
+        f"graph_{flavor}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+        f"_v{GRAPH_FORMAT_VERSION}"
+    )
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    gdir = os.path.join("/tmp/nss_cache", key)
+    if not os.path.exists(os.path.join(gdir, "_SUCCESS")):
+        hnsw_build_frame(_emb(spark, sf_dir), layered=layered).write.mode(
+            "overwrite"
+        ).partitionBy("segment").parquet(gdir)
+    graphs = spark.read.parquet(gdir)
+    _INDEX_CACHE[key] = graphs
+    return graphs
+
+
 def _q_ann_hnsw_topk(spark, sf_dir):
-    """Graph-ANN (HNSW-class) top-k: per-segment NSW graphs built and
-    beam-searched in applyInPandas — the Spark-native analog of the
-    k-NN plugin's per-segment Lucene HNSW engine the reference's neural
-    query delegates to (query/NeuralQueryBuilder.java:300-325) — with
-    exact JVM cosine rerank of the candidate union. The oracle is the
-    EXACT brute-force top-k (not a mirrored graph replay), so this row
-    is a true third-party recall gate: a graph regression that loses a
-    neighbor turns it red."""
+    """Graph-ANN (HNSW-class) top-k, SERVING path: per-segment NSW
+    graphs are built once and persisted (``_ann_graphs``), and the
+    query kernel beam-searches the stored adjacency — never rebuilding
+    — exactly the k-NN plugin's split the reference's neural query
+    delegates to (query/NeuralQueryBuilder.java:300-325: graphs are
+    written at segment flush, queries only search). Exact JVM cosine
+    rerank of the candidate union. The oracle is the EXACT brute-force
+    top-k (not a mirrored graph replay), so this row is a true
+    third-party recall gate: a graph regression that loses a neighbor
+    turns it red."""
     from neural_search_spark.pipeline.graph_ann import hnsw_topk
 
-    return hnsw_topk(_emb(spark, sf_dir), ANN_QUERY_ID, k=10)
+    return hnsw_topk(
+        _emb(spark, sf_dir), ANN_QUERY_ID, k=10, graphs=_ann_graphs(spark, sf_dir)
+    )
+
+
+def _q_ann_hnsw_layered(spark, sf_dir):
+    """Hierarchical HNSW serving: deterministic hash-assigned levels
+    (floor(-ln(u)/ln(M)), u = splitmix64(vec_id)), greedy descent
+    through the upper layers, ef-beam on layer 0 — searched from the
+    PERSISTED layered graphs. Same exact-brute-force oracle as
+    ``ann_hnsw_topk`` (true recall gate); runs at a lower ef than the
+    single-layer gate to exercise the layered entry point's value."""
+    from neural_search_spark.pipeline.graph_ann import hnsw_topk
+
+    return hnsw_topk(
+        _emb(spark, sf_dir), ANN_QUERY_ID, k=10, ef=24,
+        graphs=_ann_graphs(spark, sf_dir, layered=True),
+    )
 
 
 def _q_dedup_lsh_recall(spark, sf_dir):
@@ -1381,6 +1429,42 @@ def _q_hybrid_neural_bm25(spark, sf_dir):
     return out.withColumn("score", F.round("score", 4))
 
 
+def _q_indexed_hybrid_neural(spark, sf_dir):
+    """The PRODUCTION shape of the reference's headline hybrid: the
+    match sub-query scores over the inverted index (block-max kernel,
+    no tokenization at query time) and the neural sub-query serves from
+    the persisted per-segment graphs (no per-query construction), then
+    min_max + weighted combine — match+neural exactly as HybridQueryIT
+    composes it over Lucene's postings + HNSW files. Oracle: the SAME
+    SQL as ``hybrid_neural_bm25`` (exhaustive BM25 + exact kNN), so
+    this row simultaneously gates index/kernel scoring parity AND graph
+    recall. ef=64 ≥ knn_k so one segment may hold the entire exact
+    top-50 without escaping the beam."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.pipeline.graph_ann import hnsw_topk
+    from neural_search_spark.query.hybrid import combine, normalize
+    from neural_search_spark.query.wand import bm25_scores_indexed
+
+    s0 = bm25_scores_indexed(_doc_index(spark, sf_dir), TERMS_OR).select(
+        F.lit(0).alias("subquery_idx"), "doc_id", "score"
+    )
+    s1 = hnsw_topk(
+        _emb(spark, sf_dir), ANN_QUERY_ID, k=NEURAL_HYBRID_KNN_K, ef=64,
+        graphs=_ann_graphs(spark, sf_dir),
+    ).select(
+        F.lit(1).alias("subquery_idx"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("cos").alias("score"),
+    )
+    tagged = s0.unionByName(s1)
+    out = combine(
+        normalize(tagged, "min_max"), "arithmetic_mean",
+        list(NEURAL_HYBRID_WEIGHTS), 2,
+    )
+    return out.withColumn("score", F.round("score", 4))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's CORRECTNESS gate checks exactly the FIRST 50 dict entries
     # (verified by the round-2 judge).  Ordering discipline: positions 0-11
@@ -1415,6 +1499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_recall": _q_ann_pq_recall,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
         "ann_hnsw_topk": _q_ann_hnsw_topk,
+        # -- round-4: persisted-graph serving + hierarchical layers --
+        "ann_hnsw_layered": _q_ann_hnsw_layered,
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         # -- round-3 multi-term rewrites + minimum_should_match --
         "indexed_prefix_topk": _q_indexed_prefix_topk,
@@ -1431,6 +1517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dis_max_topk": _q_dis_max_topk,
         # -- the reference's headline shape: hybrid of match + neural kNN --
         "hybrid_neural_bm25": _q_hybrid_neural_bm25,
+        # -- round-4: its production form (inverted index + stored graphs) --
+        "indexed_hybrid_neural": _q_indexed_hybrid_neural,
         # -- reworked this round (hash-set array MinHash): needs a fresh row --
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         # -- core load-bearing queries (green in r01/r02, re-checked here) --
@@ -1547,6 +1635,13 @@ def oracle_sql() -> dict[str, str]:
             TERMS_OR, ANN_QUERY_ID, knn_k=NEURAL_HYBRID_KNN_K,
             weights=NEURAL_HYBRID_WEIGHTS,
         ),
+        # the production (index + stored-graph) composition must equal
+        # the SAME exhaustive+exact oracle — one row gates kernel
+        # scoring parity and graph recall together
+        "indexed_hybrid_neural": oracle.hybrid_neural_bm25_sql(
+            TERMS_OR, ANN_QUERY_ID, knn_k=NEURAL_HYBRID_KNN_K,
+            weights=NEURAL_HYBRID_WEIGHTS,
+        ),
         "bm25_or_scores": oracle.bm25_scores_sql(TERMS_OR),
         "bm25_common_term": oracle.bm25_scores_sql(TERM_COMMON),
         "bm25_rare_term": oracle.bm25_scores_sql(TERM_RARE),
@@ -1659,8 +1754,11 @@ def oracle_sql() -> dict[str, str]:
             codebook_ids=PQ_RECALL_CODEBOOK_IDS, rerank=50,
         ),
         # hnsw is gated against the EXACT top-k (independent oracle: a
-        # graph recall loss turns this row red — see _q_ann_hnsw_topk)
+        # graph recall loss turns this row red — see _q_ann_hnsw_topk);
+        # the layered row serves from persisted hierarchical graphs at
+        # a LOWER ef and must still hit the exact answer
         "ann_hnsw_topk": poracle.cosine_topk_sql(ANN_QUERY_ID, k=10),
+        "ann_hnsw_layered": poracle.cosine_topk_sql(ANN_QUERY_ID, k=10),
         "ann_radial": poracle.radial_search_sql(ANN_QUERY_ID, RADIAL_MIN_SCORE),
         "text_token_counts": poracle.token_counts_sql(),
         "text_quality": poracle.quality_scores_sql(),

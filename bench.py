@@ -48,7 +48,9 @@ HEADLINE += [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_pq_topk",           # PQ-ADC quantized scan (round-3)
-    "ann_hnsw_topk",         # per-segment NSW graph search (round-3)
+    "ann_hnsw_topk",         # graph search, SERVED from persisted graphs (round-4)
+    "ann_hnsw_layered",      # hierarchical HNSW serving at ef=24 (round-4)
+    "indexed_hybrid_neural", # production match+neural: index + stored graphs (round-4)
     "indexed_phrase_slop",   # positional proximity over the index (round-3)
     "text_quality",
     "rescore_window",

@@ -2,46 +2,68 @@
 
 The reference's ``neural`` query delegates dense retrieval to the k-NN
 plugin (query/NeuralQueryBuilder.java:300-325), whose default engine is
-a per-segment Lucene HNSW graph: every segment builds its own graph,
-a query searches each segment's graph independently, and the per-segment
-top candidates merge. This module reproduces that architecture
-Spark-natively:
+a per-segment Lucene HNSW graph: every segment builds its own graph at
+INDEX time, a query searches each segment's graph independently, and
+the per-segment top candidates merge. This module reproduces that
+architecture Spark-natively:
 
 * **Build** — vectors are hash-partitioned into ``n_segments`` segments
   (``pmod(vec_id, n_segments)``; at ingest scale this is the stored
   segment/bucket column, exactly like the postings index's
-  ``segment_id``). Each segment builds a navigable-small-world graph
-  (Malkov & Yashunin 2016, single layer — Lucene's own graphs are
-  per-segment and rebuilt on merge, so the layer hierarchy buys little
-  at per-segment sizes) inside one ``applyInPandas`` group: insert in
-  ascending vec_id order, locate each new node's ``M`` nearest among the
-  already-inserted via the graph's own beam search (``ef_construction``),
-  link bidirectionally, prune reverse lists to ``2·M`` by similarity.
-  Deterministic: no RNG anywhere — insertion order, tie-breaks
-  (similarity desc, vec_id asc) and the entry point (first inserted node)
-  are all fixed, so the graph is bit-identical across parallelism levels.
+  ``segment_id``). Each segment builds its graph inside one
+  ``applyInPandas`` group: insert in ascending vec_id order, locate
+  each new node's ``M`` nearest among the already-inserted via the
+  graph's own beam search (``ef_construction``), link bidirectionally,
+  prune reverse lists to ``2·M`` by similarity. Two graph shapes:
+
+  - single-layer NSW (Malkov & Yashunin 2016's base layer) —
+    ``hnsw_build_frame(layered=False)`` → (segment, vec_id, neighbors);
+  - hierarchical HNSW — ``layered=True`` → (segment, vec_id, layers),
+    where ``layers[l]`` is the node's neighbor list on layer ``l`` and
+    the node's level is ``len(layers) - 1``. Levels are assigned
+    DETERMINISTICALLY: ``level = floor(-ln(u)·mL)`` with ``mL=1/ln(M)``
+    (the HNSW paper's distribution) where ``u ∈ (0,1]`` comes from a
+    splitmix64 hash of the GLOBAL vec_id — no RNG, so levels (and the
+    whole graph) are bit-identical across parallelism levels and
+    across build/serving processes.
+
+  Deterministic everywhere: insertion order, tie-breaks (similarity
+  desc, vec_id asc) and the entry point (highest level, first inserted
+  on ties) are all fixed.
 * **Search** — the query vector rides in as a broadcast 1-row frame;
-  each segment group beam-searches its graph (``ef`` candidates) and
-  emits candidate vec_ids only. The candidate union is then scored
-  EXACTLY on the JVM (same zip_with/aggregate cosine and rounding as
+  each segment group beam-searches its graph (greedy single-step
+  descent through the upper layers, ``ef``-beam on layer 0) and emits
+  candidate vec_ids only. The candidate union is then scored EXACTLY
+  on the JVM (same zip_with/aggregate cosine and rounding as
   :func:`..similarity.cosine_topk`) and top-k'd — so when the graphs'
   candidate sets cover the true neighbors, the output is bit-identical
   to exact brute force, and the DuckDB *exact* oracle becomes a true
   third-party recall gate (a graph recall regression turns the
   CORRECTNESS row red; mirrored-oracle parity could never see it).
+* **Serving** — pass ``graphs=`` (the persisted
+  :func:`hnsw_build_frame` output, read back from Parquet partitioned
+  by segment) to :func:`hnsw_candidates` / :func:`hnsw_topk`: the
+  search kernel then joins vectors to their stored adjacency and NEVER
+  rebuilds the graph. This is the reference's build-at-index-time /
+  search-at-query-time split; the fused build+search path (``graphs=
+  None``) remains the oracle twin for tests. Global→local neighbor-id
+  translation is a ``searchsorted`` against the segment's sorted
+  vec_ids (graphs never cross segment boundaries — builder invariant).
 
 Scale shape at 100 TB: graphs are per-segment (executor-memory sized,
 like Lucene's per-segment HNSW heaps), build is embarrassingly parallel
-across segments (one shuffle on the uniform segment key), search visits
-O(ef·M·log n) vectors per segment instead of scanning, and the exact
-rerank touches only |segments|·ef rows. The Python graph kernel is
-Arrow-batched (one group = one segment = one batch); neighbor-similarity
-steps are vectorized numpy over the packed (n, dim) matrix.
+across segments (one shuffle on the uniform segment key) and paid ONCE
+at index time, search visits O(ef·M·log n) vectors per segment instead
+of scanning, and the exact rerank touches only |segments|·ef rows. The
+Python graph kernel is Arrow-batched (one group = one segment = one
+batch); neighbor-similarity steps are vectorized numpy over the packed
+(n, dim) matrix.
 """
 
 from __future__ import annotations
 
 import heapq
+import math
 
 import numpy as np
 import pandas as pd
@@ -54,6 +76,11 @@ DEFAULT_M = 8
 DEFAULT_EF = 48
 DEFAULT_EF_CONSTRUCTION = 48
 DEFAULT_SEGMENTS = 4
+DEFAULT_MAX_LEVEL = 4  # level cap; P(level>4) = M^-4 ≈ 2e-4 at M=8
+
+# bump when the stored graph frame's schema or construction changes —
+# cache keys (e.g. /tmp/nss_cache/graph_{key}) embed this
+GRAPH_FORMAT_VERSION = 2
 
 
 def _normalize_rows(mat: np.ndarray) -> np.ndarray:
@@ -62,27 +89,48 @@ def _normalize_rows(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """SplitMix64 finalizer (public domain, Steele et al.) — a
+    deterministic 64-bit mix used as the level-assignment 'uniform'."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return (x ^ (x >> 31)) & _M64
+
+
+def _level_of(vec_id: int, m: int, max_level: int = DEFAULT_MAX_LEVEL) -> int:
+    """HNSW level: floor(-ln(u)·mL), mL = 1/ln(M), u hashed from the
+    GLOBAL vec_id — deterministic, independent of segmentation."""
+    u = ((_splitmix64(int(vec_id)) >> 11) + 1) / float(1 << 53)  # (0, 1]
+    return min(int(-math.log(u) / math.log(m)), max_level)
+
+
 def _beam_search(
     vecs: np.ndarray,
-    nbrs: list[np.ndarray],
+    nbrs,
     q: np.ndarray,
     ef: int,
     n_valid: int,
+    entry: int = 0,
 ) -> list[int]:
-    """Greedy best-first search over the first ``n_valid`` nodes.
+    """Greedy best-first search over nodes ``< n_valid``.
 
-    Returns up to ``ef`` node indices ordered (similarity desc, index
-    asc). Entry point is node 0 (first inserted). Deterministic: the
-    frontier heap orders by (-sim, index) and neighbor expansion is in
-    index order."""
+    ``nbrs`` is indexable by node (list of arrays, or a per-layer dict
+    whose keys are exactly the layer's members). Returns up to ``ef``
+    node indices ordered (similarity desc, index asc). Deterministic:
+    the frontier heap orders by (-sim, index) and neighbor expansion is
+    in index order."""
     if n_valid <= 0:
         return []
-    visited = np.zeros(n_valid, dtype=bool)
-    visited[0] = True
-    s0 = float(vecs[0] @ q)
-    frontier = [(-s0, 0)]  # max-heap on sim via negation
+    visited = np.zeros(len(vecs), dtype=bool)
+    visited[entry] = True
+    s0 = float(vecs[entry] @ q)
+    frontier = [(-s0, entry)]  # max-heap on sim via negation
     # result: min-heap on sim so the worst of the best-ef is at the top
-    result = [(s0, -0)]
+    result = [(s0, -entry)]
     while frontier:
         neg_sim, node = heapq.heappop(frontier)
         if len(result) >= ef and -neg_sim < result[0][0]:
@@ -107,12 +155,28 @@ def _beam_search(
     return [-j for _, j in out]
 
 
-def _build_graph(vecs: np.ndarray, m: int, ef_construction: int) -> list[np.ndarray]:
-    """NSW construction over row-ordered ``vecs`` (already normalized).
+def _greedy_descend(vecs: np.ndarray, layer_adj: dict, q: np.ndarray, cur: int) -> int:
+    """ef=1 hill-climb on one upper layer: move to the best neighbor
+    while it improves. Deterministic tiebreak (sim desc, index asc)."""
+    cur_sim = float(vecs[cur] @ q)
+    while True:
+        nb = layer_adj.get(cur)
+        if nb is None or len(nb) == 0:
+            return cur
+        sims = vecs[nb] @ q
+        best_pos = int(np.lexsort((nb, -sims))[0])
+        if float(sims[best_pos]) > cur_sim:
+            cur = int(nb[best_pos])
+            cur_sim = float(sims[best_pos])
+        else:
+            return cur
 
-    Node i links to its ``m`` best among nodes 0..i-1 found by the
-    graph's own beam search; reverse lists prune to ``2·m`` keeping the
-    most similar (tiebreak index asc)."""
+
+def _build_graph(vecs: np.ndarray, m: int, ef_construction: int) -> list[np.ndarray]:
+    """Single-layer NSW construction over row-ordered ``vecs`` (already
+    normalized). Node i links to its ``m`` best among nodes 0..i-1
+    found by the graph's own beam search; reverse lists prune to
+    ``2·m`` keeping the most similar (tiebreak index asc)."""
     n = len(vecs)
     nbrs: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(n)]
     max_rev = 2 * m
@@ -130,6 +194,62 @@ def _build_graph(vecs: np.ndarray, m: int, ef_construction: int) -> list[np.ndar
     return nbrs
 
 
+def _build_hier_graph(
+    vecs: np.ndarray, levels: list[int], m: int, ef_construction: int
+) -> tuple[list[dict], int]:
+    """Hierarchical HNSW construction (levels precomputed from global
+    vec_ids). Returns (adj, entry): ``adj[l]`` maps node → neighbor
+    array on layer ``l`` (keys are exactly the layer's members);
+    ``entry`` is the node with the highest level, first inserted on
+    ties. Insertion: greedy-descend the layers above the node's level,
+    then beam+connect on each layer from min(level, entry_level) down
+    to 0 — the paper's algorithm with every choice total-ordered."""
+    n = len(vecs)
+    if n == 0:
+        return [{}], 0
+    max_rev = 2 * m
+    n_layers = max(levels) + 1
+    adj: list[dict] = [{} for _ in range(n_layers)]
+    entry, entry_level = 0, levels[0]
+    for l in range(levels[0] + 1):
+        adj[l][0] = np.empty(0, dtype=np.int64)
+    for i in range(1, n):
+        li = levels[i]
+        cur = entry
+        for l in range(entry_level, li, -1):
+            cur = _greedy_descend(vecs, adj[l], vecs[i], cur)
+        for l in range(min(li, entry_level), -1, -1):
+            found = _beam_search(
+                vecs, adj[l], vecs[i], ef_construction, n_valid=i, entry=cur
+            )
+            sel = np.asarray(found[:m], dtype=np.int64)
+            adj[l][i] = sel
+            for j in sel.tolist():
+                lst = np.append(adj[l][j], i)
+                if len(lst) > max_rev:
+                    sims = vecs[lst] @ vecs[j]
+                    order = np.lexsort((lst, -sims))[:max_rev]
+                    lst = lst[np.sort(order)]
+                adj[l][j] = lst
+            cur = found[0] if found else cur
+        for l in range(min(li, entry_level) + 1, li + 1):
+            adj[l][i] = np.empty(0, dtype=np.int64)
+        if li > entry_level:
+            entry, entry_level = i, li
+    return adj, entry
+
+
+def _search_hier(
+    vecs: np.ndarray, adj: list[dict], entry: int, q: np.ndarray, ef: int
+) -> list[int]:
+    """Layer descent (greedy, top→1) then ef-beam on layer 0."""
+    cur = entry
+    for l in range(len(adj) - 1, 0, -1):
+        if cur in adj[l]:
+            cur = _greedy_descend(vecs, adj[l], q, cur)
+    return _beam_search(vecs, adj[0], q, ef, n_valid=len(vecs), entry=cur)
+
+
 def _with_segments(
     emb: DataFrame, n_segments: int, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -144,30 +264,69 @@ def hnsw_build_frame(
     n_segments: int = DEFAULT_SEGMENTS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    layered: bool = False,
+    max_level: int = DEFAULT_MAX_LEVEL,
 ) -> DataFrame:
-    """The stored-index form: (segment, vec_id, neighbors array<bigint>).
+    """The stored-index form. ``layered=False``: (segment, vec_id,
+    neighbors array<bigint>) — single-layer NSW. ``layered=True``:
+    (segment, vec_id, layers array<array<bigint>>) — hierarchical HNSW,
+    node level = len(layers)-1, levels hashed from global vec_ids.
 
     At ingest scale this is what you'd persist partitioned by
-    ``segment`` next to the vectors; ``tests/test_round3.py`` asserts it
-    is bit-identical across shuffle-parallelism levels."""
+    ``segment`` next to the vectors (pass the read-back frame as
+    ``graphs=`` to the search functions); ``tests/test_round3.py``
+    asserts it is bit-identical across shuffle-parallelism levels."""
     seg = _with_segments(emb, n_segments, id_col, vec_col)
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+    if not layered:
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            vecs = _normalize_rows(np.vstack(pdf["v"].to_numpy()).astype(np.float64))
+            nbrs = _build_graph(vecs, m, ef_construction)
+            return pd.DataFrame(
+                {
+                    "segment": pdf["segment"],
+                    "vec_id": ids,
+                    "neighbors": [ids[lst].tolist() for lst in nbrs],
+                }
+            )
+
+        return seg.groupBy("segment").applyInPandas(
+            build, "segment int, vec_id long, neighbors array<long>"
+        )
+
+    def build_layered(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         vecs = _normalize_rows(np.vstack(pdf["v"].to_numpy()).astype(np.float64))
-        nbrs = _build_graph(vecs, m, ef_construction)
+        levels = [_level_of(int(vid), m, max_level) for vid in ids]
+        adj, _entry = _build_hier_graph(vecs, levels, m, ef_construction)
+        layers = [
+            [ids[adj[l][i]].tolist() for l in range(levels[i] + 1)]
+            for i in range(len(ids))
+        ]
         return pd.DataFrame(
-            {
-                "segment": pdf["segment"],
-                "vec_id": ids,
-                "neighbors": [ids[lst].tolist() for lst in nbrs],
-            }
+            {"segment": pdf["segment"], "vec_id": ids, "layers": layers}
         )
 
     return seg.groupBy("segment").applyInPandas(
-        build, "segment int, vec_id long, neighbors array<long>"
+        build_layered, "segment int, vec_id long, layers array<array<long>>"
     )
+
+
+def _local_adj_from_layers(ids: np.ndarray, layers_col) -> tuple[list[dict], int]:
+    """Persisted layers (global vec_ids) → per-layer local adjacency +
+    entry (highest level, first on ties). ``ids`` must be sorted."""
+    n_layers = max((len(L) for L in layers_col), default=1)
+    adj: list[dict] = [{} for _ in range(n_layers)]
+    entry, best_level = 0, -1
+    for i, L in enumerate(layers_col):
+        for l, nb in enumerate(L):
+            adj[l][i] = np.searchsorted(ids, np.asarray(nb, dtype=np.int64))
+        if len(L) - 1 > best_level:
+            best_level, entry = len(L) - 1, i
+    return adj, entry
 
 
 def hnsw_candidates(
@@ -179,15 +338,52 @@ def hnsw_candidates(
     n_segments: int = DEFAULT_SEGMENTS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    graphs: DataFrame | None = None,
+    layered: bool = False,
+    max_level: int = DEFAULT_MAX_LEVEL,
 ) -> DataFrame:
     """(vec_id) candidates — up to ``ef`` per segment from each segment
-    graph's beam search for the query vector. Build+search run in the
-    same per-segment group (at serving scale the build half is replaced
-    by reading the persisted :func:`hnsw_build_frame` output)."""
+    graph's beam search for the query vector.
+
+    ``graphs=None`` fuses build+search in the same per-segment group
+    (the oracle twin / one-shot path). ``graphs=`` a persisted
+    :func:`hnsw_build_frame` output (either shape — detected by column
+    name) is the SERVING path: the kernel joins the stored adjacency
+    and never calls the construction routine; per-query cost is the
+    beam search alone, exactly like Lucene searching its on-disk HNSW."""
     seg = _with_segments(emb, n_segments, id_col, vec_col)
     q = seg.where(F.col("vec_id") == F.lit(query_vec_id)).select(
         F.col("v").alias("qv")
     )
+
+    if graphs is not None:
+        hier = "layers" in graphs.columns
+        graph_col = "layers" if hier else "neighbors"
+        with_g = seg.join(graphs, ["segment", "vec_id"]).crossJoin(F.broadcast(q))
+
+        def search_persisted(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            vecs = _normalize_rows(np.vstack(pdf["v"].to_numpy()).astype(np.float64))
+            qv = np.asarray(pdf["qv"].iloc[0], dtype=np.float64)
+            qn = np.linalg.norm(qv)
+            if qn > 0.0:
+                qv = qv / qn
+            if hier:
+                adj, entry = _local_adj_from_layers(ids, pdf["layers"])
+                found = _search_hier(vecs, adj, entry, qv, ef)
+            else:
+                nbrs = [
+                    np.searchsorted(ids, np.asarray(nb, dtype=np.int64))
+                    for nb in pdf["neighbors"]
+                ]
+                found = _beam_search(vecs, nbrs, qv, ef, n_valid=len(ids))
+            return pd.DataFrame({"vec_id": ids[np.asarray(found, dtype=np.int64)]})
+
+        return with_g.groupBy("segment").applyInPandas(
+            search_persisted, "vec_id long"
+        )
+
     with_q = seg.crossJoin(F.broadcast(q))
 
     def search(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -198,8 +394,13 @@ def hnsw_candidates(
         qn = np.linalg.norm(qv)
         if qn > 0.0:
             qv = qv / qn
-        nbrs = _build_graph(vecs, m, ef_construction)
-        found = _beam_search(vecs, nbrs, qv, ef, n_valid=len(vecs))
+        if layered:
+            levels = [_level_of(int(vid), m, max_level) for vid in ids]
+            adj, entry = _build_hier_graph(vecs, levels, m, ef_construction)
+            found = _search_hier(vecs, adj, entry, qv, ef)
+        else:
+            nbrs = _build_graph(vecs, m, ef_construction)
+            found = _beam_search(vecs, nbrs, qv, ef, n_valid=len(vecs))
         return pd.DataFrame({"vec_id": ids[np.asarray(found, dtype=np.int64)]})
 
     return with_q.groupBy("segment").applyInPandas(search, "vec_id long")
@@ -215,17 +416,22 @@ def hnsw_topk(
     n_segments: int = DEFAULT_SEGMENTS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    graphs: DataFrame | None = None,
+    layered: bool = False,
+    max_level: int = DEFAULT_MAX_LEVEL,
 ) -> DataFrame:
-    """Graph-ANN top-k: per-segment NSW beam search → exact JVM cosine
+    """Graph-ANN top-k: per-segment beam search → exact JVM cosine
     rerank of the |segments|·ef candidate union → (vec_id, cos, rank),
     the same schema/rounding as :func:`..similarity.cosine_topk`. When
     the graphs cover the true neighbors (measured ≥0.95 by
     :func:`hnsw_recall_at_k`; 1.0 at the gate parameters) the result is
     bit-identical to exact brute force — which is exactly what the
-    driver-gate oracle checks."""
+    driver-gate oracle checks. Pass ``graphs=`` to serve from persisted
+    graphs (no per-query construction)."""
     cand = hnsw_candidates(
         emb, query_vec_id, ef=ef, m=m, ef_construction=ef_construction,
         n_segments=n_segments, id_col=id_col, vec_col=vec_col,
+        graphs=graphs, layered=layered, max_level=max_level,
     ).distinct()
     v = _as_double(emb, id_col, vec_col, "vec_id", "v")
     q = v.where(F.col("vec_id") == F.lit(query_vec_id)).select(F.col("v").alias("qv"))
@@ -254,6 +460,8 @@ def hnsw_recall_at_k(
     m: int = DEFAULT_M,
     ef_construction: int = DEFAULT_EF_CONSTRUCTION,
     n_segments: int = DEFAULT_SEGMENTS,
+    graphs: DataFrame | None = None,
+    layered: bool = False,
 ) -> float:
     """Measured recall@k of the graph path vs exact brute force over a
     query set — the 'measure, don't guess' harness (same contract as
@@ -267,7 +475,7 @@ def hnsw_recall_at_k(
             r["vec_id"]
             for r in hnsw_topk(
                 emb, qid, k=k, ef=ef, m=m, ef_construction=ef_construction,
-                n_segments=n_segments,
+                n_segments=n_segments, graphs=graphs, layered=layered,
             ).collect()
         }
         hit += len(exact & approx)

@@ -430,13 +430,36 @@ def bm25_topk_indexed(
         # cut a pruned range could hide a qualifying lower-scored doc,
         # so minimum_should_match requires the exact bulk decode.
         raise ValueError("minimum_should_match requires strategy='bulk'")
+    per_seg = _per_segment_scores(reader, terms, k, mode, dtype, strategy, allowed)
+    if per_seg is None:
+        empty = reader.spark.createDataFrame([], RESULT_SCHEMA)
+        return _attach_keys(reader, empty, k) if with_keys else empty
+    if not with_keys:
+        return per_seg.orderBy(F.col("score").desc(), F.col("nss_doc_id").asc()).limit(k)
+    # keys must be attached BEFORE the final cut: score ties at the k
+    # boundary are resolved on the external key (partition-invariant),
+    # and internal ids only order correctly *within* a segment.
+    return _attach_keys(reader, per_seg, k)
+
+
+def _per_segment_scores(
+    reader: IndexReader,
+    terms: list[str],
+    k: int,
+    mode: str,
+    dtype: str,
+    strategy: str,
+    allowed: DataFrame | None,
+) -> DataFrame | None:
+    """Shared assembly for the per-segment scoring kernels: broadcast
+    query stats → term-bucket-pruned postings scan → per-segment
+    (co)grouped kernel. Returns None when no query term is live (the
+    caller emits its own empty frame)."""
     N, avgdl = reader.global_stats()
     dfs = reader.term_dfs(terms)
     live = [t for t in terms if t in dfs]
-    spark = reader.spark
     if not live or N == 0 or len(live) < _min_matched(mode, len(terms)):
-        empty = spark.createDataFrame([], RESULT_SCHEMA)
-        return _attach_keys(reader, empty, k) if with_keys else empty
+        return None
 
     ftype = np.float32 if dtype == "float32" else np.float64
     idf_by_term = {
@@ -480,12 +503,35 @@ def bm25_topk_indexed(
             .cogroup(allow_df.groupby("segment_id"))
             .applyInPandas(cokernel, schema=RESULT_SCHEMA)
         )
-    if not with_keys:
-        return per_seg.orderBy(F.col("score").desc(), F.col("nss_doc_id").asc()).limit(k)
-    # keys must be attached BEFORE the final cut: score ties at the k
-    # boundary are resolved on the external key (partition-invariant),
-    # and internal ids only order correctly *within* a segment.
-    return _attach_keys(reader, per_seg, k)
+    return per_seg
+
+
+def bm25_scores_indexed(reader: IndexReader, terms: list[str], mode: str = "or") -> DataFrame:
+    """ALL matched docs' BM25 scores via the index — no top-k cut.
+
+    Feeds consumers that need a sub-query's complete score LIST — e.g.
+    hybrid min_max/L2 normalization, which normalizes over the whole
+    retrieved list (processor/normalization min_max uses the list's own
+    min/max). The per-segment kernel runs with k = N so its heap never
+    cuts; the docmap key join is a plain equi-join on the uniform
+    internal id (the matched set is unbounded, so no broadcast hint —
+    at 100-TB scale this is one shuffle at match-set cardinality, and a
+    production deployment would cap the sub-query at its rescore
+    window instead). Returns (<key cols>, score), score unrounded."""
+    terms = sorted(set(terms))
+    N, _ = reader.global_stats()
+    per_seg = _per_segment_scores(
+        reader, terms, k=max(N, 1), mode=mode, dtype="float64",
+        strategy="bulk", allowed=None,
+    )
+    key_cols = reader.meta["key_cols"]
+    if per_seg is None:
+        fields = ", ".join(f"{c} long" for c in key_cols)
+        return reader.spark.createDataFrame([], f"{fields}, score double")
+    dm = reader.docmap().select("nss_doc_id", *key_cols)
+    return dm.join(per_seg.select("nss_doc_id", "score"), "nss_doc_id").select(
+        *key_cols, "score"
+    )
 
 
 def matched_ids_indexed(reader: IndexReader, terms: list[str], mode: str = "or") -> DataFrame:
