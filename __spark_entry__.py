@@ -259,7 +259,7 @@ def _q_ann_pq_topk(spark, sf_dir):
     codes; 32x memory compression at 100 TB."""
     from neural_search_spark.pipeline.quantization import pq_adc_topk
 
-    return pq_adc_topk(_emb(spark, sf_dir), ANN_QUERY_ID, k=10)
+    return pq_adc_topk(_emb(spark, sf_dir), ANN_QUERY_ID, k=10, dim=EMB_DIM)
 
 
 # 32 deterministic codeword seeds + exact refine of the ADC top-100 —
@@ -407,6 +407,32 @@ def _q_indexed_and_topk(spark, sf_dir):
 
     top = bm25_topk_indexed(_doc_index(spark, sf_dir), TERMS_AND, k=10, mode="and")
     return _ranked(top)
+
+
+# raw query STRING (not a term list): mixed case + punctuation so the
+# analyzer visibly does work; both engines analyze it independently
+MATCH_QUERY_TEXT = "Spark WINDOW-functions, for Data!"
+
+
+def _q_match_text_topk(spark, sf_dir):
+    """End-to-end query-DSL shape: the raw string is analyzed with the
+    index's own tokenizer spec on the engine side, and by DuckDB's
+    regex engine on the oracle side (match_text_topk_sql) — analysis
+    parity is third-party-checked, not mirrored."""
+    from neural_search_spark.query.wand import match_text_topk
+
+    return _ranked(match_text_topk(_doc_index(spark, sf_dir), MATCH_QUERY_TEXT, k=10))
+
+
+def _q_chunk_fixed_standard(spark, sf_dir):
+    """FixedTokenLengthChunker with the reference's DEFAULT analyzer
+    name (``standard`` — FixedTokenLengthChunker.java:44-58): named-
+    analyzer parity for the chunking path."""
+    from neural_search_spark.operators.chunkers import fixed_token_chunk_counts
+
+    return fixed_token_chunk_counts(
+        _docs(spark, sf_dir), token_limit=32, overlap_rate=0.25, tokenizer="standard"
+    )
 
 
 HYBRID_GROUPS = [["spark"], ["window"], ["merge"]]
@@ -1121,6 +1147,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_QUERY_ID = 0  # query vector = embedding of vec_id 0
+EMB_DIM = 64      # embeddings.embedding width (testdata schema constant)
 NEAR_DUP_COS = 0.45
 SIMHASH_MAX_HAMMING = 6
 
@@ -1501,6 +1528,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hnsw_topk": _q_ann_hnsw_topk,
         # -- round-4: persisted-graph serving + hierarchical layers --
         "ann_hnsw_layered": _q_ann_hnsw_layered,
+        # -- round-4: raw-query-string analysis + named analyzers --
+        "match_text_topk": _q_match_text_topk,
+        "chunk_fixed_standard": _q_chunk_fixed_standard,
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         # -- round-3 multi-term rewrites + minimum_should_match --
         "indexed_prefix_topk": _q_indexed_prefix_topk,
@@ -1689,6 +1719,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "chunk_delimiter": oracle.delimiter_chunks_oracle_sql(CHUNK_DELIMITER),
         "chunk_fixed_token_counts": oracle.fixed_token_chunk_counts_sql(32, 0.25),
+        "chunk_fixed_standard": oracle.fixed_token_chunk_counts_sql(
+            32, 0.25, tokenizer="standard"
+        ),
+        "match_text_topk": oracle.match_text_topk_sql(MATCH_QUERY_TEXT, k=10),
         "hybrid_sort_by_field": oracle.hybrid_sort_by_field_sql(TERMS_OR, k=10),
         "sort_after_fields": oracle.sort_after_fields_sql(TERMS_OR, page=2, k=10),
         "hybrid_total_hits": oracle.hybrid_total_hits_sql(TERMS_OR),

@@ -16,13 +16,62 @@ import numpy as np
 import pandas as pd
 
 # Deterministic tokenizer specs (SURVEY.md §7.0 — the spec is ours to
-# fix; both are "lowercase, then maximal runs of the token alphabet", so
-# they are expressible identically in pandas/C, Arrow C++, and SQL):
+# fix; all are "optionally lowercase, then maximal runs of the token
+# alphabet", so they are expressible identically in pandas/C, Arrow C++,
+# and SQL):
 #  * code:   token alphabet [a-z0-9_] — identifiers keep underscores
 #  * simple: token alphabet [a-z0-9]  — natural-language-ish text
 CODE_SPLIT_RE = "[^a-z0-9_]+"
 SIMPLE_SPLIT_RE = "[^a-z0-9]+"
-SPLIT_RES = {"code": CODE_SPLIT_RE, "simple": SIMPLE_SPLIT_RE}
+
+# Named-analyzer registry — the word tokenizers the reference's chunker
+# accepts via OpenSearch's analysis registry
+# (processor/chunker/FixedTokenLengthChunker.java:44-58: standard/
+# letter/lowercase/whitespace/uax_url_email/classic/thai). Each entry is
+# (split_regex, token_regex, lowercase): split_regex drives the
+# index/stats path (replace-then-split), token_regex yields char SPANS
+# for the chunker's offset semantics, lowercase says whether terms are
+# case-folded (Lucene: WhitespaceTokenizer / LetterTokenizer /
+# StandardTokenizer preserve case; LowerCaseTokenizer folds; our
+# code/simple specs fold by design). ASCII classes approximate Lucene's
+# Unicode-aware ones — a committed, documented boundary;
+# uax_url_email/classic/thai need real UAX#29 state machines and are
+# rejected by name (mappings validation) rather than silently wrong.
+ANALYZERS: dict[str, tuple[str, str, bool]] = {
+    "code": (CODE_SPLIT_RE, "[a-z0-9_]+", True),
+    "simple": (SIMPLE_SPLIT_RE, "[a-z0-9]+", True),
+    "standard": ("[^a-zA-Z0-9]+", "[a-zA-Z0-9]+", False),
+    "letter": ("[^a-zA-Z]+", "[a-zA-Z]+", False),
+    "lowercase": ("[^a-z]+", "[a-zA-Z]+", True),
+    "whitespace": ("[\\s]+", "[^\\s]+", False),
+}
+# name -> split regex (back-compat registry: mappings validation and the
+# builder resolve through this; unknown names fall through as raw
+# split regexes)
+SPLIT_RES = {name: spec[0] for name, spec in ANALYZERS.items()}
+
+
+def resolve_analyzer(tokenizer: str) -> tuple[str, str, bool]:
+    """Name or raw split-regex → (split_re, token_re, lowercase).
+
+    A raw regex keeps the historical behavior (lowercase then split);
+    its token_re is unknown, so span-based consumers (the fixed-token
+    chunker) only accept registered names."""
+    if tokenizer in ANALYZERS:
+        return ANALYZERS[tokenizer]
+    return tokenizer, "", True
+
+
+def analyze_query(text: str, tokenizer: str = "simple") -> list[str]:
+    """Analyze a RAW query string with the index's own tokenizer spec —
+    the reference's ``match`` runs the field analyzer over the query
+    text before term dispatch (Lucene QueryBuilder.createBooleanQuery).
+    Driver-side and deterministic: this is query metadata, never data."""
+    import re as _re
+
+    split_re, _token_re, lower = resolve_analyzer(tokenizer)
+    s = text.lower() if lower else text
+    return [t for t in _re.split(split_re, s) if t]
 
 
 def tokenize_code(texts: pd.Series) -> pd.Series:
@@ -100,7 +149,7 @@ def term_freq_frame_positions(
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    split_re = SPLIT_RES.get(tokenizer, tokenizer)
+    split_re, _token_re, lowercase = resolve_analyzer(tokenizer)
     n_docs = len(texts)
     empty = pd.DataFrame(
         {
@@ -114,7 +163,9 @@ def term_freq_frame_positions(
     if n_docs == 0:
         return empty, empty_pos
     arr = pa.Array.from_pandas(texts.astype(str))
-    cleaned = pc.replace_substring_regex(pc.utf8_lower(arr), pattern=split_re, replacement=" ")
+    if lowercase:
+        arr = pc.utf8_lower(arr)
+    cleaned = pc.replace_substring_regex(arr, pattern=split_re, replacement=" ")
     toks = pc.utf8_split_whitespace(cleaned)
     parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     enc = pc.dictionary_encode(pc.list_flatten(toks))

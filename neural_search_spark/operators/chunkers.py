@@ -31,6 +31,28 @@ DEFAULT_DELIMITER = "\n\n"
 DEFAULT_MAX_CHUNK_LIMIT = 100
 
 _WS_TOKEN = re.compile(r"\S+")
+DEFAULT_CHUNK_TOKENIZER = "whitespace"
+
+
+def _token_spans(text: str, tokenizer: str) -> list[tuple[int, int]]:
+    """Char spans of the analyzer's tokens in the ORIGINAL text — the
+    chunker needs offsets, not terms, so case-folding analyzers use
+    their span pattern unfolded (a token's span is case-invariant)."""
+    from ..functions.tokenize import ANALYZERS
+
+    if tokenizer == "whitespace":
+        pat = _WS_TOKEN  # precompiled hot path (the historical default)
+    else:
+        try:
+            _split_re, token_re, _lower = ANALYZERS[tokenizer]
+        except KeyError:
+            raise ValueError(
+                f"fixed_token_length chunking requires a registered "
+                f"analyzer name (one of {sorted(ANALYZERS)}), got "
+                f"[{tokenizer}] — raw split regexes carry no span pattern"
+            ) from None
+        pat = re.compile(token_re)
+    return [(m.start(), m.end()) for m in pat.finditer(text)]
 
 
 def chunk_fixed_token_length(
@@ -38,12 +60,13 @@ def chunk_fixed_token_length(
     token_limit: int = DEFAULT_TOKEN_LIMIT,
     overlap_rate: float = DEFAULT_OVERLAP_RATE,
     max_chunk_limit: int = DEFAULT_MAX_CHUNK_LIMIT,
+    tokenizer: str = DEFAULT_CHUNK_TOKENIZER,
 ) -> list[str]:
     if not (0.0 <= overlap_rate <= 0.5):
         raise ValueError("overlap_rate must be in [0.0 ... 0.5]")
     if token_limit <= 0:
         raise ValueError("token_limit must be positive")
-    spans = [(m.start(), m.end()) for m in _WS_TOKEN.finditer(text)]
+    spans = _token_spans(text, tokenizer)
     if not spans:
         return []
     overlap = math.floor(token_limit * overlap_rate)
@@ -112,20 +135,25 @@ def fixed_token_chunk_counts(
     overlap_rate: float = 0.25,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer: str = DEFAULT_CHUNK_TOKENIZER,
 ):
     """(doc_id, n_chunks) via the Arrow-batched fixed-token chunker UDF.
 
     Chunk *texts* carry char-offset semantics only the UDF can express;
     the count obeys a closed form (windows of token_limit stepping
     token_limit - floor(token_limit*overlap_rate)) which the DuckDB
-    oracle checks (oracle: fixed_token_chunk_counts_sql)."""
+    oracle checks (oracle: fixed_token_chunk_counts_sql). ``tokenizer``
+    accepts the registered analyzer names (standard/letter/lowercase/
+    whitespace/code/simple), mirroring the reference chunker's
+    analysis-registry knob (FixedTokenLengthChunker.java:44-58)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     @F.pandas_udf("int")
     def n_chunks(texts: pd.Series) -> pd.Series:
         return chunk_series(
-            texts, "fixed_token_length", token_limit=token_limit, overlap_rate=overlap_rate
+            texts, "fixed_token_length", token_limit=token_limit,
+            overlap_rate=overlap_rate, tokenizer=tokenizer,
         ).map(len).astype("int32")
 
     return docs.select(F.col(id_col).alias("doc_id"), n_chunks(F.col(text_col)).alias("n_chunks"))

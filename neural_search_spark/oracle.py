@@ -97,6 +97,65 @@ ORDER BY scored.score DESC, scored.doc_id ASC
 LIMIT {k}"""
 
 
+def match_text_topk_sql(
+    query_text: str,
+    k: int = 10,
+    table: str = "documents",
+    tokenizer: str = "simple",
+    round_to: int = 4,
+) -> str:
+    """``match`` over a RAW query string: DuckDB analyzes the string
+    with the SAME tokenizer spec as the engine (split regex + optional
+    lowercase from the analyzer registry), dedups the terms, and scores
+    BM25 — so query-analysis parity is checked by a third party, not
+    mirrored. [Lucene QueryBuilder.createBooleanQuery: match analyzes
+    the query text with the field's analyzer before building the
+    boolean.]"""
+    from .functions.tokenize import resolve_analyzer
+
+    split_re, _token_re, lower = resolve_analyzer(tokenizer)
+    qlit = query_text.replace("'", "''")
+    qexpr = f"lower('{qlit}')" if lower else f"'{qlit}'"
+    # corpus side analyzed with the SAME spec (query and field share the
+    # analyzer, as in the reference's match)
+    texpr = "lower(text)" if lower else "text"
+    duck_toks = (
+        f"list_filter(regexp_split_to_array({texpr}, '{split_re}'), x -> x <> '')"
+    )
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    return f"""
+WITH qterms AS (
+  SELECT DISTINCT unnest(list_filter(
+    regexp_split_to_array({qexpr}, '{split_re}'), x -> x <> '')) AS term
+),
+tok AS (
+  SELECT doc_id, {duck_toks} AS toks FROM {table}
+),
+stats AS (
+  SELECT count(*) AS N, sum(len(toks)) * 1.0 / count(*) AS avgdl FROM tok
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
+  WHERE term IN (SELECT term FROM qterms)
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id AS doc_id, sum({contrib}) AS score
+  FROM tf JOIN dfreq USING (term), stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(scored.score, {round_to}) AS score,
+       CAST(row_number() OVER (ORDER BY scored.score DESC, scored.doc_id ASC) AS INT) AS rank
+FROM scored
+ORDER BY scored.score DESC, scored.doc_id ASC
+LIMIT {k}"""
+
+
 def bm25_and_topk_sql(
     terms: list[str],
     k: int = 10,
@@ -382,15 +441,22 @@ def fixed_token_chunk_counts_sql(
     overlap_rate: float = 0.25,
     max_chunk_limit: int = 100,
     table: str = "documents",
+    tokenizer: str = "whitespace",
 ) -> str:
     """Closed-form window count for FixedTokenLengthChunker semantics
     [processor/chunker/FixedTokenLengthChunker.java:120-157]: windows of
-    token_limit whitespace tokens stepping token_limit − floor(token_limit
-    × overlap_rate), remainder merged into the max_chunk_limit-th."""
+    token_limit analyzer tokens stepping token_limit − floor(token_limit
+    × overlap_rate), remainder merged into the max_chunk_limit-th.
+    ``tokenizer`` is a registered analyzer name (the reference chunker's
+    analysis-registry knob); the token count is the number of token-
+    pattern matches — computed here with DuckDB's own regex engine."""
     import math
 
+    from .functions.tokenize import ANALYZERS
+
+    token_re = "[^\\s]+" if tokenizer == "whitespace" else ANALYZERS[tokenizer][1]
     step = token_limit - math.floor(token_limit * overlap_rate)
-    n = "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))"
+    n = f"len(regexp_extract_all(text, '{token_re}'))"
     return f"""
 SELECT doc_id,
        CAST(CASE WHEN {n} = 0 THEN 0

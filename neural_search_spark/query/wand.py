@@ -506,6 +506,26 @@ def _per_segment_scores(
     return per_seg
 
 
+def match_text_topk(
+    reader: IndexReader, query_text: str, k: int = 10, mode: str = "or"
+) -> DataFrame:
+    """``match`` over a RAW query string: analyze the string with the
+    INDEX'S OWN tokenizer spec (reader.meta['tokenizer']) — driver-side,
+    deterministic, query metadata only — then dispatch the term list to
+    the block-max kernel. This closes the term-list-in vs query-DSL-in
+    gap: the reference's match runs the field analyzer over the query
+    text (Lucene QueryBuilder.createBooleanQuery) before scoring.
+    Duplicate analyzed terms dedup (the kernel scores a term set, as
+    the OR boolean over unique terms does)."""
+    from ..functions.tokenize import analyze_query
+
+    terms = analyze_query(query_text, reader.meta.get("tokenizer", "simple"))
+    if not terms:
+        empty = reader.spark.createDataFrame([], RESULT_SCHEMA)
+        return _attach_keys(reader, empty, k)
+    return bm25_topk_indexed(reader, terms, k=k, mode=mode)
+
+
 def bm25_scores_indexed(reader: IndexReader, terms: list[str], mode: str = "or") -> DataFrame:
     """ALL matched docs' BM25 scores via the index — no top-k cut.
 

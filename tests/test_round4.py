@@ -245,3 +245,128 @@ def test_rounded_topk_small_fetch_escalation(spark):
     # reachable only by escalating past the whole plateau
     out = rounded_topk_from_kernel(spark, fetch, k=10)
     assert [r["doc_id"] for r in out.collect()] == list(range(10))
+
+
+# --- named analyzers (reference FixedTokenLengthChunker.java:44-58) -----
+
+ANALYZER_FIXTURES = {
+    # text -> expected tokens per analyzer (hand-computed)
+    "standard": ("Foo-Bar v2.1_x  Ωmega", ["Foo", "Bar", "v2", "1", "x", "mega"]),
+    "letter": ("Foo-Bar v2.1_x", ["Foo", "Bar", "v", "x"]),
+    "lowercase": ("Foo-Bar V2", ["foo", "bar", "v"]),
+    "whitespace": ("Foo-Bar  v2.1_x\tz", ["Foo-Bar", "v2.1_x", "z"]),
+    "code": ("Foo-Bar v2.1_x", ["foo", "bar", "v2", "1_x"]),
+    "simple": ("Foo-Bar v2.1_x", ["foo", "bar", "v2", "1", "x"]),
+}
+
+
+def test_analyze_query_per_analyzer():
+    from neural_search_spark.functions.tokenize import analyze_query
+
+    for name, (text, want) in ANALYZER_FIXTURES.items():
+        assert analyze_query(text, name) == want, name
+
+
+def test_analyzer_specs_flow_into_index_kernel():
+    """term_freq_frame honors each named analyzer's case/split spec —
+    case-preserving analyzers must NOT fold terms."""
+    import pandas as pd
+
+    from neural_search_spark.functions.tokenize import term_freq_frame
+
+    texts = pd.Series(["Foo-Bar foo BAR"])
+    ids = pd.Series([7])
+    by_name = {}
+    for name in ("standard", "whitespace", "lowercase", "simple"):
+        f = term_freq_frame(texts, ids, tokenizer=name)
+        by_name[name] = dict(zip(f["term"], f["tf"]))
+    assert by_name["standard"] == {"Foo": 1, "Bar": 1, "foo": 1, "BAR": 1}
+    assert by_name["whitespace"] == {"Foo-Bar": 1, "foo": 1, "BAR": 1}
+    assert by_name["lowercase"] == {"foo": 2, "bar": 2}
+    assert by_name["simple"] == {"foo": 2, "bar": 2}
+
+
+def test_mappings_accept_named_analyzers():
+    from pyspark.sql import types as T
+
+    from neural_search_spark.index.mappings import validate_index_spec
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    for name in ("standard", "letter", "lowercase", "whitespace"):
+        validate_index_spec(
+            schema, key_cols=["doc_id"], text_col="text", tokenizer=name,
+            num_segments=4, range_block=64,
+        )
+
+
+def test_chunker_named_analyzers():
+    from neural_search_spark.operators.chunkers import chunk_fixed_token_length
+
+    text = "alpha-beta gamma delta2 epsilon"
+    # standard: 5 tokens (alpha, beta, gamma, delta2, epsilon) → 3 windows
+    assert chunk_fixed_token_length(text, token_limit=2, tokenizer="standard") == [
+        "alpha-beta ",          # ends at next window's first token start
+        "gamma delta2 ",
+        "epsilon",
+    ]
+    # whitespace: 4 tokens
+    assert chunk_fixed_token_length(text, token_limit=2, tokenizer="whitespace") == [
+        "alpha-beta gamma ",
+        "delta2 epsilon",
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_fixed_token_length(text, tokenizer="[a-z]+")  # raw regex: no spans
+
+
+def test_index_build_with_standard_analyzer(spark, documents, tmp_path_factory):
+    """End-to-end: an index built with tokenizer='standard' keeps case
+    and digits; match_text_topk analyzes the raw query with the same
+    spec read from index meta."""
+    from neural_search_spark.index.builder import build_index
+    from neural_search_spark.query.wand import IndexReader, match_text_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Spark RDD lineage"),
+            (1, "spark rdd Lineage graph"),
+            (2, "Graph processing on Spark"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path_factory.mktemp("idx_std"))
+    build_index(spark, docs, d, key_cols=["doc_id"], text_col="text",
+                tokenizer="standard", num_segments=2, range_block=64)
+    r = IndexReader(spark, d, cache_hot=True)
+    terms = {t["term"] for t in r.postings().select("term").distinct().collect()}
+    assert "Spark" in terms and "spark" in terms  # case preserved, distinct
+    # raw query analyzed case-SENSITIVELY with the index's own spec:
+    # "Spark" matches docs 0 and 2 only
+    out = match_text_topk(r, "Spark!", k=5).collect()
+    assert {x["doc_id"] for x in out} == {0, 2}
+
+
+def test_match_text_topk_equals_term_dispatch(spark, documents, tmp_path_factory):
+    from neural_search_spark.index.builder import build_index
+    from neural_search_spark.query.wand import (
+        IndexReader,
+        bm25_topk_indexed,
+        match_text_topk,
+    )
+
+    d = str(tmp_path_factory.mktemp("idx_match"))
+    build_index(spark, documents, d, key_cols=["doc_id"], text_col="text",
+                tokenizer="simple", num_segments=4, range_block=64)
+    r = IndexReader(spark, d, cache_hot=True)
+    via_text = [(x["doc_id"], round(x["score"], 4))
+                for x in match_text_topk(r, "Spark WINDOW, data!", k=10).collect()]
+    via_terms = [(x["doc_id"], round(x["score"], 4))
+                 for x in bm25_topk_indexed(r, ["spark", "window", "data"], k=10).collect()]
+    assert via_text == via_terms
+    assert match_text_topk(r, "!!! ---", k=10).count() == 0  # analyzes to nothing
