@@ -357,6 +357,42 @@ def _q_ann_hnsw_layered(spark, sf_dir):
     )
 
 
+ANN_MSEARCH_IDS = [0, 7, 21, 100]
+
+
+def _q_ann_msearch(spark, sf_dir):
+    """Batch kNN over the persisted graphs — every query beam-searches
+    each segment in ONE kernel pass (the k-NN msearch shape; same
+    batching lever as the BM25 msearch kernel). Oracle: per-query EXACT
+    cosine top-k, so the whole batch is recall-gated at once."""
+    from neural_search_spark.pipeline.graph_ann import hnsw_msearch
+
+    return hnsw_msearch(
+        _emb(spark, sf_dir), ANN_MSEARCH_IDS, k=10,
+        graphs=_ann_graphs(spark, sf_dir),
+    )
+
+
+def _q_ann_graph_append(spark, sf_dir):
+    """Live-vector path: graphs built over the first ~3/4 of the table,
+    the rest APPENDED via hnsw_append (which continues the insertion
+    sequence — pytest pins bit-identity with a full rebuild), then a
+    query served from the appended graphs must still equal EXACT brute
+    force. Mirrors indexed_live_topk's stream==full invariant for the
+    dense side."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.pipeline.graph_ann import hnsw_append, hnsw_topk
+
+    emb = _emb(spark, sf_dir)
+    cut = emb.agg(F.expr("percentile(vec_id, 0.75)")).first()[0]
+    from neural_search_spark.pipeline.graph_ann import hnsw_build_frame
+
+    base = hnsw_build_frame(emb.where(F.col("vec_id") <= cut))
+    grown = hnsw_append(emb, base)
+    return hnsw_topk(emb, ANN_QUERY_ID, k=10, graphs=grown)
+
+
 def _q_dedup_lsh_recall(spark, sf_dir):
     """Measured pair recall of embedding-LSH vs the exact all-pairs set
     on the same vectors (ADVICE r02: the mirrored LSH oracle applies the
@@ -1531,6 +1567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4: raw-query-string analysis + named analyzers --
         "match_text_topk": _q_match_text_topk,
         "chunk_fixed_standard": _q_chunk_fixed_standard,
+        # -- round-4: batch ANN + live graph growth --
+        "ann_msearch": _q_ann_msearch,
+        "ann_graph_append": _q_ann_graph_append,
         "dedup_lsh_recall": _q_dedup_lsh_recall,
         # -- round-3 multi-term rewrites + minimum_should_match --
         "indexed_prefix_topk": _q_indexed_prefix_topk,
@@ -1793,6 +1832,8 @@ def oracle_sql() -> dict[str, str]:
         # a LOWER ef and must still hit the exact answer
         "ann_hnsw_topk": poracle.cosine_topk_sql(ANN_QUERY_ID, k=10),
         "ann_hnsw_layered": poracle.cosine_topk_sql(ANN_QUERY_ID, k=10),
+        "ann_msearch": poracle.cosine_msearch_sql(ANN_MSEARCH_IDS, k=10),
+        "ann_graph_append": poracle.cosine_topk_sql(ANN_QUERY_ID, k=10),
         "ann_radial": poracle.radial_search_sql(ANN_QUERY_ID, RADIAL_MIN_SCORE),
         "text_token_counts": poracle.token_counts_sql(),
         "text_quality": poracle.quality_scores_sql(),

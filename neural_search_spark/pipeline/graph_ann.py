@@ -452,6 +452,223 @@ def hnsw_topk(
     return top.select("vec_id", "cos", F.row_number().over(w).cast("int").alias("rank"))
 
 
+def hnsw_msearch(
+    emb: DataFrame,
+    query_vec_ids: list[int],
+    k: int = 10,
+    ef: int = DEFAULT_EF,
+    m: int = DEFAULT_M,
+    ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+    n_segments: int = DEFAULT_SEGMENTS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    graphs: DataFrame | None = None,
+    layered: bool = False,
+    max_level: int = DEFAULT_MAX_LEVEL,
+) -> DataFrame:
+    """Batch kNN (the k-NN msearch shape): ALL queries beam-search each
+    segment's graph in ONE kernel invocation — per-segment graph decode
+    and Arrow transfer are paid once per segment, not once per query
+    (the same batching lever that fixed BM25 query scaling in
+    query/wand.bm25_topk_indexed_multi). Returns (q_id, vec_id, cos,
+    rank) — per-query results identical to :func:`hnsw_topk`.
+
+    Query vectors are collected driver-side (|Q| rows of query METADATA
+    — the exact analog of broadcast query-term stats) and ride into the
+    kernel as a closure matrix; the exact rerank scores the bounded
+    candidate union for every query in one JVM pass (window per q_id)."""
+    seg = _with_segments(emb, n_segments, id_col, vec_col)
+    qset = sorted(set(int(q) for q in query_vec_ids))
+    qrows = seg.where(F.col("vec_id").isin(qset)).select("vec_id", "v").collect()
+    if len(qrows) != len(qset):
+        missing = set(qset) - {r["vec_id"] for r in qrows}
+        raise ValueError(f"query vec_ids not in table: {sorted(missing)}")
+    qrows.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = _normalize_rows(np.vstack([r["v"] for r in qrows]).astype(np.float64))
+
+    use_stored = graphs is not None
+    hier = use_stored and "layers" in graphs.columns
+    hierarchical = hier or (not use_stored and layered)
+    frame = seg.join(graphs, ["segment", "vec_id"]) if use_stored else seg
+
+    def search(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        vecs = _normalize_rows(np.vstack(pdf["v"].to_numpy()).astype(np.float64))
+        if use_stored:
+            if hier:
+                adj, entry = _local_adj_from_layers(ids, pdf["layers"])
+            else:
+                nbrs = [
+                    np.searchsorted(ids, np.asarray(nb, dtype=np.int64))
+                    for nb in pdf["neighbors"]
+                ]
+        elif layered:
+            levels = [_level_of(int(vid), m, max_level) for vid in ids]
+            adj, entry = _build_hier_graph(vecs, levels, m, ef_construction)
+        else:
+            nbrs = _build_graph(vecs, m, ef_construction)
+        out_q, out_v = [], []
+        for qi in range(len(qids)):
+            qv = qmat[qi]
+            if hierarchical:
+                found = _search_hier(vecs, adj, entry, qv, ef)
+            else:
+                found = _beam_search(vecs, nbrs, qv, ef, n_valid=len(ids))
+            out_q.append(np.full(len(found), qids[qi], dtype=np.int64))
+            out_v.append(ids[np.asarray(found, dtype=np.int64)])
+        return pd.DataFrame(
+            {
+                "q_id": np.concatenate(out_q) if out_q else np.empty(0, np.int64),
+                "vec_id": np.concatenate(out_v) if out_v else np.empty(0, np.int64),
+            }
+        )
+
+    cand = frame.groupBy("segment").applyInPandas(search, "q_id long, vec_id long").distinct()
+    v = _as_double(emb, id_col, vec_col, "vec_id", "v")
+    qdf = v.where(F.col("vec_id").isin(qset)).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    dot = DOT.format(a="v", b="qv")
+    na, nq = NORM.format(a="v"), NORM.format(a="qv")
+    scored = (
+        v.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qdf), "q_id")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos", F.round(F.expr(dot) / (F.expr(na) * F.expr(nq)), 6))
+        .select("q_id", "vec_id", "cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", "rank")
+    )
+
+
+def hnsw_append(
+    emb: DataFrame,
+    graphs: DataFrame,
+    m: int = DEFAULT_M,
+    ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+    n_segments: int = DEFAULT_SEGMENTS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_level: int = DEFAULT_MAX_LEVEL,
+) -> DataFrame:
+    """Incremental graph growth — the live-index path for vectors
+    (mirror of index/live.append_segment for postings): ``emb`` is the
+    FULL current table, ``graphs`` the persisted frame covering a
+    prefix of it; each segment kernel restores its stored adjacency and
+    CONTINUES the insertion sequence for the new vectors only.
+
+    Because NSW/HNSW construction state is exactly (adjacency, vectors)
+    and insertion order is ascending vec_id, the appended graph is
+    BIT-IDENTICAL to a from-scratch rebuild over the full table —
+    provided every new vec_id sorts after every stored one in its
+    segment (checked; raises otherwise). pytest pins this identity, so
+    a serving fleet can grow graphs micro-batch by micro-batch without
+    rebuild cost: per batch the work is O(|new|·ef_construction·M·log n)
+    instead of O(n·…)."""
+    seg = _with_segments(emb, n_segments, id_col, vec_col)
+    hier = "layers" in graphs.columns
+    graph_col = "layers" if hier else "neighbors"
+    frame = seg.join(graphs, ["segment", "vec_id"], "left")
+
+    def append(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        vecs = _normalize_rows(np.vstack(pdf["v"].to_numpy()).astype(np.float64))
+        stored = pdf[graph_col].notna().to_numpy()
+        n_old = int(stored.sum())
+        if n_old and not stored[:n_old].all():
+            first_new = int(np.flatnonzero(~stored)[0])
+            raise ValueError(
+                "hnsw_append: new vec_ids must sort after every stored "
+                f"one in the segment (vec_id {int(ids[first_new])} is new "
+                "but precedes stored rows) — append preserves insertion "
+                "order; re-id the batch or rebuild"
+            )
+        if hier:
+            levels = [_level_of(int(vid), m, max_level) for vid in ids]
+            n_layers = (max(levels) if len(levels) else 0) + 1
+            adj: list[dict] = [{} for _ in range(n_layers)]
+            entry, entry_level = 0, levels[0] if len(ids) else 0
+            for i in range(n_old):
+                for l, nb in enumerate(pdf[graph_col].iloc[i]):
+                    adj[l][i] = np.searchsorted(ids, np.asarray(nb, dtype=np.int64))
+            # entry under the build rule: highest level, first inserted
+            entry, entry_level = 0, -1
+            for i in range(n_old):
+                li = len(pdf[graph_col].iloc[i]) - 1
+                if li > entry_level:
+                    entry, entry_level = i, li
+            max_rev = 2 * m
+            for i in range(n_old, len(ids)):
+                li = levels[i]
+                cur = entry
+                for l in range(entry_level, li, -1):
+                    cur = _greedy_descend(vecs, adj[l], vecs[i], cur)
+                for l in range(min(li, entry_level), -1, -1):
+                    found = _beam_search(
+                        vecs, adj[l], vecs[i], ef_construction, n_valid=i, entry=cur
+                    )
+                    sel = np.asarray(found[:m], dtype=np.int64)
+                    adj[l][i] = sel
+                    for j in sel.tolist():
+                        lst = np.append(adj[l][j], i)
+                        if len(lst) > max_rev:
+                            sims = vecs[lst] @ vecs[j]
+                            order = np.lexsort((lst, -sims))[:max_rev]
+                            lst = lst[np.sort(order)]
+                        adj[l][j] = lst
+                    cur = found[0] if found else cur
+                for l in range(min(li, entry_level) + 1, li + 1):
+                    adj[l][i] = np.empty(0, dtype=np.int64)
+                if li > entry_level:
+                    entry, entry_level = i, li
+            layers = [
+                [ids[adj[l][i]].tolist() for l in range(levels[i] + 1)]
+                for i in range(len(ids))
+            ]
+            return pd.DataFrame(
+                {"segment": pdf["segment"], "vec_id": ids, "layers": layers}
+            )
+        nbrs: list[np.ndarray] = [
+            np.searchsorted(ids, np.asarray(pdf[graph_col].iloc[i], dtype=np.int64))
+            if i < n_old
+            else np.empty(0, dtype=np.int64)
+            for i in range(len(ids))
+        ]
+        max_rev = 2 * m
+        for i in range(max(1, n_old), len(ids)):
+            found = _beam_search(vecs, nbrs, vecs[i], ef_construction, n_valid=i)
+            sel = np.asarray(found[:m], dtype=np.int64)
+            nbrs[i] = sel
+            for j in sel.tolist():
+                lst = np.append(nbrs[j], i)
+                if len(lst) > max_rev:
+                    sims = vecs[lst] @ vecs[j]
+                    order = np.lexsort((lst, -sims))[:max_rev]
+                    lst = lst[np.sort(order)]
+                nbrs[j] = lst
+        return pd.DataFrame(
+            {
+                "segment": pdf["segment"],
+                "vec_id": ids,
+                "neighbors": [ids[lst].tolist() for lst in nbrs],
+            }
+        )
+
+    schema = (
+        "segment int, vec_id long, layers array<array<long>>"
+        if hier
+        else "segment int, vec_id long, neighbors array<long>"
+    )
+    return frame.groupBy("segment").applyInPandas(append, schema)
+
+
 def hnsw_recall_at_k(
     emb: DataFrame,
     query_ids: list[int],

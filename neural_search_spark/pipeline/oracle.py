@@ -189,6 +189,30 @@ SELECT vec_id, cos,
 FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
 
 
+def cosine_msearch_sql(
+    query_vec_ids: list[int], k: int = 10, table: str = "embeddings"
+) -> str:
+    """Exact per-query cosine top-k for a query BATCH — the oracle for
+    ``hnsw_msearch`` (every query's graph answer must equal exact brute
+    force, same contract as the single-query gate)."""
+    ids = ", ".join(str(int(q)) for q in sorted(set(query_vec_ids)))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+  FROM e, q WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= {k}"""
+
+
 def ivf_topk_sql(
     query_vec_id: int,
     k: int = 10,

@@ -370,3 +370,68 @@ def test_match_text_topk_equals_term_dispatch(spark, documents, tmp_path_factory
                  for x in bm25_topk_indexed(r, ["spark", "window", "data"], k=10).collect()]
     assert via_text == via_terms
     assert match_text_topk(r, "!!! ---", k=10).count() == 0  # analyzes to nothing
+
+
+# --- batch ANN + incremental graph growth --------------------------------
+
+
+def test_hnsw_msearch_equals_per_query(spark, embeddings, nsw_graphs):
+    from neural_search_spark.pipeline.graph_ann import hnsw_msearch, hnsw_topk
+
+    qids = [0, 7, 21]
+    ms = hnsw_msearch(embeddings, qids, k=10, graphs=nsw_graphs).collect()
+    for q in qids:
+        per = [(r["vec_id"], r["cos"], r["rank"])
+               for r in hnsw_topk(embeddings, q, k=10, graphs=nsw_graphs).collect()]
+        got = sorted(((r["vec_id"], r["cos"], r["rank"]) for r in ms if r["q_id"] == q),
+                     key=lambda t: t[2])
+        assert got == per, q
+
+
+def test_hnsw_msearch_missing_query_raises(spark, embeddings, nsw_graphs):
+    from neural_search_spark.pipeline.graph_ann import hnsw_msearch
+
+    with pytest.raises(ValueError, match="not in table"):
+        hnsw_msearch(embeddings, [0, 10**9], k=5, graphs=nsw_graphs)
+
+
+def test_hnsw_append_bit_identical_to_rebuild(spark, embeddings):
+    """Incremental insertion from the stored adjacency must reproduce
+    the from-scratch graph EXACTLY (construction state is (adjacency,
+    vectors); insertion order is ascending vec_id in both)."""
+    from neural_search_spark.pipeline.graph_ann import hnsw_append, hnsw_build_frame
+
+    cut = embeddings.agg(F.expr("percentile(vec_id, 0.8)")).first()[0]
+    old = embeddings.where(F.col("vec_id") <= cut)
+
+    def rows(df):
+        return sorted((r["segment"], r["vec_id"], tuple(r["neighbors"]))
+                      for r in df.collect())
+
+    assert rows(hnsw_append(embeddings, hnsw_build_frame(old))) == rows(
+        hnsw_build_frame(embeddings)
+    )
+
+
+def test_hnsw_append_layered_bit_identical(spark, embeddings):
+    from neural_search_spark.pipeline.graph_ann import hnsw_append, hnsw_build_frame
+
+    cut = embeddings.agg(F.expr("percentile(vec_id, 0.8)")).first()[0]
+    old = embeddings.where(F.col("vec_id") <= cut)
+
+    def rows(df):
+        return sorted((r["segment"], r["vec_id"], tuple(map(tuple, r["layers"])))
+                      for r in df.collect())
+
+    assert rows(hnsw_append(embeddings, hnsw_build_frame(old, layered=True))) == rows(
+        hnsw_build_frame(embeddings, layered=True)
+    )
+
+
+def test_hnsw_append_rejects_out_of_order_ids(spark, embeddings):
+    from neural_search_spark.pipeline.graph_ann import hnsw_append, hnsw_build_frame
+
+    cut = embeddings.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+    tail_only = hnsw_build_frame(embeddings.where(F.col("vec_id") > cut))
+    with pytest.raises(Exception, match="sort after"):
+        hnsw_append(embeddings, tail_only).collect()
