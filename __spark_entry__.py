@@ -1538,7 +1538,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Everything past position 49 has green rows from earlier rounds
     # (union across CORRECTNESS_r01/r02).
     return {
-        # -- never driver-checked through round 2 (VERDICT r02 "missing" #1) --
+        # ============ FIRST-50 DRIVER GATE WINDOW (round-4 rotation) ======
+        # Discipline (VERDICT r03 #7): every row's driver evidence stays
+        # <= 2 rounds old. This window = round-4 NEW rows + rows whose
+        # IMPLEMENTATION changed this round + all 19 rows whose latest
+        # driver check was round 1 + the 13 stalest round-2 rows.
+        # -- round-4 new operators --
+        "ann_hnsw_layered": _q_ann_hnsw_layered,
+        "indexed_hybrid_neural": _q_indexed_hybrid_neural,
+        "match_text_topk": _q_match_text_topk,
+        "chunk_fixed_standard": _q_chunk_fixed_standard,
+        "ann_msearch": _q_ann_msearch,
+        "ann_graph_append": _q_ann_graph_append,
+        # -- implementation changed in round 4 (re-gate) --
+        "ann_hnsw_topk": _q_ann_hnsw_topk,         # now serves persisted graphs
+        "ann_pq_topk": _q_ann_pq_topk,             # dim= threading
+        "indexed_prefix_topk": _q_indexed_prefix_topk,    # tie-safe topk
+        "indexed_wildcard_topk": _q_indexed_wildcard_topk,
+        "indexed_fuzzy_topk": _q_indexed_fuzzy_topk,
+        "fuzzy_topk": _q_fuzzy_topk,               # quote-escape matcher
+        "phrase_prefix_topk": _q_phrase_prefix_topk,      # empty-fixed guard
+        "indexed_phrase_prefix": _q_indexed_phrase_prefix,
+        "bool_query_topk": _q_bool_query_topk,
+        "indexed_bool_query": _q_indexed_bool_query,      # tie-safe topk
+        "nested_chunk_topk": _q_nested_chunk_topk,        # chunk_id guard
+        "chunk_fixed_token_counts": _q_chunk_fixed_token_counts,  # analyzer plumb
+        # -- latest driver row was ROUND 1 (stalest 19) --
+        "adjacency_matrix": _q_adjacency_matrix,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_fingerprint": _q_dedup_fingerprint,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "events_date_histogram": _q_events_date_histogram,
+        "events_json_props": _q_events_json_props,
+        "events_sessionization": _q_events_sessions,
+        "events_windowed_agg": _q_events_windowed,
+        "indexed_sparse_two_phase": _q_indexed_sparse_two_phase,
+        "ingest_dense_embed": _q_ingest_dense_embed,
+        "ingest_sparse_encode": _q_ingest_sparse_encode,
+        "rescore_window": _q_rescore_window,
+        "text_quality": _q_text_quality,
+        "text_token_counts": _q_text_token_counts,
+        # -- stalest round-2 rows (13) --
+        "chunk_delimiter": _q_chunk_delimiter,
+        "hybrid_aggs": _q_hybrid_aggs,
+        "hybrid_minmax_arith": _q_hybrid_minmax_arith,
+        "hybrid_l2_geometric": _q_hybrid_l2_geometric,
+        "hybrid_collapse": _q_hybrid_collapse,
+        "hybrid_heterogeneous": _q_hybrid_heterogeneous,
+        "hybrid_post_filter": _q_hybrid_post_filter,
+        "by_field_rerank": _q_by_field_rerank,
+        "search_after_page2": _q_search_after,
+        "sort_after_fields": _q_sort_after_fields,
+        "sparse_linear": _q_sparse_linear,
+        "sparse_two_phase_topk": _q_sparse_two_phase_topk,
+        "indexed_msearch": _q_indexed_msearch,
+        # ===== position >= 50: green driver rows in r02/r03 (union) =======
+        # r03-green core + round-3 additions
         "ann_radial": _q_ann_radial,
         "cross_encoder_rerank": _q_cross_encoder_rerank,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1551,46 +1611,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_text_lang_id,
         "text_repetition": _q_text_repetition,
         "text_unigram_logprob": _q_text_unigram_logprob,
-        # -- round-3 additions (keep inside the first-50 window) --
         "indexed_bm25_phrase": _q_indexed_bm25_phrase,
         "indexed_phrase_slop": _q_indexed_phrase_slop,
         "indexed_merged_topk": _q_indexed_merged_topk,
         "indexed_live_topk": _q_indexed_live_topk,
-        "nested_chunk_topk": _q_nested_chunk_topk,
         "ann_ivf_recall": _q_ann_ivf_recall,
-        "ann_pq_topk": _q_ann_pq_topk,
         "ann_pq_recall": _q_ann_pq_recall,
         "ann_ivfpq_topk": _q_ann_ivfpq_topk,
-        "ann_hnsw_topk": _q_ann_hnsw_topk,
-        # -- round-4: persisted-graph serving + hierarchical layers --
-        "ann_hnsw_layered": _q_ann_hnsw_layered,
-        # -- round-4: raw-query-string analysis + named analyzers --
-        "match_text_topk": _q_match_text_topk,
-        "chunk_fixed_standard": _q_chunk_fixed_standard,
-        # -- round-4: batch ANN + live graph growth --
-        "ann_msearch": _q_ann_msearch,
-        "ann_graph_append": _q_ann_graph_append,
         "dedup_lsh_recall": _q_dedup_lsh_recall,
-        # -- round-3 multi-term rewrites + minimum_should_match --
-        "indexed_prefix_topk": _q_indexed_prefix_topk,
-        "indexed_wildcard_topk": _q_indexed_wildcard_topk,
-        "indexed_fuzzy_topk": _q_indexed_fuzzy_topk,
-        "fuzzy_topk": _q_fuzzy_topk,
         "bm25_msm_topk": _q_bm25_msm_topk,
         "indexed_bm25_msm": _q_indexed_bm25_msm,
-        "phrase_prefix_topk": _q_phrase_prefix_topk,
-        "indexed_phrase_prefix": _q_indexed_phrase_prefix,
         "bm25_highlight": _q_bm25_highlight,
-        "bool_query_topk": _q_bool_query_topk,
-        "indexed_bool_query": _q_indexed_bool_query,
         "dis_max_topk": _q_dis_max_topk,
-        # -- the reference's headline shape: hybrid of match + neural kNN --
         "hybrid_neural_bm25": _q_hybrid_neural_bm25,
-        # -- round-4: its production form (inverted index + stored graphs) --
-        "indexed_hybrid_neural": _q_indexed_hybrid_neural,
-        # -- reworked this round (hash-set array MinHash): needs a fresh row --
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
-        # -- core load-bearing queries (green in r01/r02, re-checked here) --
         "bm25_or_scores": _q_bm25_or,
         "bm25_and_scores": _q_bm25_and,
         "bm25_topk": _q_bm25_topk,
@@ -1604,36 +1638,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_bm25_filtered": _q_indexed_bm25_filtered,
         "indexed_sort_by_field": _q_indexed_sort_by_field,
         "indexed_total_hits_tracked": _q_indexed_total_hits_tracked,
-        "indexed_msearch": _q_indexed_msearch,
         "indexed_hybrid_filtered": _q_indexed_hybrid_filtered,
-        # ---- position >= 50 from here: green rows in CORRECTNESS_r01/r02 ----
-        "indexed_sparse_two_phase": _q_indexed_sparse_two_phase,
-        "hybrid_minmax_arith": _q_hybrid_minmax_arith,
-        "hybrid_l2_geometric": _q_hybrid_l2_geometric,
-        "sparse_linear": _q_sparse_linear,
-        "sparse_two_phase_topk": _q_sparse_two_phase_topk,
-        "by_field_rerank": _q_by_field_rerank,
-        "search_after_page2": _q_search_after,
-        "hybrid_aggs": _q_hybrid_aggs,
-        "hybrid_post_filter": _q_hybrid_post_filter,
-        "chunk_delimiter": _q_chunk_delimiter,
-        "chunk_fixed_token_counts": _q_chunk_fixed_token_counts,
-        "hybrid_collapse": _q_hybrid_collapse,
-        "hybrid_heterogeneous": _q_hybrid_heterogeneous,
-        "rescore_window": _q_rescore_window,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
-        "dedup_embedding_cosine": _q_dedup_embedding,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ingest_dense_embed": _q_ingest_dense_embed,
-        "ingest_sparse_encode": _q_ingest_sparse_encode,
-        "events_windowed_agg": _q_events_windowed,
+        # r02-green remainder
         "bm25_common_term": _q_bm25_common,
         "bm25_rare_term": _q_bm25_rare,
         "hybrid_minmax_harmonic": _q_hybrid_minmax_harmonic,
         "hybrid_sort_by_field": _q_hybrid_sort_by_field,
-        "sort_after_fields": _q_sort_after_fields,
         "hybrid_total_hits": _q_hybrid_total_hits,
         "hybrid_extended_stats": _q_hybrid_extended_stats,
         "hybrid_pipeline_aggs": _q_hybrid_pipeline_aggs,
@@ -1652,15 +1662,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_global": _q_hybrid_global,
         "hybrid_bucket_stats": _q_hybrid_bucket_stats,
         "hybrid_bucket_sort": _q_hybrid_bucket_sort,
-        "events_sessionization": _q_events_sessions,
-        "events_json_props": _q_events_json_props,
-        "events_date_histogram": _q_events_date_histogram,
-        "adjacency_matrix": _q_adjacency_matrix,
-        "dedup_fingerprint": _q_dedup_fingerprint,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_simhash": _q_dedup_simhash,
-        "text_token_counts": _q_text_token_counts,
-        "text_quality": _q_text_quality,
     }
 
 
