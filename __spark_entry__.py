@@ -514,6 +514,55 @@ def _q_hybrid_minmax_harmonic(spark, sf_dir):
     return out.withColumn("score", F.round("score", 4))
 
 
+def _q_hybrid_zscore(spark, sf_dir):
+    """z-score normalization + weighted arithmetic mean (ships in newer
+    public plugin releases than this snapshot; semantics per
+    query/hybrid.py docstring — negatives retained, they are values
+    not missing-slot markers)."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.hybrid import combine, normalize
+
+    tagged = _tagged_subquery_scores(spark, sf_dir)
+    out = combine(
+        normalize(tagged, "z_score"), "arithmetic_mean", HYBRID_WEIGHTS, 3, keep_negative=True
+    )
+    return out.withColumn("score", F.round("score", 4))
+
+
+def _q_hybrid_explain(spark, sf_dir):
+    """Score-provenance explanation (newer plugin releases'
+    explanation response processor): per (doc, sub-query) raw score,
+    normalized score, weight, and final combined score."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.hybrid import explain_scores
+
+    tagged = _tagged_subquery_scores(spark, sf_dir)
+    out = explain_scores(tagged, "min_max", "arithmetic_mean", HYBRID_WEIGHTS, 3)
+    return out.select(
+        "doc_id",
+        F.col("subquery_idx").cast("int").alias("subquery_idx"),
+        F.round("raw_score", 4).alias("raw_score"),
+        F.round("norm_score", 4).alias("norm_score"),
+        "weight",
+        F.round("combined_score", 4).alias("combined_score"),
+    )
+
+
+def _q_hybrid_rrf(spark, sf_dir):
+    """Reciprocal rank fusion (rank_constant=60) — rank-based hybrid
+    combination; exactly reproducible across engines because ranks are
+    integers (tiebreak doc_id asc on both sides)."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.query.hybrid import rrf_combine
+
+    tagged = _tagged_subquery_scores(spark, sf_dir)
+    out = rrf_combine(tagged, 60, HYBRID_WEIGHTS, 3)
+    return out.withColumn("score", F.round("score", 4))
+
+
 def _sparse_features(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1550,6 +1599,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_fixed_standard": _q_chunk_fixed_standard,
         "ann_msearch": _q_ann_msearch,
         "ann_graph_append": _q_ann_graph_append,
+        "hybrid_rrf": _q_hybrid_rrf,
+        "hybrid_zscore": _q_hybrid_zscore,
+        "hybrid_explain": _q_hybrid_explain,
         # -- implementation changed in round 4 (re-gate) --
         "ann_hnsw_topk": _q_ann_hnsw_topk,         # now serves persisted graphs
         "ann_pq_topk": _q_ann_pq_topk,             # dim= threading
@@ -1594,10 +1646,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "by_field_rerank": _q_by_field_rerank,
         "search_after_page2": _q_search_after,
         "sort_after_fields": _q_sort_after_fields,
+        # ===== position >= 50: green driver rows in r02/r03 (union) =======
+        # (sparse_linear + sparse_two_phase_topk r02-green and
+        # indexed_msearch r03-green rotated out to make room for the
+        # hybrid_rrf/hybrid_zscore/hybrid_explain adds; all three stay
+        # <=2 rounds old through r04)
         "sparse_linear": _q_sparse_linear,
         "sparse_two_phase_topk": _q_sparse_two_phase_topk,
         "indexed_msearch": _q_indexed_msearch,
-        # ===== position >= 50: green driver rows in r02/r03 (union) =======
         # r03-green core + round-3 additions
         "ann_radial": _q_ann_radial,
         "cross_encoder_rerank": _q_cross_encoder_rerank,
@@ -1747,6 +1803,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hybrid_minmax_arith": oracle.hybrid_sql(HYBRID_GROUPS, "min_max", "arithmetic_mean", HYBRID_WEIGHTS),
         "hybrid_l2_geometric": oracle.hybrid_sql(HYBRID_GROUPS, "l2", "geometric_mean"),
+        "hybrid_rrf": oracle.hybrid_sql(HYBRID_GROUPS, "rrf", "rrf", HYBRID_WEIGHTS),
+        "hybrid_zscore": oracle.hybrid_sql(HYBRID_GROUPS, "z_score", "arithmetic_mean", HYBRID_WEIGHTS),
+        "hybrid_explain": oracle.hybrid_explain_sql(HYBRID_GROUPS, HYBRID_WEIGHTS),
         "hybrid_minmax_harmonic": oracle.hybrid_sql(HYBRID_GROUPS, "min_max", "harmonic_mean", HYBRID_WEIGHTS),
         "sparse_linear": oracle.sparse_scores_sql(SPARSE_QUERY),
         "sparse_two_phase_topk": oracle.sparse_topk_sql(SPARSE_QUERY, k=10),

@@ -211,6 +211,22 @@ def hybrid_sql(
     union = " UNION ALL ".join(
         f"SELECT {i} AS subquery_idx, doc_id, score FROM sub{i}" for i in range(len(term_groups))
     )
+    wexpr = _weight_case(w)
+    if combination == "rrf":
+        # reciprocal rank fusion: rank-based, no normalization stage
+        if normalization != "rrf":
+            raise ValueError("rrf combination requires rrf normalization")
+        return f"""{bm25_base_ctes(all_terms, table)},
+{",".join(subs)},
+allsub AS ({union}),
+ranked AS (
+  SELECT doc_id, subquery_idx,
+         row_number() OVER (PARTITION BY subquery_idx
+                            ORDER BY score DESC, doc_id ASC) AS r
+  FROM allsub
+)
+SELECT doc_id, round(sum({wexpr} / (60.0 + r)), {round_to}) AS score
+FROM ranked GROUP BY doc_id"""
     if normalization == "min_max":
         norm_expr = (
             "CASE WHEN mx = mn THEN 1.0 "
@@ -219,12 +235,14 @@ def hybrid_sql(
         )
     elif normalization == "l2":
         norm_expr = "CASE WHEN nrm = 0.0 THEN 0.0 ELSE a.score / nrm END"
+    elif normalization == "z_score":
+        norm_expr = "CASE WHEN sigma = 0.0 THEN 0.0 ELSE (a.score - mu) / sigma END"
     else:
         raise ValueError(normalization)
-    wexpr = _weight_case(w)
     if combination == "arithmetic_mean":
         comb = f"sum({wexpr} * nscore) / {float(sum(w))!r}"
-        flt = "nscore >= 0.0"
+        # negative z-scores are real values, not missing-slot markers
+        flt = "TRUE" if normalization == "z_score" else "nscore >= 0.0"
     elif combination == "harmonic_mean":
         comb = f"sum({wexpr}) / sum({wexpr} / nscore)"
         flt = "nscore > 0.0"
@@ -238,7 +256,8 @@ def hybrid_sql(
 allsub AS ({union}),
 nstats AS (
   SELECT subquery_idx, min(score) AS mn, max(score) AS mx,
-         sqrt(sum(score * score)) AS nrm
+         sqrt(sum(score * score)) AS nrm,
+         avg(score) AS mu, stddev_pop(score) AS sigma
   FROM allsub GROUP BY subquery_idx
 ),
 normed AS (
@@ -247,6 +266,56 @@ normed AS (
 )
 SELECT doc_id, round({comb}, {round_to}) AS score
 FROM normed WHERE {flt} GROUP BY doc_id"""
+
+
+def hybrid_explain_sql(
+    term_groups: list[list[str]],
+    weights: list[float] | None = None,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """Oracle for the score-provenance explanation (min_max +
+    arithmetic_mean): per (doc_id, subquery_idx) raw/normalized/weight
+    plus the doc's combined score."""
+    all_terms = sorted({t for g in term_groups for t in g})
+    w = weights if weights is not None else [1.0] * len(term_groups)
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    subs = []
+    for i, g in enumerate(term_groups):
+        subs.append(
+            f"sub{i} AS (SELECT doc_id, sum({contrib}) AS score "
+            f"FROM tf JOIN dfreq USING (term), stats WHERE tf.term IN {_terms_list(sorted(g))} "
+            f"GROUP BY doc_id)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS subquery_idx, doc_id, score FROM sub{i}" for i in range(len(term_groups))
+    )
+    wexpr = _weight_case(w)
+    norm_expr = (
+        "CASE WHEN mx = mn THEN 1.0 "
+        "WHEN (a.score - mn) / (mx - mn) = 0.0 THEN 0.001 "
+        "ELSE (a.score - mn) / (mx - mn) END"
+    )
+    return f"""{bm25_base_ctes(all_terms, table)},
+{",".join(subs)},
+allsub AS ({union}),
+nstats AS (
+  SELECT subquery_idx, min(score) AS mn, max(score) AS mx
+  FROM allsub GROUP BY subquery_idx
+),
+normed AS (
+  SELECT a.doc_id, a.subquery_idx, a.score AS raw_score, {norm_expr} AS nscore
+  FROM allsub a JOIN nstats USING (subquery_idx)
+),
+combined AS (
+  SELECT doc_id, sum({wexpr} * nscore) / {float(sum(w))!r} AS combined_score
+  FROM normed WHERE nscore >= 0.0 GROUP BY doc_id
+)
+SELECT n.doc_id, n.subquery_idx, round(n.raw_score, {round_to}) AS raw_score,
+       round(n.nscore, {round_to}) AS norm_score, {wexpr} AS weight,
+       round(c.combined_score, {round_to}) AS combined_score
+FROM normed n LEFT JOIN combined c ON n.doc_id = c.doc_id"""
 
 
 def indexed_hybrid_sql(

@@ -25,6 +25,23 @@ Semantics reproduced exactly:
  * geometric_mean — exp(Σw·ln s/Σw) over s>0 [Geometric...java:40-56]
  * final ranking: combined desc, doc_id asc, truncate k; one row per
    doc (set-union of sub-query matches) [ScoreCombiner.java:34-321]
+
+Beyond this snapshot (newer public releases of the plugin ship both;
+semantics here follow the public docs / Cormack et al. 2009, not any
+implementation's text):
+ * z_score — n=(s-μ)/σ per sub-query (population σ; σ==0 → 0.0).
+   Negative z-scores are LEGITIMATE values, so the arithmetic
+   combiner keeps them when ``keep_negative=True`` (the reference's
+   s<0 skip exists only because -1 marks *missing* in its dense score
+   arrays; this long format has no missing marker — absent rows are
+   the zero-filled case).
+ * rrf — reciprocal rank fusion: score(d)=Σᵢ wᵢ/(rank_constant+rᵢ(d))
+   where rᵢ is d's 1-based rank in sub-query i (score desc, doc_id
+   asc tiebreak). Rank-based, so it needs no normalization stage.
+   Default rank_constant 60 per the literature and the plugin's docs.
+   Scale note: the per-sub-query rank window runs over RETAINED hits
+   (bounded top-k lists), not the corpus — a single-partition sort of
+   ≤ n_subqueries·k rows.
 """
 
 from __future__ import annotations
@@ -60,7 +77,47 @@ def normalize(scores: DataFrame, technique: str = "min_max") -> DataFrame:
         out = scores.join(F.broadcast(stats), "subquery_idx")
         nscore = F.when(F.col("nrm") == 0.0, F.lit(0.0)).otherwise(F.col("score") / F.col("nrm"))
         return out.withColumn("nscore", nscore).drop("nrm")
+    if technique == "z_score":
+        stats = scores.groupBy("subquery_idx").agg(
+            F.avg("score").alias("mu"), F.stddev_pop("score").alias("sigma")
+        )
+        out = scores.join(F.broadcast(stats), "subquery_idx")
+        nscore = (
+            F.when(F.col("sigma") == 0.0, F.lit(0.0))
+            .otherwise((F.col("score") - F.col("mu")) / F.col("sigma"))
+        )
+        return out.withColumn("nscore", nscore).drop("mu", "sigma")
     raise ValueError(f"unknown normalization technique [{technique}]")
+
+
+def rrf_combine(
+    tagged: DataFrame,
+    rank_constant: int = 60,
+    weights: list[float] | None = None,
+    n_subqueries: int | None = None,
+) -> DataFrame:
+    """Reciprocal rank fusion over tagged per-sub-query scores
+    ``(subquery_idx, doc_id, score)`` → ``(doc_id, score)``.
+
+    score(d) = Σᵢ wᵢ / (rank_constant + rᵢ(d)), rᵢ 1-based within
+    sub-query i ordered (score desc, doc_id asc). Rank integers make
+    the result exactly reproducible across engines (no float-sum-order
+    sensitivity beyond the final bounded sum)."""
+    from pyspark.sql import Window
+
+    if n_subqueries is None:
+        n_subqueries = tagged.agg(F.max("subquery_idx")).collect()[0][0] + 1
+    w = weights if weights is not None else [1.0] * n_subqueries
+    wmap = F.element_at(
+        F.array(*[F.lit(float(x)) for x in w]), F.col("subquery_idx").cast("int") + 1
+    )
+    win = Window.partitionBy("subquery_idx").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    ranked = tagged.withColumn("r", F.row_number().over(win))
+    return ranked.groupBy("doc_id").agg(
+        F.sum(wmap / (F.lit(float(rank_constant)) + F.col("r"))).alias("score")
+    )
 
 
 def combine(
@@ -68,8 +125,13 @@ def combine(
     technique: str = "arithmetic_mean",
     weights: list[float] | None = None,
     n_subqueries: int | None = None,
+    keep_negative: bool = False,
 ) -> DataFrame:
-    """(doc_id, score): weighted combination across sub-queries."""
+    """(doc_id, score): weighted combination across sub-queries.
+
+    ``keep_negative`` retains nscore<0 rows in the arithmetic mean —
+    required for z_score normalization, whose negative values are real
+    scores, not the reference's -1 missing-slot marker."""
     if n_subqueries is None:
         n_subqueries = normalized.agg(F.max("subquery_idx")).collect()[0][0] + 1
     w = weights if weights is not None else [1.0] * n_subqueries
@@ -81,10 +143,9 @@ def combine(
     if technique == "arithmetic_mean":
         total_w = float(sum(w))
         # zero-filled missing scores keep their weight in the denominator
-        return (
-            df.where(F.col("nscore") >= 0.0)
-            .groupBy("doc_id")
-            .agg((F.sum(F.col("w") * F.col("nscore")) / F.lit(total_w)).alias("score"))
+        kept = df if keep_negative else df.where(F.col("nscore") >= 0.0)
+        return kept.groupBy("doc_id").agg(
+            (F.sum(F.col("w") * F.col("nscore")) / F.lit(total_w)).alias("score")
         )
     if technique == "harmonic_mean":
         return pos.groupBy("doc_id").agg(
@@ -97,6 +158,45 @@ def combine(
     raise ValueError(f"unknown combination technique [{technique}]")
 
 
+def explain_scores(
+    tagged: DataFrame,
+    normalization: str = "min_max",
+    combination: str = "arithmetic_mean",
+    weights: list[float] | None = None,
+    n_subqueries: int | None = None,
+) -> DataFrame:
+    """Score-provenance explanation (the newer plugin releases expose
+    this via an explanation response processor): one row per
+    (doc_id, subquery_idx) with the raw sub-query score, its normalized
+    value, the applied weight, and the doc's final combined score —
+    everything a user needs to audit why a hit ranked where it did.
+
+    Columns: doc_id, subquery_idx, raw_score, norm_score, weight,
+    combined_score. Scale shape: two broadcast joins (per-sub-query
+    stats, per-doc combined) over the retained-hits frame."""
+    if n_subqueries is None:
+        n_subqueries = tagged.agg(F.max("subquery_idx")).collect()[0][0] + 1
+    w = weights if weights is not None else [1.0] * n_subqueries
+    normed = normalize(tagged, normalization)
+    combined = combine(
+        normed, combination, w, n_subqueries,
+        keep_negative=(normalization == "z_score"),
+    ).withColumnRenamed("score", "combined_score")
+    wmap = F.element_at(
+        F.array(*[F.lit(float(x)) for x in w]), F.col("subquery_idx").cast("int") + 1
+    )
+    return (
+        normed.withColumn("weight", wmap)
+        .withColumnRenamed("score", "raw_score")
+        .withColumnRenamed("nscore", "norm_score")
+        .join(combined, "doc_id", "left")
+        .select(
+            "doc_id", "subquery_idx", "raw_score",
+            "norm_score", "weight", "combined_score",
+        )
+    )
+
+
 def hybrid_search(
     subqueries: list[DataFrame],
     normalization: str = "min_max",
@@ -104,9 +204,13 @@ def hybrid_search(
     weights: list[float] | None = None,
     k: int = 10,
     round_to: int | None = None,
+    rank_constant: int = 60,
 ) -> DataFrame:
     """Full hybrid pipeline over per-sub-query score DataFrames
-    (each ``(doc_id, score)``) → top-k ``(doc_id, score, rank)``."""
+    (each ``(doc_id, score)``) → top-k ``(doc_id, score, rank)``.
+
+    ``normalization="rrf"`` (with ``combination="rrf"``) fuses by
+    reciprocal rank instead of score statistics."""
     spec = HybridSpec(
         n_subqueries=len(subqueries),
         normalization=normalization,
@@ -114,12 +218,23 @@ def hybrid_search(
         weights=weights,
         k=k,
     ).validate()
+    if (spec.normalization == "rrf") != (spec.combination == "rrf"):
+        raise ValueError("rrf normalization and combination must be used together")
     tagged = None
     for i, sq in enumerate(subqueries):
         t = sq.select(F.lit(i).alias("subquery_idx"), "doc_id", "score")
         tagged = t if tagged is None else tagged.unionByName(t)
-    normed = normalize(tagged, spec.normalization)
-    combined = combine(normed, spec.combination, spec.effective_weights(), len(subqueries))
+    if spec.normalization == "rrf":
+        combined = rrf_combine(tagged, rank_constant, spec.effective_weights(), len(subqueries))
+    else:
+        normed = normalize(tagged, spec.normalization)
+        combined = combine(
+            normed,
+            spec.combination,
+            spec.effective_weights(),
+            len(subqueries),
+            keep_negative=(spec.normalization == "z_score"),
+        )
     from .exhaustive import topk
 
     return topk(combined, k=spec.k, round_to=round_to)

@@ -17,8 +17,11 @@ from dataclasses import dataclass, field
 MAX_SUBQUERIES = 5
 WEIGHT_SUM_TOL = 0.01
 
-NORMALIZATIONS = ("min_max", "l2")
-COMBINATIONS = ("arithmetic_mean", "harmonic_mean", "geometric_mean")
+# z_score and rrf ship in newer public releases of the plugin than this
+# snapshot (see query/hybrid.py docstring); rrf is rank-based and pairs
+# with the "rrf" combination only.
+NORMALIZATIONS = ("min_max", "l2", "z_score", "rrf")
+COMBINATIONS = ("arithmetic_mean", "harmonic_mean", "geometric_mean", "rrf")
 
 
 class HybridSpecError(ValueError):

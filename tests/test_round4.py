@@ -435,3 +435,88 @@ def test_hnsw_append_rejects_out_of_order_ids(spark, embeddings):
     tail_only = hnsw_build_frame(embeddings.where(F.col("vec_id") > cut))
     with pytest.raises(Exception, match="sort after"):
         hnsw_append(embeddings, tail_only).collect()
+
+
+# --- rrf + z_score hybrid techniques (round-4 additions) ---------------
+
+
+def _tagged(spark, rows):
+    return spark.createDataFrame(rows, "subquery_idx int, doc_id long, score double")
+
+
+def test_rrf_hand_computed(spark):
+    """2 sub-queries, weights 0.6/0.4, rank_constant 60; ranks by
+    (score desc, doc_id asc) — the score-2.0 tie goes to doc 2."""
+    from neural_search_spark.query.hybrid import rrf_combine
+
+    df = _tagged(
+        spark,
+        [(0, 1, 3.0), (0, 2, 2.0), (0, 3, 2.0), (1, 2, 9.0), (1, 4, 1.0)],
+    )
+    got = {r["doc_id"]: r["score"] for r in rrf_combine(df, 60, [0.6, 0.4], 2).collect()}
+    exp = {
+        1: 0.6 / 61,
+        2: 0.6 / 62 + 0.4 / 61,
+        3: 0.6 / 63,
+        4: 0.4 / 62,
+    }
+    assert set(got) == set(exp)
+    for d, v in exp.items():
+        assert got[d] == pytest.approx(v, abs=1e-12)
+
+
+def test_zscore_hand_computed(spark):
+    """sub0 scores 1,2,3 → μ=2, σ_pop=sqrt(2/3); sub1 has one doc
+    (σ==0 → 0.0). Negative z kept in the arithmetic mean."""
+    import math
+
+    from neural_search_spark.query.hybrid import combine, normalize
+
+    df = _tagged(spark, [(0, 1, 1.0), (0, 2, 2.0), (0, 3, 3.0), (1, 1, 5.0)])
+    out = combine(normalize(df, "z_score"), "arithmetic_mean", [0.5, 0.5], 2, keep_negative=True)
+    got = {r["doc_id"]: r["score"] for r in out.collect()}
+    z = 1.0 / math.sqrt(2.0 / 3.0)
+    assert got[1] == pytest.approx(-0.5 * z, abs=1e-12)
+    assert got[2] == pytest.approx(0.0, abs=1e-12)
+    assert got[3] == pytest.approx(0.5 * z, abs=1e-12)
+
+
+def test_zscore_negative_dropped_without_flag(spark):
+    """Default combine (keep_negative=False) preserves the reference's
+    s<0 skip — the z_score path must opt in explicitly."""
+    from neural_search_spark.query.hybrid import combine, normalize
+
+    df = _tagged(spark, [(0, 1, 1.0), (0, 2, 2.0), (0, 3, 3.0)])
+    got = {r["doc_id"]: r["score"] for r in combine(normalize(df, "z_score"), "arithmetic_mean", None, 1).collect()}
+    assert 1 not in got  # negative z row filtered
+
+
+def test_rrf_requires_paired_techniques(spark):
+    from neural_search_spark.query.hybrid import hybrid_search
+
+    df = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+    with pytest.raises(ValueError, match="rrf"):
+        hybrid_search([df], normalization="rrf", combination="arithmetic_mean")
+
+
+def test_explain_scores_provenance(spark):
+    """Explanation rows must reconcile: sum(weight*norm)/sum_w equals
+    the combined score carried on every row of the doc."""
+    from neural_search_spark.query.hybrid import explain_scores
+
+    df = _tagged(
+        spark,
+        [(0, 1, 3.0), (0, 2, 1.0), (1, 1, 5.0), (1, 3, 2.0)],
+    )
+    rows = explain_scores(df, "min_max", "arithmetic_mean", [0.7, 0.3], 2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in by_doc.items():
+        comb = rs[0]["combined_score"]
+        assert all(r["combined_score"] == comb for r in rs)
+        acc = sum(r["weight"] * r["norm_score"] for r in rs if r["norm_score"] >= 0)
+        assert comb == pytest.approx(acc / 1.0, abs=1e-12)
+    # weights follow subquery_idx, raw scores preserved
+    r11 = next(r for r in rows if r["doc_id"] == 1 and r["subquery_idx"] == 0)
+    assert (r11["weight"], r11["raw_score"]) == (0.7, 3.0)
