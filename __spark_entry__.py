@@ -1314,6 +1314,25 @@ def _q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(_emb(spark, sf_dir), ANN_QUERY_ID, k=10)
 
 
+# dialect-shared candidate filter for the reference's kNN `filter` slot
+# (NeuralQueryBuilder.java:105,318) — a metadata predicate over the
+# embeddings table's label column
+ANN_FILTER_PREDICATE = "label % 3 <> 1"
+
+
+def _q_ann_filtered_topk(spark, sf_dir):
+    """Filtered kNN through the graph tier's dispatch: at this corpus
+    size the filtered set is under the exact threshold, so the engine
+    takes its deterministic 'exact search with filter' branch (same
+    contract as the k-NN engine's small-filter fallback); the graph
+    branch is pytest-gated by recall at larger synthetic N."""
+    from neural_search_spark.pipeline.graph_ann import hnsw_filtered_topk
+
+    return hnsw_filtered_topk(
+        _emb(spark, sf_dir), ANN_QUERY_ID, ANN_FILTER_PREDICATE, k=10
+    )
+
+
 def _q_ann_ivf_topk(spark, sf_dir):
     from neural_search_spark.pipeline.similarity import ivf_topk
 
@@ -1602,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _q_hybrid_rrf,
         "hybrid_zscore": _q_hybrid_zscore,
         "hybrid_explain": _q_hybrid_explain,
+        "ann_filtered_topk": _q_ann_filtered_topk,
         # -- implementation changed in round 4 (re-gate) --
         "ann_hnsw_topk": _q_ann_hnsw_topk,         # now serves persisted graphs
         "ann_pq_topk": _q_ann_pq_topk,             # dim= threading
@@ -1647,10 +1667,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_page2": _q_search_after,
         "sort_after_fields": _q_sort_after_fields,
         # ===== position >= 50: green driver rows in r02/r03 (union) =======
-        # (sparse_linear + sparse_two_phase_topk r02-green and
-        # indexed_msearch r03-green rotated out to make room for the
-        # hybrid_rrf/hybrid_zscore/hybrid_explain adds; all three stay
-        # <=2 rounds old through r04)
+        # (sort_after_fields/sparse_linear/sparse_two_phase_topk
+        # r02-green and indexed_msearch r03-green rotated out to make
+        # room for the hybrid_rrf/hybrid_zscore/hybrid_explain/
+        # ann_filtered_topk adds; all stay <=2 rounds old through r04 —
+        # they lead round-5's rotation list)
         "sparse_linear": _q_sparse_linear,
         "sparse_two_phase_topk": _q_sparse_two_phase_topk,
         "indexed_msearch": _q_indexed_msearch,
@@ -1806,6 +1827,9 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": oracle.hybrid_sql(HYBRID_GROUPS, "rrf", "rrf", HYBRID_WEIGHTS),
         "hybrid_zscore": oracle.hybrid_sql(HYBRID_GROUPS, "z_score", "arithmetic_mean", HYBRID_WEIGHTS),
         "hybrid_explain": oracle.hybrid_explain_sql(HYBRID_GROUPS, HYBRID_WEIGHTS),
+        "ann_filtered_topk": poracle.cosine_topk_sql(
+            ANN_QUERY_ID, k=10, predicate=ANN_FILTER_PREDICATE
+        ),
         "hybrid_minmax_harmonic": oracle.hybrid_sql(HYBRID_GROUPS, "min_max", "harmonic_mean", HYBRID_WEIGHTS),
         "sparse_linear": oracle.sparse_scores_sql(SPARSE_QUERY),
         "sparse_two_phase_topk": oracle.sparse_topk_sql(SPARSE_QUERY, k=10),

@@ -452,6 +452,73 @@ def hnsw_topk(
     return top.select("vec_id", "cos", F.row_number().over(w).cast("int").alias("rank"))
 
 
+def hnsw_filtered_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    predicate: str,
+    k: int = 10,
+    ef: int = DEFAULT_EF,
+    m: int = DEFAULT_M,
+    ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+    n_segments: int = DEFAULT_SEGMENTS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    graphs: DataFrame | None = None,
+    layered: bool = False,
+    max_level: int = DEFAULT_MAX_LEVEL,
+    exact_threshold: int = 100_000,
+    expansion: int = 4,
+) -> DataFrame:
+    """Filtered graph-ANN — the reference's ``filter`` slot on the kNN
+    sub-query (NeuralQueryBuilder.java:105,318) over the graph tier.
+
+    Strategy mirrors the public k-NN engine's documented behavior:
+
+    * if the filtered candidate set is small (``<= exact_threshold``
+      rows), run EXACT search restricted to it (the engine's
+      "exact search with filter" branch) — deterministic and identical
+      to :func:`..similarity.cosine_topk` with the same predicate;
+    * otherwise beam-search the graph with ``expansion``-times-wider
+      ef (filtered traversal needs over-expansion because an arbitrary
+      fraction of visited nodes fails the predicate), intersect the
+      candidates with the predicate, and exact-rerank the survivors.
+
+    The branch decision is ONE driver-side scalar (a count over the
+    pushed-down predicate scan) — the same cardinality estimate the
+    engine reads from the filter's bitset."""
+    flt = emb.where(F.expr(predicate))
+    n_filtered = flt.count()
+    if n_filtered <= exact_threshold:
+        from .similarity import cosine_topk
+
+        return cosine_topk(
+            emb, query_vec_id, k=k, id_col=id_col, vec_col=vec_col, predicate=predicate
+        )
+    cand = hnsw_candidates(
+        emb, query_vec_id, ef=ef * expansion, m=m,
+        ef_construction=ef_construction, n_segments=n_segments,
+        id_col=id_col, vec_col=vec_col, graphs=graphs,
+        layered=layered, max_level=max_level,
+    ).distinct()
+    cand = cand.join(
+        flt.select(F.col(id_col).alias("vec_id")), "vec_id"
+    )
+    v = _as_double(emb, id_col, vec_col, "vec_id", "v")
+    q = v.where(F.col("vec_id") == F.lit(query_vec_id)).select(F.col("v").alias("qv"))
+    dot = DOT.format(a="v", b="qv")
+    na, nq = NORM.format(a="v"), NORM.format(a="qv")
+    scored = (
+        v.join(F.broadcast(cand), "vec_id")
+        .where(F.col("vec_id") != F.lit(query_vec_id))
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos", F.round(F.expr(dot) / (F.expr(na) * F.expr(nq)), 6))
+        .select("vec_id", "cos")
+    )
+    top = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return top.select("vec_id", "cos", F.row_number().over(w).cast("int").alias("rank"))
+
+
 def hnsw_msearch(
     emb: DataFrame,
     query_vec_ids: list[int],

@@ -174,15 +174,26 @@ WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {threshold}"""
 
 # --- similarity ---------------------------------------------------------
 
-def cosine_topk_sql(query_vec_id: int, k: int = 10, table: str = "embeddings") -> str:
+def cosine_topk_sql(
+    query_vec_id: int,
+    k: int = 10,
+    table: str = "embeddings",
+    predicate: str | None = None,
+) -> str:
+    """``predicate`` restricts CANDIDATES only (the query vector is
+    looked up unfiltered) — the filtered-kNN contract shared with the
+    Spark side. The predicate string is dialect-shared SQL over the
+    table's raw columns."""
+    cand_where = f"WHERE ({predicate})" if predicate else ""
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+cand AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table} {cand_where}),
 q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}),
 scored AS (
-  SELECT vec_id,
+  SELECT cand.vec_id,
          round(list_dot_product(v, qv)
                / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
-  FROM e, q WHERE vec_id <> {query_vec_id}
+  FROM cand, q WHERE vec_id <> {query_vec_id}
 )
 SELECT vec_id, cos,
        CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank

@@ -44,14 +44,25 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate: str | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine to the vector with id ``query_vec_id``.
 
     The 1-row query side is crossJoin-broadcast; scoring is whole-stage
     codegen (higher-order functions), top-k is TakeOrderedAndProject.
+
+    ``predicate`` (SQL boolean over the table's columns) is the
+    reference's filtered-kNN slot (NeuralQueryBuilder.java:105,178-180,
+    318 passes ``filter`` through to the k-NN engine): CANDIDATES are
+    restricted before scoring — Catalyst pushes the predicate into the
+    parquet scan, so the filtered exact path reads only matching rows —
+    while the query vector itself is looked up unfiltered, exactly as
+    the k-NN engine resolves the query against the full index.
     """
-    v = _as_double(emb, id_col, vec_col, "vec_id", "v")
-    q = v.where(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
+    vq = _as_double(emb, id_col, vec_col, "vec_id", "v")
+    q = vq.where(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
+    src = emb.where(F.expr(predicate)) if predicate else emb
+    v = _as_double(src, id_col, vec_col, "vec_id", "v")
     dot = DOT.format(a="v", b="qv")
     na, nq = NORM.format(a="v"), NORM.format(a="qv")
     scored = (

@@ -520,3 +520,57 @@ def test_explain_scores_provenance(spark):
     # weights follow subquery_idx, raw scores preserved
     r11 = next(r for r in rows if r["doc_id"] == 1 and r["subquery_idx"] == 0)
     assert (r11["weight"], r11["raw_score"]) == (0.7, 3.0)
+
+
+# --- filtered kNN (NeuralQueryBuilder.java:105 `filter` slot) ----------
+
+
+def test_cosine_topk_predicate_filters_candidates_not_query(spark, embeddings):
+    from neural_search_spark.pipeline.similarity import cosine_topk
+
+    qid = int(embeddings.where("label % 3 = 1").agg(F.min("vec_id")).first()[0])
+    # predicate EXCLUDES the query vector's own label class — the query
+    # must still resolve (candidates filtered, query lookup unfiltered)
+    out = cosine_topk(embeddings, qid, k=10, predicate="label % 3 <> 1").collect()
+    assert len(out) == 10
+    labels = {
+        r["label"]
+        for r in embeddings.where(
+            F.col("vec_id").isin([x["vec_id"] for x in out])
+        ).collect()
+    }
+    assert all(lb % 3 != 1 for lb in labels)
+
+
+def test_hnsw_filtered_exact_branch_equals_filtered_brute_force(spark, embeddings):
+    """Small corpus → the exact-with-filter branch; must be identical
+    to cosine_topk with the same predicate."""
+    from neural_search_spark.pipeline.graph_ann import hnsw_filtered_topk
+    from neural_search_spark.pipeline.similarity import cosine_topk
+
+    exact = [tuple(r) for r in cosine_topk(embeddings, 3, k=10, predicate="label % 3 <> 1").collect()]
+    got = [tuple(r) for r in hnsw_filtered_topk(embeddings, 3, "label % 3 <> 1", k=10).collect()]
+    assert got == exact
+
+
+def test_hnsw_filtered_graph_branch(spark, embeddings, nsw_graphs):
+    """exact_threshold=0 forces the graph branch: over-expanded beam →
+    predicate intersect → exact rerank. All hits must satisfy the
+    predicate; recall vs filtered brute force stays high at the gate
+    params (expansion covers the filtered fraction)."""
+    from neural_search_spark.pipeline.graph_ann import hnsw_filtered_topk
+    from neural_search_spark.pipeline.similarity import cosine_topk
+
+    exact = {r["vec_id"] for r in cosine_topk(embeddings, 3, k=10, predicate="label % 3 <> 1").collect()}
+    got = hnsw_filtered_topk(
+        embeddings, 3, "label % 3 <> 1", k=10,
+        graphs=nsw_graphs, exact_threshold=0,
+    ).collect()
+    ids = [r["vec_id"] for r in got]
+    bad = (
+        embeddings.where(F.col("vec_id").isin(ids))
+        .where("label % 3 = 1")
+        .count()
+    )
+    assert bad == 0
+    assert len(set(ids) & exact) / 10 >= 0.9
