@@ -1596,6 +1596,40 @@ def _q_indexed_hybrid_neural(spark, sf_dir):
     return out.withColumn("score", F.round("score", 4))
 
 
+def _q_indexed_hybrid_rrf(spark, sf_dir):
+    """The production match+neural hybrid under RECIPROCAL RANK FUSION
+    (the newer-release score-ranker processor): match side scored over
+    the inverted index, neural side served from the persisted graphs,
+    combined by rank instead of normalized score — no global min/max
+    statistics barrier before combination, only one row_number window
+    per sub-query over the retained hits. BM25 scores are rounded to
+    the gated 4-decimal parity BEFORE ranking (tiebreak doc_id asc) so
+    the rank sequence is identical cross-engine; each doc draws at most
+    one contribution per sub-query, so the 2-term float sum is
+    order-insensitive. Oracle: exhaustive BM25 + exact kNN under the
+    same RRF."""
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.pipeline.graph_ann import hnsw_topk
+    from neural_search_spark.query.hybrid import rrf_combine
+    from neural_search_spark.query.wand import bm25_scores_indexed
+
+    s0 = bm25_scores_indexed(_doc_index(spark, sf_dir), TERMS_OR).select(
+        F.lit(0).alias("subquery_idx"), "doc_id",
+        F.round("score", 4).alias("score"),
+    )
+    s1 = hnsw_topk(
+        _emb(spark, sf_dir), ANN_QUERY_ID, k=NEURAL_HYBRID_KNN_K, ef=64,
+        graphs=_ann_graphs(spark, sf_dir),
+    ).select(
+        F.lit(1).alias("subquery_idx"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("cos").alias("score"),
+    )
+    out = rrf_combine(s0.unionByName(s1), 60, list(NEURAL_HYBRID_WEIGHTS), 2)
+    return out.withColumn("score", F.round("score", 4))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's CORRECTNESS gate checks exactly the FIRST 50 dict entries
     # (verified by the round-2 judge).  Ordering discipline: positions 0-11
@@ -1622,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_zscore": _q_hybrid_zscore,
         "hybrid_explain": _q_hybrid_explain,
         "ann_filtered_topk": _q_ann_filtered_topk,
+        "indexed_hybrid_rrf": _q_indexed_hybrid_rrf,
         # -- implementation changed in round 4 (re-gate) --
         "ann_hnsw_topk": _q_ann_hnsw_topk,         # now serves persisted graphs
         "ann_pq_topk": _q_ann_pq_topk,             # dim= threading
@@ -1667,11 +1702,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_page2": _q_search_after,
         "sort_after_fields": _q_sort_after_fields,
         # ===== position >= 50: green driver rows in r02/r03 (union) =======
-        # (sort_after_fields/sparse_linear/sparse_two_phase_topk
-        # r02-green and indexed_msearch r03-green rotated out to make
-        # room for the hybrid_rrf/hybrid_zscore/hybrid_explain/
-        # ann_filtered_topk adds; all stay <=2 rounds old through r04 —
-        # they lead round-5's rotation list)
+        # (search_after_page2/sort_after_fields/sparse_linear/
+        # sparse_two_phase_topk r02-green and indexed_msearch r03-green
+        # rotated out to make room for the hybrid_rrf/hybrid_zscore/
+        # hybrid_explain/ann_filtered_topk/indexed_hybrid_rrf adds; all
+        # stay <=2 rounds old through r04 — they lead round-5's
+        # rotation list)
         "sparse_linear": _q_sparse_linear,
         "sparse_two_phase_topk": _q_sparse_two_phase_topk,
         "indexed_msearch": _q_indexed_msearch,
@@ -1788,6 +1824,10 @@ def oracle_sql() -> dict[str, str]:
         "indexed_hybrid_neural": oracle.hybrid_neural_bm25_sql(
             TERMS_OR, ANN_QUERY_ID, knn_k=NEURAL_HYBRID_KNN_K,
             weights=NEURAL_HYBRID_WEIGHTS,
+        ),
+        "indexed_hybrid_rrf": oracle.hybrid_neural_rrf_sql(
+            TERMS_OR, ANN_QUERY_ID, knn_k=NEURAL_HYBRID_KNN_K,
+            rank_constant=60, weights=NEURAL_HYBRID_WEIGHTS,
         ),
         "bm25_or_scores": oracle.bm25_scores_sql(TERMS_OR),
         "bm25_common_term": oracle.bm25_scores_sql(TERM_COMMON),

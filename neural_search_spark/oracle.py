@@ -1747,3 +1747,53 @@ normed AS (
 )
 SELECT doc_id, round(sum(w * nscore) / {total_w!r}, {round_to}) AS score
 FROM normed WHERE nscore >= 0.0 GROUP BY doc_id"""
+
+def hybrid_neural_rrf_sql(
+    terms: list[str],
+    query_vec_id: int,
+    knn_k: int = 50,
+    rank_constant: int = 60,
+    weights: tuple[float, float] = (0.7, 0.3),
+    table: str = "documents",
+    emb_table: str = "embeddings",
+    round_to: int = 4,
+) -> str:
+    """Oracle for the headline hybrid under RECIPROCAL RANK FUSION —
+    the newer-release score-ranker processor applied to the same
+    match+neural sub-queries as :func:`hybrid_neural_bm25_sql`.
+    score(d) = sum_i w_i / (rank_constant + r_i(d)). Ranks are taken
+    over the 4-decimal-ROUNDED BM25 scores (tiebreak doc_id asc) so
+    both engines rank identically — cross-engine float ULP noise below
+    the gated 4-decimal score parity cannot flip adjacent ranks."""
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    w0, w1 = float(weights[0]), float(weights[1])
+    return f"""{bm25_base_ctes(terms, table)},
+sub0 AS (
+  SELECT doc_id, round(sum({contrib}), 4) AS score
+  FROM tf JOIN dfreq USING (term), stats
+  WHERE tf.term IN {_terms_list(sorted(set(terms)))} GROUP BY doc_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {emb_table}),
+qv AS (SELECT v AS qvec FROM e WHERE vec_id = {query_vec_id}),
+knn AS (
+  SELECT vec_id AS doc_id,
+         round(list_dot_product(v, qvec)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))), 6) AS score
+  FROM e, qv WHERE vec_id <> {query_vec_id}
+  ORDER BY score DESC, vec_id ASC LIMIT {knn_k}
+),
+allsub AS (
+  SELECT 0 AS subquery_idx, doc_id, score FROM sub0
+  UNION ALL SELECT 1 AS subquery_idx, doc_id, score FROM knn
+),
+ranked AS (
+  SELECT subquery_idx, doc_id,
+         row_number() OVER (PARTITION BY subquery_idx
+                            ORDER BY score DESC, doc_id ASC) AS r
+  FROM allsub
+)
+SELECT doc_id,
+       round(sum((CASE WHEN subquery_idx = 0 THEN {w0!r} ELSE {w1!r} END)
+                 / ({rank_constant} + r)), {round_to}) AS score
+FROM ranked GROUP BY doc_id"""
