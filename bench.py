@@ -53,6 +53,7 @@ HEADLINE += [
     "indexed_hybrid_neural", # production match+neural: index + stored graphs (round-4)
     "indexed_phrase_slop",   # positional proximity over the index (round-3)
     "hybrid_rrf",            # rank-fusion combination (round-4)
+    "indexed_hybrid_rrf",    # production RRF: index + stored graphs (round-4)
     "ann_filtered_topk",     # filtered kNN, exact-with-filter branch (round-4)
     "text_quality",
     "rescore_window",
