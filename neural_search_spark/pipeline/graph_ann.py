@@ -11,10 +11,12 @@ architecture Spark-natively:
   (``pmod(vec_id, n_segments)``; at ingest scale this is the stored
   segment/bucket column, exactly like the postings index's
   ``segment_id``). Each segment builds its graph inside one
-  ``applyInPandas`` group: insert in ascending vec_id order, locate
-  each new node's ``M`` nearest among the already-inserted via the
-  graph's own beam search (``ef_construction``), link bidirectionally,
-  prune reverse lists to ``2·M`` by similarity. Two graph shapes:
+  ``applyInPandas`` group: insert in ascending vec_id order, beam-search
+  the already-inserted for ``ef_construction`` candidates, pick ``M``
+  links with the paper's NEIGHBOR-SELECTION HEURISTIC (Alg. 4 +
+  keepPrunedConnections — keeps inter-cluster bridges that plain
+  "M nearest" never forms), link bidirectionally, shrink over-full
+  reverse lists to ``2·M`` with the same heuristic. Two graph shapes:
 
   - single-layer NSW (Malkov & Yashunin 2016's base layer) —
     ``hnsw_build_frame(layered=False)`` → (segment, vec_id, neighbors);
@@ -80,7 +82,7 @@ DEFAULT_MAX_LEVEL = 4  # level cap; P(level>4) = M^-4 ≈ 2e-4 at M=8
 
 # bump when the stored graph frame's schema or construction changes —
 # cache keys (e.g. /tmp/nss_cache/graph_{key}) embed this
-GRAPH_FORMAT_VERSION = 2
+GRAPH_FORMAT_VERSION = 3  # v3: Alg.-4 neighbor-selection heuristic + heuristic shrink
 
 
 def _normalize_rows(mat: np.ndarray) -> np.ndarray:
@@ -155,6 +157,54 @@ def _beam_search(
     return [-j for _, j in out]
 
 
+def _select_neighbors(
+    vecs: np.ndarray, cand: np.ndarray, q: np.ndarray, m: int
+) -> np.ndarray:
+    """HNSW neighbor-selection heuristic (Malkov & Yashunin, Alg. 4)
+    with keepPrunedConnections: walk ``cand`` in its given order (must
+    be sim-to-``q`` desc, index asc — beam output order); keep c only
+    if it is closer to ``q`` than to every already-kept neighbor, then
+    fill remaining slots from the rejected in order. This is what makes
+    clustered data navigable: plain "m nearest" builds intra-cluster
+    cliques with no inter-cluster bridges (measured: recall@10 plateaued
+    at 0.41 flat / 0.90 layered on 25k-vector clustered segments at any
+    ef — BENCH/r4_graph_scale.json pre-heuristic). Deterministic: fixed
+    candidate order, strict float comparison, no RNG."""
+    cand = np.asarray(cand, dtype=np.int64)
+    if len(cand) <= m:
+        return cand
+    simq = vecs[cand] @ q
+    kept: list[int] = []
+    rejected: list[int] = []
+    for pos in range(len(cand)):
+        if len(kept) == m:
+            break
+        c = int(cand[pos])
+        if kept and float(np.max(vecs[kept] @ vecs[c])) >= float(simq[pos]):
+            rejected.append(c)
+            continue
+        kept.append(c)
+    for c in rejected:
+        if len(kept) == m:
+            break
+        kept.append(c)
+    return np.asarray(kept, dtype=np.int64)
+
+
+def _shrink_list(
+    vecs: np.ndarray, lst: np.ndarray, owner: np.ndarray, cap: int
+) -> np.ndarray:
+    """Prune an over-full adjacency list to ``cap`` with the same
+    selection heuristic (the paper's shrink step), preserving the
+    survivors' storage (insertion) order."""
+    if len(lst) <= cap:
+        return lst
+    sims = vecs[lst] @ owner
+    ordered = lst[np.lexsort((lst, -sims))]
+    keep = set(_select_neighbors(vecs, ordered, owner, cap).tolist())
+    return lst[np.fromiter((int(x) in keep for x in lst), dtype=bool, count=len(lst))]
+
+
 def _greedy_descend(vecs: np.ndarray, layer_adj: dict, q: np.ndarray, cur: int) -> int:
     """ef=1 hill-climb on one upper layer: move to the best neighbor
     while it improves. Deterministic tiebreak (sim desc, index asc)."""
@@ -182,14 +232,12 @@ def _build_graph(vecs: np.ndarray, m: int, ef_construction: int) -> list[np.ndar
     max_rev = 2 * m
     for i in range(1, n):
         found = _beam_search(vecs, nbrs, vecs[i], ef_construction, n_valid=i)
-        sel = np.asarray(found[:m], dtype=np.int64)
+        sel = _select_neighbors(vecs, np.asarray(found, dtype=np.int64), vecs[i], m)
         nbrs[i] = sel
         for j in sel.tolist():
             lst = np.append(nbrs[j], i)
             if len(lst) > max_rev:
-                sims = vecs[lst] @ vecs[j]
-                order = np.lexsort((lst, -sims))[:max_rev]
-                lst = lst[np.sort(order)]  # keep storage in insertion order
+                lst = _shrink_list(vecs, lst, vecs[j], max_rev)
             nbrs[j] = lst
     return nbrs
 
@@ -222,14 +270,14 @@ def _build_hier_graph(
             found = _beam_search(
                 vecs, adj[l], vecs[i], ef_construction, n_valid=i, entry=cur
             )
-            sel = np.asarray(found[:m], dtype=np.int64)
+            sel = _select_neighbors(
+                vecs, np.asarray(found, dtype=np.int64), vecs[i], m
+            )
             adj[l][i] = sel
             for j in sel.tolist():
                 lst = np.append(adj[l][j], i)
                 if len(lst) > max_rev:
-                    sims = vecs[lst] @ vecs[j]
-                    order = np.lexsort((lst, -sims))[:max_rev]
-                    lst = lst[np.sort(order)]
+                    lst = _shrink_list(vecs, lst, vecs[j], max_rev)
                 adj[l][j] = lst
             cur = found[0] if found else cur
         for l in range(min(li, entry_level) + 1, li + 1):
@@ -681,14 +729,14 @@ def hnsw_append(
                     found = _beam_search(
                         vecs, adj[l], vecs[i], ef_construction, n_valid=i, entry=cur
                     )
-                    sel = np.asarray(found[:m], dtype=np.int64)
+                    sel = _select_neighbors(
+                        vecs, np.asarray(found, dtype=np.int64), vecs[i], m
+                    )
                     adj[l][i] = sel
                     for j in sel.tolist():
                         lst = np.append(adj[l][j], i)
                         if len(lst) > max_rev:
-                            sims = vecs[lst] @ vecs[j]
-                            order = np.lexsort((lst, -sims))[:max_rev]
-                            lst = lst[np.sort(order)]
+                            lst = _shrink_list(vecs, lst, vecs[j], max_rev)
                         adj[l][j] = lst
                     cur = found[0] if found else cur
                 for l in range(min(li, entry_level) + 1, li + 1):
@@ -711,14 +759,12 @@ def hnsw_append(
         max_rev = 2 * m
         for i in range(max(1, n_old), len(ids)):
             found = _beam_search(vecs, nbrs, vecs[i], ef_construction, n_valid=i)
-            sel = np.asarray(found[:m], dtype=np.int64)
+            sel = _select_neighbors(vecs, np.asarray(found, dtype=np.int64), vecs[i], m)
             nbrs[i] = sel
             for j in sel.tolist():
                 lst = np.append(nbrs[j], i)
                 if len(lst) > max_rev:
-                    sims = vecs[lst] @ vecs[j]
-                    order = np.lexsort((lst, -sims))[:max_rev]
-                    lst = lst[np.sort(order)]
+                    lst = _shrink_list(vecs, lst, vecs[j], max_rev)
                 nbrs[j] = lst
         return pd.DataFrame(
             {

@@ -42,11 +42,14 @@ def gen_vectors(spark, out_dir: str):
         for pdf in batches:
             ids = pdf["id"].to_numpy(dtype=np.int64)
             # splitmix-style per-(id, dim) hash → uniform [0,1)
+            # (uint64 throughout — int64 would overflow-promote and the
+            # 2^64-1 mask cannot coerce into any signed dtype)
             def h(x):
-                x = (x * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
-                x ^= x >> 29
-                x = (x * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
-                x ^= x >> 32
+                x = x.astype(np.uint64)
+                x = x * np.uint64(0x9E3779B97F4A7C15)
+                x ^= x >> np.uint64(29)
+                x = x * np.uint64(0xBF58476D1CE4E5B9)
+                x ^= x >> np.uint64(32)
                 return x
 
             d = np.arange(DIM, dtype=np.int64)
