@@ -1261,6 +1261,27 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERS, not pairs: MinHash-LSH pairs → alternating
+    large-star/small-star connected components (O(log n) rounds, lineage
+    truncated per round) → (doc_id, component_id = component min) for
+    every doc. The step that turns candidate pairs into a dedup decision
+    at 100 TB. Oracle: recursive transitive closure in DuckDB."""
+    from neural_search_spark.pipeline.dedup import dedup_components, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    return dedup_components(docs, minhash_lsh_pairs(docs))
+
+
+def _q_dedup_survivors(spark, sf_dir):
+    """Per-doc dedup decision over the near-dup components:
+    (doc_id, component_id, group_size, keep) — keeper = min doc_id."""
+    from neural_search_spark.pipeline.dedup import dedup_survivors, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    return dedup_survivors(docs, minhash_lsh_pairs(docs))
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from neural_search_spark.pipeline.dedup import simhash
 
@@ -1657,6 +1678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_explain": _q_hybrid_explain,
         "ann_filtered_topk": _q_ann_filtered_topk,
         "indexed_hybrid_rrf": _q_indexed_hybrid_rrf,
+        "dedup_components": _q_dedup_components,
+        "dedup_survivors": _q_dedup_survivors,
         # -- implementation changed in round 4 (re-gate) --
         "ann_hnsw_topk": _q_ann_hnsw_topk,         # now serves persisted graphs
         "ann_pq_topk": _q_ann_pq_topk,             # dim= threading
@@ -1690,24 +1713,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_window": _q_rescore_window,
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_token_counts,
-        # -- stalest round-2 rows (13) --
+        # -- stalest round-2 rows (6) --
         "chunk_delimiter": _q_chunk_delimiter,
         "hybrid_aggs": _q_hybrid_aggs,
         "hybrid_minmax_arith": _q_hybrid_minmax_arith,
         "hybrid_l2_geometric": _q_hybrid_l2_geometric,
         "hybrid_collapse": _q_hybrid_collapse,
         "hybrid_heterogeneous": _q_hybrid_heterogeneous,
+        # ===== position >= 50: green driver rows in r02/r03 (union) =======
+        # (search_after_page2/sort_after_fields/sparse_linear/
+        # sparse_two_phase_topk/hybrid_post_filter/by_field_rerank
+        # r02-green and indexed_msearch r03-green rotated out to make
+        # room for the hybrid_rrf/hybrid_zscore/hybrid_explain/
+        # ann_filtered_topk/indexed_hybrid_rrf/dedup_components/
+        # dedup_survivors adds; all stay <=2 rounds old through r04 —
+        # they lead round-5's rotation list)
         "hybrid_post_filter": _q_hybrid_post_filter,
         "by_field_rerank": _q_by_field_rerank,
         "search_after_page2": _q_search_after,
         "sort_after_fields": _q_sort_after_fields,
-        # ===== position >= 50: green driver rows in r02/r03 (union) =======
-        # (search_after_page2/sort_after_fields/sparse_linear/
-        # sparse_two_phase_topk r02-green and indexed_msearch r03-green
-        # rotated out to make room for the hybrid_rrf/hybrid_zscore/
-        # hybrid_explain/ann_filtered_topk/indexed_hybrid_rrf adds; all
-        # stay <=2 rounds old through r04 — they lead round-5's
-        # rotation list)
         "sparse_linear": _q_sparse_linear,
         "sparse_two_phase_topk": _q_sparse_two_phase_topk,
         "indexed_msearch": _q_indexed_msearch,
@@ -1935,6 +1959,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_fingerprint": poracle.fingerprint_dedup_sql(),
         "dedup_ngram_jaccard": poracle.ngram_jaccard_sql(n=3, threshold=0.4),
         "dedup_minhash_lsh": poracle.minhash_lsh_sql(),
+        "dedup_components": poracle.components_sql(),
+        "dedup_survivors": poracle.survivors_sql(),
         "dedup_simhash": poracle.simhash_sql(),
         "dedup_simhash_pairs": poracle.simhash_pairs_sql(SIMHASH_MAX_HAMMING),
         "dedup_embedding_cosine": poracle.embedding_near_dup_sql(NEAR_DUP_COS),

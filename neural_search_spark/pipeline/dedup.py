@@ -597,3 +597,121 @@ def recall_vs_exact_pairs(
             F.round(F.col("matched_pairs") / F.col("exact_pairs"), 4).alias("recall"),
         )
     )
+
+
+# --- connected components / cluster dedup --------------------------------
+#
+# Near-dup PAIRS are not a dedup decision: "a~b, b~c" must collapse
+# {a,b,c} into one group even though (a,c) never met in any LSH bucket.
+# The production pipeline is pairs -> connected components -> keep one
+# survivor per component. The reference plugin has no analog (Lucene
+# never dedups); this is the training-pipeline extension the brief
+# mandates, and at 100 TB it is THE step that turns candidate pairs
+# into a deduplicated corpus.
+
+
+def _orient(e: DataFrame) -> DataFrame:
+    """Canonical edge orientation (u > v), self-loops dropped, distinct."""
+    return (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its LARGER neighbors to the
+    minimum of its closed neighborhood. One symmetrize (no shuffle — a
+    union of projections), one groupBy(u), one equi-join on u."""
+    sym = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node connects its SMALLER-or-equal
+    neighbors (plus itself) to the neighborhood minimum. Input/output
+    invariant: u > v on every edge."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = (
+        e.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    own = mins.select("u", F.col("m").alias("v"))
+    return nbr.union(own).where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 64
+) -> DataFrame:
+    """(node, root) star edges for every non-root node: root = the
+    minimum node id of the node's connected component.
+
+    Alternating large-star / small-star contraction (Kiveris, Lattanzi,
+    Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce
+    and Beyond", SoCC 2014): converges to min-rooted stars in
+    O(log n) rounds — NOT O(diameter) like naive label propagation, so a
+    1B-node near-dup graph needs ~30 rounds worst case, 2-4 in practice
+    (near-dup components are clique-ish). Scale shape per round: one
+    groupBy + one equi-join per star step, keyed on node ids (uniform);
+    the emitted edges always point at component minima, so high-degree
+    concentration on the root is bounded by the alternation (the paper's
+    point) and AQE skew-split handles the residue. ``localCheckpoint``
+    truncates lineage each round — without it the logical plan doubles
+    per iteration and the driver, not the data, becomes the bottleneck.
+
+    Deterministic: set semantics per round, min-based roots, no RNG.
+    """
+    e = _orient(
+        pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+    )
+    if e.isEmpty():
+        return e
+    e = e.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # distinct sets: equal counts + empty one-sided difference = equal
+        if new.count() == e.count() and new.subtract(e).isEmpty():
+            e = new
+            break
+        e = new
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    return e
+
+
+def dedup_components(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, component_id) for EVERY doc: near-dup cluster id = min
+    doc_id of the component; docs in no pair are their own component.
+    One left join of the star edges onto the corpus ids."""
+    roots = connected_components(pairs).withColumnRenamed("u", id_col)
+    return (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .join(roots, id_col, "left")
+        .select(id_col, F.coalesce("v", F.col(id_col)).alias("component_id"))
+    )
+
+
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Dedup decision per doc: (doc_id, component_id, group_size, keep)
+    — keeper = min doc_id of its near-dup component. The window
+    partitions on component_id (bounded by dup-cluster size, same skew
+    profile as exact_dedup's content-hash window)."""
+    comp = dedup_components(docs, pairs, id_col)
+    w = Window.partitionBy("component_id")
+    return comp.select(
+        id_col,
+        "component_id",
+        F.count(F.lit(1)).over(w).alias("group_size"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
+    )

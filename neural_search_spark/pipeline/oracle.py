@@ -172,6 +172,33 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {threshold}"""
 
 
+def components_sql(table: str = "documents", threshold: float = 0.7) -> str:
+    """Connected components over the MinHash-LSH near-dup pairs: the
+    oracle computes each node's reachable set by recursive transitive
+    closure (UNION-distinct terminates) and takes its minimum — the same
+    min-rooted components the Spark side reaches via alternating-star
+    contraction. Every doc appears; singletons are their own component."""
+    pairs = minhash_lsh_sql(table=table, threshold=threshold)
+    return f"""WITH RECURSIVE pairs AS ({pairs}),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+comp AS (SELECT u AS doc_id, min(v) AS mn FROM reach GROUP BY u)
+SELECT d.doc_id,
+       CAST(least(d.doc_id, coalesce(c.mn, d.doc_id)) AS BIGINT) AS component_id
+FROM {table} d LEFT JOIN comp c ON c.doc_id = d.doc_id"""
+
+
+def survivors_sql(table: str = "documents", threshold: float = 0.7) -> str:
+    return f"""SELECT doc_id, component_id,
+       count(*) OVER (PARTITION BY component_id) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY component_id) AS keep
+FROM ({components_sql(table, threshold)})"""
+
+
 # --- similarity ---------------------------------------------------------
 
 def cosine_topk_sql(
