@@ -44,6 +44,7 @@ HEADLINE += [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
+    "dedup_components",      # pairs -> connected components (round-4)
     "hybrid_cardinality_hll",
     "ann_cosine_topk",
     "ann_ivf_topk",

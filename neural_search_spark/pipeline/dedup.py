@@ -670,10 +670,11 @@ def connected_components(
     """
     e = _orient(
         pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
-    )
+    ).localCheckpoint(eager=True)  # checkpoint FIRST: the pair pipeline
+    # upstream (LSH) is expensive — isEmpty() on the raw plan would
+    # compute it once for the probe and again for the checkpoint
     if e.isEmpty():
         return e
-    e = e.localCheckpoint(eager=True)
     for _ in range(max_iter):
         new = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # distinct sets: equal counts + empty one-sided difference = equal

