@@ -1,0 +1,160 @@
+"""Live (streaming) vector index: micro-batch → graph growth.
+
+The dense mirror of ``index/live.py``. The reference's engine ingests
+vectors through the same Lucene write path as text: each refresh makes
+new vectors searchable, and the k-NN graph grows with the segment
+(Lucene HNSW appends to the in-progress segment graph; merges rebuild).
+Re-expressed for Structured Streaming over the persisted-graph tier:
+
+* ``append_vector_batch``: write one micro-batch of vectors under
+  ``vectors/ingest_batch=K`` (dynamic partition overwrite — a retried
+  batch replaces exactly its own partition, the exactly-once contract
+  of foreachBatch's stable batch ids), then grow the stored graph with
+  ``hnsw_append`` over the full vector table and atomically swap the
+  graph directory (write-aside + rename, crash-safe like the live
+  postings manifest swap).
+* ``streaming_vector_ingest``: readStream → foreachBatch(append) —
+  after the stream drains, the stored graph is BIT-IDENTICAL to a
+  from-scratch ``hnsw_build_frame`` over everything ingested
+  (hnsw_append's pinned invariant), so serving quality never depends
+  on the batching.
+
+Idempotency of the graph step comes free from that invariant: a retry
+sees vectors it already inserted, finds zero new rows per segment, and
+rewrites the same bytes.
+
+Scale shape: per batch the graph kernel inserts only the new vectors
+(O(|new|·ef_construction·M·log n) per segment), but the swap rewrites
+the whole graph frame — the growable-single-graph trade-off. Lucene's
+own answer at scale is batch-as-new-segment + periodic merge (exactly
+what ``index/live.py`` does for postings); with ``pmod`` segment
+assignment every batch touches every segment, so this module keeps the
+single-graph shape and documents the rewrite as the compaction cost.
+
+Reference: query/NeuralQueryBuilder.java:300-325 (graph searched at
+query time, built/grown at index time by the k-NN engine).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .graph_ann import (
+    DEFAULT_EF_CONSTRUCTION,
+    DEFAULT_M,
+    DEFAULT_SEGMENTS,
+    hnsw_append,
+    hnsw_build_frame,
+)
+
+
+def _vectors_dir(store_dir: str) -> str:
+    return os.path.join(store_dir, "vectors")
+
+
+def _graph_dir(store_dir: str) -> str:
+    return os.path.join(store_dir, "graph")
+
+
+def read_live_vectors(spark: SparkSession, store_dir: str) -> DataFrame:
+    return spark.read.parquet(_vectors_dir(store_dir)).drop("ingest_batch")
+
+
+def read_live_graph(spark: SparkSession, store_dir: str) -> DataFrame:
+    return spark.read.parquet(_graph_dir(store_dir))
+
+
+def append_vector_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+    batch_id: int,
+    m: int = DEFAULT_M,
+    ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+    n_segments: int = DEFAULT_SEGMENTS,
+    layered: bool = False,
+) -> None:
+    """Persist one micro-batch of (vec_id, embedding) rows and grow the
+    stored graph. Idempotent per ``batch_id``."""
+    from pyspark.sql import functions as F
+
+    vdir = _vectors_dir(store_dir)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            batch.withColumn("ingest_batch", F.lit(int(batch_id)))
+            .write.partitionBy("ingest_batch")
+            .mode("overwrite")
+            .parquet(vdir)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    emb = read_live_vectors(spark, store_dir)
+    gdir = _graph_dir(store_dir)
+    if os.path.exists(gdir):
+        grown = hnsw_append(
+            emb,
+            spark.read.parquet(gdir),
+            m=m,
+            ef_construction=ef_construction,
+            n_segments=n_segments,
+        )
+    else:
+        grown = hnsw_build_frame(
+            emb,
+            m=m,
+            ef_construction=ef_construction,
+            n_segments=n_segments,
+            layered=layered,
+        )
+    # write-aside + swap: a crash mid-write leaves the previous graph
+    # intact (same discipline as index/live.py's manifest swap)
+    aside = gdir + f".batch{int(batch_id)}.tmp"
+    if os.path.exists(aside):
+        shutil.rmtree(aside)
+    grown.write.mode("overwrite").parquet(aside)
+    if os.path.exists(gdir):
+        old = gdir + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(gdir, old)
+        os.rename(aside, gdir)
+        shutil.rmtree(old)
+    else:
+        os.rename(aside, gdir)
+
+
+def streaming_vector_ingest(
+    stream_df: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    **graph_kwargs,
+):
+    """Attach a vector stream to the live graph store. Returns the
+    StreamingQuery. Requires vec_ids to arrive in ascending order
+    across batches (the natural ingest-sequence contract;
+    ``hnsw_append`` raises on violations rather than corrupting the
+    insertion order)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_vector_batch(
+            batch_df.sparkSession, batch_df, store_dir, int(batch_id), **graph_kwargs
+        )
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -21,15 +21,16 @@ sys.path.insert(0, REPO)
 
 N_CLUSTERS = 90_000     # clusters of 2-6 nodes (near-dup shape)
 CHAIN_NODES = 50_000    # one 50k-node path: diameter stress
+BIG_CLUSTERS = 6_000_000  # throughput config: ~21M edges, no chain
 OUT = os.path.join(REPO, "BENCH", "r4_components_scale.json")
 
 
-def build_edges(spark):
-    """Deterministic edge list: ~90k clique clusters over 360k nodes +
-    a 50k-node chain appended after them."""
+def build_edges(spark, n_clusters=N_CLUSTERS, chain_nodes=CHAIN_NODES):
+    """Deterministic edge list: clique-ish clusters + an optional
+    long path appended after them."""
     from pyspark.sql import functions as F
 
-    base = spark.range(N_CLUSTERS).select(
+    base = spark.range(n_clusters).select(
         (F.col("id") * 4).alias("lo"), (F.col("id") % 5 + 1).alias("extra")
     )
     # cluster i occupies ids [4i, 4i+extra]; edges lo->lo+j (star) plus
@@ -40,14 +41,16 @@ def build_edges(spark):
     ring = base.where(F.col("extra") >= 2).select(
         (F.col("lo") + 1).alias("a"), (F.col("lo") + F.col("extra")).alias("b")
     )
-    chain_base = N_CLUSTERS * 4 + 16
-    chain = spark.range(CHAIN_NODES - 1).select(
+    if not chain_nodes:
+        return cluster.union(ring)
+    chain_base = n_clusters * 4 + 16
+    chain = spark.range(chain_nodes - 1).select(
         (F.col("id") + chain_base).alias("a"), (F.col("id") + chain_base + 1).alias("b")
     )
     return cluster.union(ring).union(chain)
 
 
-def run_level(cpus: int) -> dict:
+def run_level(cpus: int, n_clusters=N_CLUSTERS, chain_nodes=CHAIN_NODES) -> dict:
     from neural_search_spark.pipeline import dedup
     from neural_search_spark.session import get_spark
 
@@ -55,7 +58,7 @@ def run_level(cpus: int) -> dict:
         f"r4-components-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     spark.sparkContext.setLogLevel("ERROR")
-    edges = build_edges(spark).persist()
+    edges = build_edges(spark, n_clusters, chain_nodes).persist()
     n_edges = edges.count()
 
     # count rounds by wrapping the star steps
@@ -87,14 +90,31 @@ def run_level(cpus: int) -> dict:
 
 
 def main() -> int:
-    res = {"levels": [run_level(8), run_level(32)]}
-    a, b = res["levels"]
+    res = {}
+    # (a) diameter stress: 50k-node path forces the multi-round regime;
+    # per-round cost at this tiny size is pure job latency, so wall time
+    # is parallelism-INsensitive by design — reported for the rounds
+    # count + cross-parallelism determinism, not throughput
+    chain = {"levels": [run_level(8), run_level(32)]}
+    a, b = chain["levels"]
     assert (a["n_nonroot_nodes"], a["n_components_with_edges"]) == (
         b["n_nonroot_nodes"],
         b["n_components_with_edges"],
     ), "components differ across parallelism"
-    res["deterministic_across_parallelism"] = True
-    res["scaling_8_to_32"] = round(a["wall_sec"] / b["wall_sec"] / 4, 3)
+    chain["deterministic_across_parallelism"] = True
+    res["chain_stress"] = chain
+    # (b) throughput config: ~21M edges of clique-ish clusters (the real
+    # near-dup shape, few rounds), big enough that the per-round shuffle
+    # work, not job latency, is the cost
+    big = {"levels": [run_level(8, BIG_CLUSTERS, 0), run_level(32, BIG_CLUSTERS, 0)]}
+    a, b = big["levels"]
+    assert (a["n_nonroot_nodes"], a["n_components_with_edges"]) == (
+        b["n_nonroot_nodes"],
+        b["n_components_with_edges"],
+    )
+    big["deterministic_across_parallelism"] = True
+    big["scaling_8_to_32"] = round(a["wall_sec"] / b["wall_sec"] / 4, 3)
+    res["neardup_throughput"] = big
     json.dump(res, open(OUT, "w"), indent=1)
     print(json.dumps(res))
     return 0
