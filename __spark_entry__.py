@@ -177,6 +177,16 @@ def _q_bm25_topk(spark, sf_dir):
     return topk(bm25_scores(_docs(spark, sf_dir), TERMS_OR, round_to=None), k=10)
 
 
+def _q_bm25_explain(spark, sf_dir):
+    """Lucene Explanation analog: per-(top-k doc, term) BM25 factor
+    breakdown (tf/df/idf/tf_norm/contribution) — output bounded by
+    k x |terms| via a broadcast top-k join, never a second corpus
+    pass."""
+    from neural_search_spark.query.exhaustive import bm25_explain
+
+    return bm25_explain(_docs(spark, sf_dir), TERMS_OR, k=10)
+
+
 PHRASE = ["spark", "window"]
 
 
@@ -1680,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_hybrid_rrf": _q_indexed_hybrid_rrf,
         "dedup_components": _q_dedup_components,
         "dedup_survivors": _q_dedup_survivors,
+        "bm25_explain": _q_bm25_explain,
         # -- implementation changed in round 4 (re-gate) --
         "ann_hnsw_topk": _q_ann_hnsw_topk,         # now serves persisted graphs
         "ann_pq_topk": _q_ann_pq_topk,             # dim= threading
@@ -1719,7 +1730,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_minmax_arith": _q_hybrid_minmax_arith,
         "hybrid_l2_geometric": _q_hybrid_l2_geometric,
         "hybrid_collapse": _q_hybrid_collapse,
-        "hybrid_heterogeneous": _q_hybrid_heterogeneous,
         # ===== position >= 50: green driver rows in r02/r03 (union) =======
         # (search_after_page2/sort_after_fields/sparse_linear/
         # sparse_two_phase_topk/hybrid_post_filter/by_field_rerank
@@ -1728,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_filtered_topk/indexed_hybrid_rrf/dedup_components/
         # dedup_survivors adds; all stay <=2 rounds old through r04 —
         # they lead round-5's rotation list)
+        "hybrid_heterogeneous": _q_hybrid_heterogeneous,
         "hybrid_post_filter": _q_hybrid_post_filter,
         "by_field_rerank": _q_by_field_rerank,
         "search_after_page2": _q_search_after,
@@ -1858,6 +1869,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rare_term": oracle.bm25_scores_sql(TERM_RARE),
         "bm25_and_scores": oracle.bm25_conjunctive_sql(TERMS_AND),
         "bm25_topk": oracle.bm25_topk_sql(TERMS_OR, k=10),
+        "bm25_explain": oracle.bm25_explain_sql(TERMS_OR, k=10),
         "bm25_phrase": oracle.bm25_phrase_sql(PHRASE),
         # indexed phrase must equal the exhaustive phrase semantics —
         # same oracle (positions gate matching, stats drive scoring)

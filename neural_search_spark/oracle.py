@@ -97,6 +97,39 @@ ORDER BY scored.score DESC, scored.doc_id ASC
 LIMIT {k}"""
 
 
+def bm25_explain_sql(
+    terms: list[str],
+    k: int = 10,
+    table: str = "documents",
+    k1: float = K1,
+    b: float = B,
+) -> str:
+    """Per-(top-k doc, term) BM25 factor breakdown — mirrors
+    query/exhaustive.bm25_explain with the identical float64 expression
+    trees (idf and tf_norm computed separately, product = the fused
+    bm25_sql contribution bit-for-bit)."""
+    dl_q = f"({quantized_dl_sql('dl')})"
+    return f"""{bm25_base_ctes(terms, table)},
+per AS (
+  SELECT tf.doc_id AS doc_id, tf.term AS term, tf.tf AS tf, dfreq.df AS df,
+         ln(1.0 + (N - df + 0.5) / (df + 0.5)) AS idf,
+         (tf / (tf + {k1} * (1.0 - {b} + {b} * {dl_q} / avgdl))) AS tf_norm
+  FROM tf JOIN dfreq USING (term), stats
+),
+totals AS (
+  SELECT doc_id, round(sum(idf * tf_norm), 4) AS score FROM per GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM totals ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT per.doc_id, top.score, top.rank, per.term, per.tf, per.df,
+       round(per.idf, 6) AS idf, round(per.tf_norm, 6) AS tf_norm,
+       round(per.idf * per.tf_norm, 6) AS contribution
+FROM per JOIN top USING (doc_id)"""
+
+
 def match_text_topk_sql(
     query_text: str,
     k: int = 10,

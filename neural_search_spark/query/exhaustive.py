@@ -228,6 +228,71 @@ def topk(scores: DataFrame, k: int = 10, round_to: int | None = 4) -> DataFrame:
     return out
 
 
+def bm25_explain(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Lucene ``Explanation`` analog for the match side: one row per
+    (top-k doc, matched term) with the full BM25 factor breakdown —
+    tf, df, idf, tf_norm, contribution — plus the doc's total score and
+    rank. [Lucene BM25Similarity.explain exposes exactly these factors;
+    the plugin's hybrid explain (processor/explain/) covers the
+    normalization stage — query/hybrid.explain_scores here — and this
+    covers the per-term scoring stage beneath it.]
+
+    Scale shape: the breakdown join is against the BROADCAST top-k list,
+    so the explanation output is bounded by k × |terms| rows no matter
+    the corpus — explanation is a constant factor over the query
+    itself, never a second corpus pass.
+    """
+    tok = tokenized(docs, id_col, text_col)
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("N"),
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dl_q = f"({quantized_dl_sql('dl')})"
+    exploded = (
+        tok.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = exploded.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    per = (
+        exploded.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf", F.expr("ln(1.0 + (N - df + 0.5) / (df + 0.5))"))
+        .withColumn(
+            "tf_norm",
+            F.expr(f"(tf / (tf + {k1} * (1.0 - {b} + {b} * {dl_q} / avgdl)))"),
+        )
+        .withColumn("contribution", F.col("idf") * F.col("tf_norm"))
+    )
+    totals = per.groupBy("doc_id").agg(F.round(F.sum("contribution"), 4).alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    top = (
+        totals.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+    return per.join(F.broadcast(top), "doc_id").select(
+        "doc_id",
+        "score",
+        "rank",
+        "term",
+        "tf",
+        "df",
+        F.round("idf", 6).alias("idf"),
+        F.round("tf_norm", 6).alias("tf_norm"),
+        F.round("contribution", 6).alias("contribution"),
+    )
+
+
 def bm25_phrase(
     docs: DataFrame,
     phrase_terms: list[str],
