@@ -177,6 +177,53 @@ def _q_bm25_topk(spark, sf_dir):
     return topk(bm25_scores(_docs(spark, sf_dir), TERMS_OR, round_to=None), k=10)
 
 
+def _dsl_ctx(spark, sf_dir):
+    from neural_search_spark.query.dsl import SearchContext
+
+    return SearchContext(docs=_docs(spark, sf_dir), embeddings=_emb(spark, sf_dir))
+
+
+def _q_dsl_match(spark, sf_dir):
+    """OpenSearch-JSON surface: a raw search body through query/dsl.py
+    must equal the directly-built query — the translator adds no
+    semantics, so this row shares bm25_topk's oracle."""
+    from neural_search_spark.query.dsl import search
+
+    return search(
+        _dsl_ctx(spark, sf_dir),
+        {"query": {"match": {"text": " ".join(TERMS_OR)}}, "size": 10},
+    )
+
+
+def _q_dsl_bool(spark, sf_dir):
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": " ".join(BOOL_MUST)}}],
+        "should": [{"match": {"text": " ".join(BOOL_SHOULD)}}],
+        "must_not": [{"match": {"text": " ".join(BOOL_MUST_NOT)}}],
+        "minimum_should_match": 1,
+    }}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
+def _q_dsl_hybrid_neural(spark, sf_dir):
+    """The marquee hybrid expressed as the reference's ACTUAL user
+    surface (JSON body + search-pipeline config) — same oracle as
+    hybrid_neural_bm25."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"hybrid": {"queries": [
+        {"match": {"text": " ".join(TERMS_OR)}},
+        {"neural": {"embedding": {"query_vector_id": ANN_QUERY_ID,
+                                  "k": NEURAL_HYBRID_KNN_K}}},
+    ]}}}
+    return search(_dsl_ctx(spark, sf_dir), body, pipeline={
+        "normalization": "min_max", "combination": "arithmetic_mean",
+        "weights": list(NEURAL_HYBRID_WEIGHTS),
+    })
+
+
 def _q_bm25_explain(spark, sf_dir):
     """Lucene Explanation analog: per-(top-k doc, term) BM25 factor
     breakdown (tf/df/idf/tf_norm/contribution) — output bounded by
@@ -1691,6 +1738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_survivors": _q_dedup_survivors,
         "bm25_explain": _q_bm25_explain,
+        "dsl_match": _q_dsl_match,
+        "dsl_bool": _q_dsl_bool,
+        "dsl_hybrid_neural": _q_dsl_hybrid_neural,
         # -- implementation changed in round 4 (re-gate) --
         "ann_hnsw_topk": _q_ann_hnsw_topk,         # now serves persisted graphs
         "ann_pq_topk": _q_ann_pq_topk,             # dim= threading
@@ -1724,20 +1774,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_window": _q_rescore_window,
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_token_counts,
-        # -- stalest round-2 rows (6) --
+        # -- stalest round-2 rows (2) --
         "chunk_delimiter": _q_chunk_delimiter,
         "hybrid_aggs": _q_hybrid_aggs,
+        # ===== position >= 50: green driver rows in r02/r03 (union) =======
+        # (search_after_page2/sort_after_fields/sparse_linear/
+        # sparse_two_phase_topk/hybrid_post_filter/by_field_rerank/
+        # hybrid_minmax_arith/hybrid_l2_geometric/hybrid_collapse/
+        # hybrid_heterogeneous r02-green and indexed_msearch r03-green
+        # rotated out to make room for the round-4 adds (hybrid_rrf,
+        # hybrid_zscore, hybrid_explain, ann_filtered_topk,
+        # indexed_hybrid_rrf, dedup_components, dedup_survivors,
+        # bm25_explain, dsl_match, dsl_bool, dsl_hybrid_neural); all
+        # stay <=2 rounds old through r04 — they lead round-5's
+        # rotation list)
         "hybrid_minmax_arith": _q_hybrid_minmax_arith,
         "hybrid_l2_geometric": _q_hybrid_l2_geometric,
         "hybrid_collapse": _q_hybrid_collapse,
-        # ===== position >= 50: green driver rows in r02/r03 (union) =======
-        # (search_after_page2/sort_after_fields/sparse_linear/
-        # sparse_two_phase_topk/hybrid_post_filter/by_field_rerank
-        # r02-green and indexed_msearch r03-green rotated out to make
-        # room for the hybrid_rrf/hybrid_zscore/hybrid_explain/
-        # ann_filtered_topk/indexed_hybrid_rrf/dedup_components/
-        # dedup_survivors adds; all stay <=2 rounds old through r04 —
-        # they lead round-5's rotation list)
         "hybrid_heterogeneous": _q_hybrid_heterogeneous,
         "hybrid_post_filter": _q_hybrid_post_filter,
         "by_field_rerank": _q_by_field_rerank,
@@ -1870,6 +1923,14 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_scores": oracle.bm25_conjunctive_sql(TERMS_AND),
         "bm25_topk": oracle.bm25_topk_sql(TERMS_OR, k=10),
         "bm25_explain": oracle.bm25_explain_sql(TERMS_OR, k=10),
+        "dsl_match": oracle.bm25_topk_sql(TERMS_OR, k=10),
+        "dsl_bool": oracle.bool_topk_sql(
+            BOOL_MUST, BOOL_SHOULD, BOOL_MUST_NOT, minimum_should_match=1, k=10
+        ),
+        "dsl_hybrid_neural": oracle.hybrid_neural_bm25_sql(
+            TERMS_OR, ANN_QUERY_ID, knn_k=NEURAL_HYBRID_KNN_K,
+            weights=NEURAL_HYBRID_WEIGHTS,
+        ),
         "bm25_phrase": oracle.bm25_phrase_sql(PHRASE),
         # indexed phrase must equal the exhaustive phrase semantics —
         # same oracle (positions gate matching, stats drive scoring)

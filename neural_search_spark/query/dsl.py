@@ -1,0 +1,363 @@
+"""OpenSearch query-DSL translation: a search-body dict → DataFrame.
+
+The reference's users issue JSON search bodies, not Java/Python calls —
+completeness means accepting that surface. ``search(ctx, body)``
+validates and translates a body onto the already-gated builders in this
+package, so the translator adds NO new scoring semantics: a green DSL
+gate row proves the dict → builder mapping, and the builders' own
+oracles pin the math.
+
+Supported query types (each names its dispatch target):
+
+* ``match`` (operator or|and; the raw string is analyzed with the
+  context analyzer) → exhaustive.bm25_scores / bm25_conjunctive
+* ``match_phrase`` (+ ``slop``) → exhaustive.bm25_phrase[_sloppy]
+* ``match_phrase_prefix`` (``max_expansions``) → multiterm.phrase_prefix_topk
+* ``prefix`` / ``wildcard`` / ``fuzzy`` → multiterm.*_topk
+* ``bool`` (must/should/must_not of match clauses +
+  ``minimum_should_match``) → booleans.bool_topk
+* ``dis_max`` (match sub-queries + ``tie_breaker``) → booleans.dis_max_topk
+* ``hybrid`` (≤5 match/neural/neural_sparse sub-queries; the
+  normalization/combination config arrives via ``pipeline=`` exactly
+  like the plugin's search-pipeline processor, validated by
+  spec.HybridSpec) → hybrid.normalize/combine/rrf_combine
+* ``neural`` (``query_vector_id``, ``k``; serves from ``ctx.graphs``
+  when present, exact otherwise) → similarity.cosine_topk /
+  graph_ann.hnsw_topk
+* ``neural_sparse`` (``query_tokens``) → sparse.sparse_topk_two_phase
+
+Body keys: ``query`` (required), ``size``, ``from`` (hybrid rejects
+from≠0, mirroring HybridQueryPhaseSearcher.java:123-148), ``post_filter``
+(term/range over corpus columns), ``sort``, ``collapse``. Anything
+unknown raises ``DslError`` naming the supported set — the reference's
+parsers are likewise strict (fromXContent throws on unknown fields).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import analyze_query
+from .spec import HybridSpec
+
+
+class DslError(ValueError):
+    pass
+
+
+@dataclass
+class SearchContext:
+    """The data surfaces a search body can address."""
+
+    docs: DataFrame
+    embeddings: DataFrame | None = None
+    sparse_features: DataFrame | None = None
+    graphs: DataFrame | None = None
+    analyzer: str = "simple"
+    id_col: str = "doc_id"
+    text_col: str = "text"
+
+
+_BODY_KEYS = {"query", "size", "from", "post_filter", "sort", "collapse"}
+_QUERY_TYPES = (
+    "match match_phrase match_phrase_prefix prefix wildcard fuzzy "
+    "bool dis_max hybrid neural neural_sparse"
+).split()
+
+
+def _one(d: Any, what: str) -> tuple[str, Any]:
+    if not isinstance(d, dict) or len(d) != 1:
+        raise DslError(f"[{what}] expects exactly one key, got {d!r}")
+    return next(iter(d.items()))
+
+
+def _params(spec: Any, value_key: str) -> dict:
+    """Field spec may be shorthand (`{"text": "query string"}`) or the
+    full object form (`{"text": {"query": ..., "slop": 2}}`)."""
+    return dict(spec) if isinstance(spec, dict) else {value_key: spec}
+
+
+def _reject_unknown(params: dict, allowed: set[str], what: str) -> None:
+    if unknown := set(params) - allowed:
+        raise DslError(f"[{what}] does not support {sorted(unknown)}; "
+                       f"supported: {sorted(allowed)}")
+
+
+def _terms(ctx: SearchContext, text: Any, what: str) -> list[str]:
+    if not isinstance(text, str) or not text.strip():
+        raise DslError(f"[{what}] needs a non-empty query string")
+    return sorted(set(analyze_query(text, ctx.analyzer)))
+
+
+def _match_terms(ctx: SearchContext, spec: Any, what: str) -> list[str]:
+    field, params = _one(spec, what)
+    params = _params(params, "query")
+    _reject_unknown(params, {"query", "operator"}, what)
+    if field != ctx.text_col:
+        raise DslError(f"[{what}] field [{field}] is not the corpus text "
+                       f"column [{ctx.text_col}]")
+    return _terms(ctx, params["query"], what)
+
+
+def _predicate_sql(q: dict) -> str:
+    """term/range filter → SQL over corpus columns (the filter context
+    never scores, exactly as in the reference)."""
+    typ, spec = _one(q, "post_filter")
+    if typ == "term":
+        col, val = _one(spec, "term")
+        lit = "'" + val.replace("'", "''") + "'" if isinstance(val, str) else repr(val)
+        return f"{col} = {lit}"
+    if typ == "range":
+        col, bounds = _one(spec, "range")
+        ops = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
+        _reject_unknown(bounds, set(ops), "range")
+        parts = [f"{col} {ops[op]} {float(v)}" for op, v in sorted(bounds.items())]
+        return " AND ".join(parts)
+    raise DslError(f"unsupported filter type [{typ}]; supported: term, range")
+
+
+# --- sub-query scorers (hybrid) ------------------------------------------
+
+
+def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
+    typ, spec = _one(q, "hybrid sub-query")
+    if typ == "match":
+        from .exhaustive import bm25_scores
+
+        s = bm25_scores(ctx.docs, _match_terms(ctx, spec, "match"),
+                        id_col=ctx.id_col, text_col=ctx.text_col, round_to=None)
+    elif typ == "neural":
+        s = _neural_topk(ctx, spec).select(
+            F.col("vec_id").alias("doc_id"), F.col("cos").alias("score")
+        )
+    elif typ == "neural_sparse":
+        from .sparse import sparse_topk_two_phase
+
+        field, params = _one(spec, "neural_sparse")
+        _reject_unknown(_params(params, "query_tokens"), {"query_tokens", "k"},
+                        "neural_sparse")
+        if ctx.sparse_features is None:
+            raise DslError("neural_sparse needs ctx.sparse_features")
+        s = sparse_topk_two_phase(
+            ctx.sparse_features, dict(params["query_tokens"]),
+            k=int(params.get("k", 10)), round_to=None,
+        ).select("doc_id", "score")
+    else:
+        raise DslError(f"hybrid sub-query type [{typ}] unsupported; "
+                       "supported: match, neural, neural_sparse")
+    return s.select(F.lit(idx).alias("subquery_idx"), "doc_id", "score")
+
+
+def _neural_topk(ctx: SearchContext, spec: Any) -> DataFrame:
+    field, params = _one(spec, "neural")
+    params = _params(params, "query_vector_id")
+    _reject_unknown(params, {"query_vector_id", "k", "ef"}, "neural")
+    if ctx.embeddings is None:
+        raise DslError("neural query needs ctx.embeddings")
+    qid, k = int(params["query_vector_id"]), int(params.get("k", 10))
+    if ctx.graphs is not None:
+        from ..pipeline.graph_ann import hnsw_topk
+
+        kw = {"ef": int(params["ef"])} if "ef" in params else {}
+        return hnsw_topk(ctx.embeddings, qid, k=k, graphs=ctx.graphs, **kw)
+    from ..pipeline.similarity import cosine_topk
+
+    return cosine_topk(ctx.embeddings, qid, k=k)
+
+
+# --- top-level dispatch ---------------------------------------------------
+
+
+def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
+    from .exhaustive import topk
+
+    typ, spec = _one(q, "query")
+    if typ not in _QUERY_TYPES:
+        raise DslError(f"unknown query type [{typ}]; supported: {_QUERY_TYPES}")
+    tc, ic = ctx.text_col, ctx.id_col
+
+    if typ == "match":
+        from .exhaustive import bm25_conjunctive, bm25_scores
+
+        field, params = _one(spec, "match")
+        params = _params(params, "query")
+        terms = _match_terms(ctx, {field: params}, "match")
+        op = params.get("operator", "or")
+        if op == "and":
+            return topk(bm25_conjunctive(ctx.docs, terms, id_col=ic, text_col=tc,
+                                         round_to=None), k=k)
+        if op != "or":
+            raise DslError(f"[match] operator must be or|and, got [{op}]")
+        return topk(bm25_scores(ctx.docs, terms, id_col=ic, text_col=tc,
+                                round_to=None), k=k)
+
+    if typ == "match_phrase":
+        from .exhaustive import bm25_phrase, bm25_phrase_sloppy
+
+        field, params = _one(spec, "match_phrase")
+        params = _params(params, "query")
+        _reject_unknown(params, {"query", "slop"}, "match_phrase")
+        if field != tc:
+            raise DslError(f"[match_phrase] field [{field}] is not [{tc}]")
+        terms = analyze_query(params["query"], ctx.analyzer)  # order matters
+        slop = int(params.get("slop", 0))
+        scores = (
+            bm25_phrase_sloppy(ctx.docs, terms, slop=slop, id_col=ic,
+                               text_col=tc, round_to=None)
+            if slop
+            else bm25_phrase(ctx.docs, terms, id_col=ic, text_col=tc, round_to=None)
+        )
+        return topk(scores, k=k)
+
+    if typ == "match_phrase_prefix":
+        from .multiterm import phrase_prefix_topk
+
+        field, params = _one(spec, "match_phrase_prefix")
+        params = _params(params, "query")
+        _reject_unknown(params, {"query", "max_expansions"}, "match_phrase_prefix")
+        toks = analyze_query(params["query"], ctx.analyzer)
+        kw = {"max_expansions": int(params["max_expansions"])} if "max_expansions" in params else {}
+        return phrase_prefix_topk(ctx.docs, toks[:-1], toks[-1], k=k,
+                                  id_col=ic, text_col=tc, **kw)
+
+    if typ in ("prefix", "wildcard", "fuzzy"):
+        from . import multiterm
+
+        field, params = _one(spec, typ)
+        params = _params(params, "value")
+        _reject_unknown(params, {"value", "max_expansions", "fuzziness"}, typ)
+        kw = {"max_expansions": int(params["max_expansions"])} if "max_expansions" in params else {}
+        if typ == "fuzzy" and "fuzziness" in params:
+            kw["max_edits"] = int(params["fuzziness"])
+        fn = {"prefix": multiterm.prefix_topk, "wildcard": multiterm.wildcard_topk,
+              "fuzzy": multiterm.fuzzy_topk}[typ]
+        return fn(ctx.docs, params["value"], k=k, id_col=ic, text_col=tc, **kw)
+
+    if typ == "bool":
+        from .booleans import bool_topk
+
+        _reject_unknown(spec, {"must", "should", "must_not", "minimum_should_match"},
+                        "bool")
+
+        def clause_terms(key):
+            out = []
+            for c in spec.get(key) or []:
+                ct, cs = _one(c, f"bool.{key}")
+                if ct != "match":
+                    raise DslError(f"bool [{key}] clauses must be match queries")
+                out.extend(_match_terms(ctx, cs, "match"))
+            return out
+
+        return bool_topk(
+            ctx.docs, must=clause_terms("must"), should=clause_terms("should"),
+            must_not=clause_terms("must_not"),
+            minimum_should_match=int(spec.get("minimum_should_match", 0)),
+            k=k, id_col=ic, text_col=tc,
+        )
+
+    if typ == "dis_max":
+        from .booleans import dis_max_topk
+
+        _reject_unknown(spec, {"queries", "tie_breaker"}, "dis_max")
+        groups = []
+        for sq in spec["queries"]:
+            st, ss = _one(sq, "dis_max sub-query")
+            if st != "match":
+                raise DslError("dis_max sub-queries must be match queries")
+            groups.append(_match_terms(ctx, ss, "match"))
+        return dis_max_topk(ctx.docs, groups,
+                            tie_breaker=float(spec.get("tie_breaker", 0.0)),
+                            k=k, id_col=ic, text_col=tc)
+
+    if typ == "neural":
+        top = _neural_topk(ctx, spec)
+        w = F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc()))
+        return top.select(F.col("vec_id").alias("doc_id"),
+                          F.col("cos").alias("score"), w.cast("int").alias("rank"))
+
+    if typ == "neural_sparse":
+        return _sub_scores(ctx, {typ: spec}, 0).drop("subquery_idx")
+
+    raise DslError(f"[{typ}] is only valid inside a hybrid query")  # pragma: no cover
+
+
+def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> DataFrame:
+    """Run one OpenSearch-style search body. ``pipeline`` carries the
+    hybrid normalization/combination config (the plugin configures it
+    on a search pipeline, not in the body)."""
+    _reject_unknown(body, _BODY_KEYS, "search body")
+    if "query" not in body:
+        raise DslError("search body needs a [query]")
+    q = body["query"]
+    typ, spec = _one(q, "query")
+    size = int(body.get("size", 10))
+    from_ = int(body.get("from", 0))
+
+    if typ == "hybrid":
+        from .hybrid import combine, normalize, rrf_combine
+
+        # hybrid cannot nest: sub-queries are restricted to
+        # match/neural/neural_sparse below, which enforces the
+        # top-level-only placement rule by construction
+        _reject_unknown(spec, {"queries"}, "hybrid")
+        subs = spec["queries"]
+        p = dict(pipeline or {})
+        _reject_unknown(p, {"normalization", "combination", "weights"}, "pipeline")
+        hs = HybridSpec(
+            n_subqueries=len(subs),
+            normalization=p.get("normalization", "min_max"),
+            combination=p.get("combination", "arithmetic_mean"),
+            weights=p.get("weights"), k=size, from_=from_,
+        ).validate()
+        tagged = None
+        for i, sq in enumerate(subs):
+            s = _sub_scores(ctx, sq, i)
+            tagged = s if tagged is None else tagged.unionByName(s)
+        if hs.normalization == "rrf":
+            out = rrf_combine(tagged, weights=hs.weights, n_subqueries=len(subs))
+        else:
+            out = combine(normalize(tagged, hs.normalization), hs.combination,
+                          hs.weights or [1.0 / len(subs)] * len(subs), len(subs),
+                          keep_negative=hs.normalization == "z_score")
+        out = out.withColumn("score", F.round("score", 4))
+        if "size" in body:
+            from .exhaustive import topk
+
+            out = topk(out, k=size)
+        return _post_stages(ctx, out, body)
+
+    if from_ != 0:
+        # supported for non-hybrid: fetch from+size, drop leading ranks
+        top = _topk_frame(ctx, q, from_ + size)
+        top = top.where(F.col("rank") > from_)
+        return _post_stages(ctx, top, body)
+    return _post_stages(ctx, _topk_frame(ctx, q, size), body)
+
+
+def _post_stages(ctx: SearchContext, out: DataFrame, body: dict) -> DataFrame:
+    if "post_filter" in body:
+        from .filters import post_filter
+
+        out = post_filter(out, ctx.docs, F.expr(_predicate_sql(body["post_filter"])))
+    if "sort" in body:
+        from .paginate import sort_by_fields
+
+        sorts = []
+        for s in body["sort"]:
+            if isinstance(s, str):
+                sorts.append((s, "asc"))
+            else:
+                col, o = _one(s, "sort")
+                sorts.append((col, o["order"] if isinstance(o, dict) else o))
+        joined = out.join(ctx.docs.drop(ctx.text_col), ctx.id_col)
+        out = sort_by_fields(joined, sorts, k=int(body.get("size", 10)))
+    if "collapse" in body:
+        from .paginate import field_collapse
+
+        out = field_collapse(out, ctx.docs, body["collapse"]["field"],
+                             k=int(body.get("size", 10)), id_col=ctx.id_col)
+    return out

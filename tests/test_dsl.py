@@ -1,0 +1,189 @@
+"""Query-DSL translation (query/dsl.py): every supported body shape
+must produce EXACTLY the frame the directly-called builder produces
+(the builders' own oracles pin the math; these tests pin the mapping),
+and malformed bodies must be rejected with the plugin's strictness."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from neural_search_spark.query.dsl import DslError, SearchContext, search
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def ctx(documents, embeddings):
+    return SearchContext(docs=documents, embeddings=embeddings)
+
+
+def test_match_or(ctx, documents):
+    from neural_search_spark.query.exhaustive import bm25_scores, topk
+
+    got = search(ctx, {"query": {"match": {"text": "spark window merge"}}, "size": 10})
+    exp = topk(bm25_scores(documents, ["merge", "spark", "window"], round_to=None), k=10)
+    assert _rows(got) == _rows(exp)
+
+
+def test_match_and(ctx, documents):
+    from neural_search_spark.query.exhaustive import bm25_conjunctive, topk
+
+    body = {"query": {"match": {"text": {"query": "spark window", "operator": "and"}}},
+            "size": 10}
+    exp = topk(bm25_conjunctive(documents, ["spark", "window"], round_to=None), k=10)
+    assert _rows(search(ctx, body)) == _rows(exp)
+
+
+def test_match_phrase_and_slop(ctx, documents):
+    from neural_search_spark.query.exhaustive import bm25_phrase, bm25_phrase_sloppy, topk
+
+    got = search(ctx, {"query": {"match_phrase": {"text": "spark window"}}, "size": 10})
+    exp = topk(bm25_phrase(documents, ["spark", "window"], round_to=None), k=10)
+    assert _rows(got) == _rows(exp)
+    got2 = search(
+        ctx, {"query": {"match_phrase": {"text": {"query": "spark window", "slop": 2}}},
+              "size": 10}
+    )
+    exp2 = topk(bm25_phrase_sloppy(documents, ["spark", "window"], slop=2, round_to=None), k=10)
+    assert _rows(got2) == _rows(exp2)
+
+
+def test_bool_and_dis_max(ctx, documents):
+    from neural_search_spark.query.booleans import bool_topk, dis_max_topk
+
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "data"}}],
+        "should": [{"match": {"text": "spark window"}}],
+        "must_not": [{"match": {"text": "dup"}}],
+        "minimum_should_match": 1,
+    }}, "size": 10}
+    exp = bool_topk(documents, must=["data"], should=["spark", "window"],
+                    must_not=["dup"], minimum_should_match=1, k=10)
+    assert _rows(search(ctx, body)) == _rows(exp)
+
+    body2 = {"query": {"dis_max": {
+        "queries": [{"match": {"text": "spark window merge"}},
+                    {"match": {"text": "data query table"}}],
+        "tie_breaker": 0.3,
+    }}, "size": 10}
+    exp2 = dis_max_topk(documents, [["merge", "spark", "window"],
+                                    ["data", "query", "table"]], tie_breaker=0.3, k=10)
+    assert _rows(search(ctx, body2)) == _rows(exp2)
+
+
+def test_multiterm_queries(ctx, documents):
+    from neural_search_spark.query.multiterm import (
+        fuzzy_topk,
+        phrase_prefix_topk,
+        prefix_topk,
+        wildcard_topk,
+    )
+
+    pairs = [
+        ({"prefix": {"text": "spar"}}, prefix_topk(documents, "spar", k=10)),
+        ({"wildcard": {"text": "sp?rk"}}, wildcard_topk(documents, "sp?rk", k=10)),
+        ({"fuzzy": {"text": {"value": "spork", "fuzziness": 1}}},
+         fuzzy_topk(documents, "spork", max_edits=1, k=10)),
+        ({"match_phrase_prefix": {"text": "spark win"}},
+         phrase_prefix_topk(documents, ["spark"], "win", k=10)),
+    ]
+    for body_q, exp in pairs:
+        assert _rows(search(ctx, {"query": body_q, "size": 10})) == _rows(exp), body_q
+
+
+def test_hybrid_matches_gate_row(spark, ctx):
+    import __spark_entry__ as entry
+
+    body = {"query": {"hybrid": {"queries": [
+        {"match": {"text": "spark window merge"}},
+        {"neural": {"embedding": {"query_vector_id": 0, "k": 50}}},
+    ]}}}
+    got = search(ctx, body, pipeline={"normalization": "min_max",
+                                      "combination": "arithmetic_mean",
+                                      "weights": [0.7, 0.3]})
+    exp = entry.queries()["hybrid_neural_bm25"](spark, SF_SMALL)
+    assert _rows(got) == _rows(exp)
+
+
+def test_neural_exact_and_graph(ctx, documents, embeddings):
+    from neural_search_spark.pipeline.graph_ann import hnsw_build_frame, hnsw_topk
+    from neural_search_spark.pipeline.similarity import cosine_topk
+
+    got = search(ctx, {"query": {"neural": {"embedding": {"query_vector_id": 0}}},
+                       "size": 10})
+    exact = {r["vec_id"] for r in cosine_topk(embeddings, 0, k=10).collect()}
+    assert {r["doc_id"] for r in got.collect()} == exact
+
+    graphs = hnsw_build_frame(embeddings)
+    gctx = SearchContext(docs=documents, embeddings=embeddings, graphs=graphs)
+    got_g = search(gctx, {"query": {"neural": {"embedding":
+                                               {"query_vector_id": 0, "ef": 48}}},
+                          "size": 10})
+    exp_g = hnsw_topk(embeddings, 0, k=10, graphs=graphs, ef=48)
+    assert {r["doc_id"] for r in got_g.collect()} == {r["vec_id"] for r in exp_g.collect()}
+
+
+def test_neural_sparse(spark, ctx, documents):
+    from neural_search_spark.query.sparse import sparse_topk_two_phase
+
+    feats = (
+        documents.select("doc_id", F.explode(F.split(F.col("text"), "[^a-z0-9_]+"))
+                  .alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    q = {"spark": 1.0, "window": 0.45, "merge": 0.39, "the": 0.1}
+    sctx = SearchContext(docs=documents, sparse_features=feats)
+    got = search(sctx, {"query": {"neural_sparse": {"sparse": {"query_tokens": q}}},
+                        "size": 10})
+    exp = sparse_topk_two_phase(feats, q, k=10, round_to=None).select("doc_id", "score")
+    assert _rows(got) == _rows(exp)
+
+
+def test_post_filter_sort_collapse_from(ctx, documents):
+    # post_filter: range over doc_id
+    got = search(ctx, {"query": {"match": {"text": "spark window"}}, "size": 10,
+                       "post_filter": {"range": {"doc_id": {"lt": 250}}}})
+    rows = got.collect()
+    assert rows and all(r["doc_id"] < 250 for r in rows)
+    # from: page 2 of size 5 == ranks 6-10 of size 10
+    page1 = search(ctx, {"query": {"match": {"text": "spark window"}}, "size": 10})
+    page2 = search(ctx, {"query": {"match": {"text": "spark window"}},
+                         "size": 5, "from": 5})
+    exp = [r for r in page1.collect() if r["rank"] > 5]
+    assert sorted(r["doc_id"] for r in page2.collect()) == sorted(r["doc_id"] for r in exp)
+    # sort by a corpus field
+    got_s = search(ctx, {"query": {"match": {"text": "spark window"}}, "size": 5,
+                         "sort": [{"doc_id": {"order": "desc"}}]})
+    ids = [r["doc_id"] for r in got_s.collect()]
+    assert ids == sorted(ids, reverse=True) and len(ids) == 5
+
+
+def test_rejections(ctx):
+    cases = [
+        {"query": {"knn": {"f": {}}}},                       # unknown type
+        {"query": {"match": {"text": "x"}}, "explain": True},  # unknown body key
+        {"query": {"match": {"body": "x"}}},                 # wrong field
+        {"query": {"match": {"text": {"query": "x", "operator": "xor"}}}},
+        {"query": {"hybrid": {"queries": [{"match": {"text": "x"}}] * 6}}},
+        {"query": {"hybrid": {"queries": [{"match": {"text": "x"}}]}}, "from": 3},
+        {"query": {"hybrid": {"queries": [
+            {"bool": {"must": [{"match": {"text": "x"}}]}}]}}},  # no nesting
+        {"query": {"match": {"text": ""}}},
+    ]
+    for body in cases:
+        with pytest.raises((DslError, ValueError)):
+            df = search(ctx, body)
+            df.collect()  # some validations live in the builders
