@@ -51,15 +51,26 @@ class DslError(ValueError):
 
 @dataclass
 class SearchContext:
-    """The data surfaces a search body can address."""
+    """The data surfaces a search body can address. With ``reader``
+    (an index.IndexReader) the translator dispatches match /
+    match_phrase / match_phrase_prefix / prefix / wildcard / fuzzy /
+    bool onto the INDEXED kernels (the production path; the query
+    string is then analyzed with the index's OWN analyzer, as Lucene's
+    QueryBuilder does); dis_max and hybrid sub-queries score
+    exhaustively over ``docs`` (their indexed compositions are separate
+    registry entries: indexed_hybrid_neural, indexed_hybrid_rrf)."""
 
     docs: DataFrame
     embeddings: DataFrame | None = None
     sparse_features: DataFrame | None = None
     graphs: DataFrame | None = None
+    reader: "Any | None" = None
     analyzer: str = "simple"
     id_col: str = "doc_id"
     text_col: str = "text"
+
+    def index_analyzer(self) -> str:
+        return self.reader.meta.get("tokenizer", "simple") if self.reader else self.analyzer
 
 
 _BODY_KEYS = {"query", "size", "from", "post_filter", "sort", "collapse"}
@@ -172,6 +183,112 @@ def _neural_topk(ctx: SearchContext, spec: Any) -> DataFrame:
 # --- top-level dispatch ---------------------------------------------------
 
 
+def _ranked(df: DataFrame) -> DataFrame:
+    """(doc_id, score, rank) with the engine's standard tiebreak —
+    identical shaping to the exhaustive topk() output."""
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return df.select(
+        "doc_id", F.round("score", 4).alias("score"),
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def _require_doc_key(ctx: SearchContext) -> None:
+    keys = list(ctx.reader.meta.get("key_cols", []))
+    if keys != [ctx.id_col]:
+        raise DslError(
+            f"indexed DSL dispatch needs the index keyed by [{ctx.id_col}], "
+            f"got {keys}"
+        )
+
+
+def _indexed_topk(ctx: SearchContext, typ: str, spec: Any, k: int) -> DataFrame | None:
+    """Dispatch onto the index kernels; None = this type has no indexed
+    path (caller falls through to the exhaustive builders)."""
+    if ctx.reader is None:
+        return None
+    r = ctx.reader
+    if typ == "match":
+        from .wand import match_text_topk
+
+        _require_doc_key(ctx)
+        field, params = _one(spec, "match")
+        params = _params(params, "query")
+        _reject_unknown(params, {"query", "operator"}, "match")
+        if field != ctx.text_col:
+            raise DslError(f"[match] field [{field}] is not [{ctx.text_col}]")
+        op = params.get("operator", "or")
+        if op not in ("or", "and"):
+            raise DslError(f"[match] operator must be or|and, got [{op}]")
+        return _ranked(match_text_topk(r, params["query"], k=k, mode=op))
+    if typ == "match_phrase":
+        from .phrase import bm25_phrase_indexed
+
+        _require_doc_key(ctx)
+        field, params = _one(spec, "match_phrase")
+        params = _params(params, "query")
+        _reject_unknown(params, {"query", "slop"}, "match_phrase")
+        terms = analyze_query(params["query"], ctx.index_analyzer())
+        top = bm25_phrase_indexed(r, terms, k=k, slop=int(params.get("slop", 0)))
+        return _ranked(top)
+    if typ == "match_phrase_prefix":
+        from .multiterm import phrase_prefix_topk_indexed
+
+        _require_doc_key(ctx)
+        field, params = _one(spec, "match_phrase_prefix")
+        params = _params(params, "query")
+        _reject_unknown(params, {"query", "max_expansions"}, "match_phrase_prefix")
+        toks = analyze_query(params["query"], ctx.index_analyzer())
+        kw = {"max_expansions": int(params["max_expansions"])} if "max_expansions" in params else {}
+        return _ranked(phrase_prefix_topk_indexed(r, toks[:-1], toks[-1], k=k, **kw))
+    if typ in ("prefix", "wildcard", "fuzzy"):
+        from .multiterm import like_escape, multiterm_topk_indexed, wildcard_to_like
+
+        _require_doc_key(ctx)
+        field, params = _one(spec, typ)
+        params = _params(params, "value")
+        _reject_unknown(params, {"value", "max_expansions", "fuzziness"}, typ)
+        kw = {"max_expansions": int(params["max_expansions"])} if "max_expansions" in params else {}
+        if typ == "prefix":
+            top = multiterm_topk_indexed(r, like=like_escape(params["value"]) + "%", k=k, **kw)
+        elif typ == "wildcard":
+            top = multiterm_topk_indexed(r, like=wildcard_to_like(params["value"]), k=k, **kw)
+        else:
+            top = multiterm_topk_indexed(
+                r, fuzzy=(params["value"], int(params.get("fuzziness", 1)), 0), k=k, **kw
+            )
+        return _ranked(top)
+    if typ == "bool":
+        from .booleans import bool_topk_indexed
+
+        _require_doc_key(ctx)
+        _reject_unknown(spec, {"must", "should", "must_not", "minimum_should_match"}, "bool")
+        if int(spec.get("minimum_should_match", 0)) != 0:
+            raise DslError(
+                "[bool] minimum_should_match is not supported on the indexed "
+                "path — search without ctx.reader for the exhaustive builder"
+            )
+
+        def clause_terms(key):
+            out = []
+            for c in spec.get(key) or []:
+                ct, cs = _one(c, f"bool.{key}")
+                if ct != "match":
+                    raise DslError(f"bool [{key}] clauses must be match queries")
+                f, p = _one(cs, "match")
+                p = _params(p, "query")
+                if f != ctx.text_col:
+                    raise DslError(f"[match] field [{f}] is not [{ctx.text_col}]")
+                out.extend(sorted(set(analyze_query(p["query"], ctx.index_analyzer()))))
+            return out
+
+        return bool_topk_indexed(
+            r, must=clause_terms("must"), should=clause_terms("should"),
+            must_not=clause_terms("must_not"), k=k,
+        )
+    return None
+
+
 def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
     from .exhaustive import topk
 
@@ -179,6 +296,9 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
     if typ not in _QUERY_TYPES:
         raise DslError(f"unknown query type [{typ}]; supported: {_QUERY_TYPES}")
     tc, ic = ctx.text_col, ctx.id_col
+    indexed = _indexed_topk(ctx, typ, spec, k)
+    if indexed is not None:
+        return indexed
 
     if typ == "match":
         from .exhaustive import bm25_conjunctive, bm25_scores

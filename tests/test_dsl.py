@@ -187,3 +187,59 @@ def test_rejections(ctx):
         with pytest.raises((DslError, ValueError)):
             df = search(ctx, body)
             df.collect()  # some validations live in the builders
+
+
+# --- indexed dispatch -----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def reader_ctx(spark, documents, embeddings, tmp_path_factory):
+    from neural_search_spark.index.builder import build_index
+    from neural_search_spark.query.wand import IndexReader
+
+    d = str(tmp_path_factory.mktemp("dsl_idx"))
+    build_index(spark, documents, d, key_cols=["doc_id"], text_col="text",
+                tokenizer="simple", num_segments=4, range_block=64,
+                store_positions=True)
+    return SearchContext(docs=documents, embeddings=embeddings,
+                         reader=IndexReader(spark, d, cache_hot=True))
+
+
+def test_indexed_match_and_phrase(reader_ctx, documents):
+    from neural_search_spark.query.exhaustive import bm25_phrase, bm25_scores, topk
+
+    got = search(reader_ctx, {"query": {"match": {"text": "spark window merge"}},
+                              "size": 10})
+    exp = topk(bm25_scores(documents, ["merge", "spark", "window"], round_to=None), k=10)
+    assert _rows(got) == _rows(exp)  # indexed kernel == exhaustive scorer
+
+    got_p = search(reader_ctx, {"query": {"match_phrase": {"text": "spark window"}},
+                                "size": 10})
+    exp_p = topk(bm25_phrase(documents, ["spark", "window"], round_to=None), k=10)
+    assert _rows(got_p) == _rows(exp_p)
+
+
+def test_indexed_multiterm_and_bool(reader_ctx):
+    from neural_search_spark.query.booleans import bool_topk_indexed
+    from neural_search_spark.query.multiterm import like_escape, multiterm_topk_indexed
+
+    got = search(reader_ctx, {"query": {"prefix": {"text": "spar"}}, "size": 10})
+    exp = multiterm_topk_indexed(reader_ctx.reader, like=like_escape("spar") + "%", k=10)
+    assert {r["doc_id"] for r in got.collect()} == {r["doc_id"] for r in exp.collect()}
+
+    got_b = search(reader_ctx, {"query": {"bool": {
+        "must": [{"match": {"text": "data"}}],
+        "should": [{"match": {"text": "spark window"}}],
+        "must_not": [{"match": {"text": "dup"}}],
+    }}, "size": 10})
+    exp_b = bool_topk_indexed(reader_ctx.reader, must=["data"],
+                              should=["spark", "window"], must_not=["dup"], k=10)
+    assert _rows(got_b) == _rows(exp_b)
+
+
+def test_indexed_bool_msm_rejected(reader_ctx):
+    with pytest.raises(DslError):
+        search(reader_ctx, {"query": {"bool": {
+            "should": [{"match": {"text": "spark window"}}],
+            "minimum_should_match": 1,
+        }}, "size": 10})
