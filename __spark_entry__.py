@@ -224,6 +224,21 @@ def _q_dsl_hybrid_neural(spark, sf_dir):
     })
 
 
+def _q_dsl_aggs(spark, sf_dir):
+    """Analytics body (size: 0): terms bucket agg + metric sub-aggs
+    over the FULL hit set through the DSL translator — aggs see every
+    matching doc, not the size window, as in the reference."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"match": {"text": " ".join(TERMS_OR)}}, "size": 0,
+            "aggs": {"langs": {"terms": {"field": "lang"}, "aggs": {
+                "sources": {"cardinality": {"field": "source"}},
+                "avg_chars": {"avg": {"field": "n_chars"}},
+                "max_chars": {"max": {"field": "n_chars"}},
+            }}}}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
 def _q_bm25_explain(spark, sf_dir):
     """Lucene Explanation analog: per-(top-k doc, term) BM25 factor
     breakdown (tf/df/idf/tf_norm/contribution) — output bounded by
@@ -1741,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_match": _q_dsl_match,
         "dsl_bool": _q_dsl_bool,
         "dsl_hybrid_neural": _q_dsl_hybrid_neural,
+        "dsl_aggs": _q_dsl_aggs,
         # -- implementation changed in round 4 (re-gate) --
         "ann_hnsw_topk": _q_ann_hnsw_topk,         # now serves persisted graphs
         "ann_pq_topk": _q_ann_pq_topk,             # dim= threading
@@ -1774,8 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_window": _q_rescore_window,
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_token_counts,
-        # -- stalest round-2 rows (2) --
-        "chunk_delimiter": _q_chunk_delimiter,
+        # -- stalest round-2 rows (1) --
         "hybrid_aggs": _q_hybrid_aggs,
         # ===== position >= 50: green driver rows in r02/r03 (union) =======
         # (search_after_page2/sort_after_fields/sparse_linear/
@@ -1788,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bm25_explain, dsl_match, dsl_bool, dsl_hybrid_neural); all
         # stay <=2 rounds old through r04 — they lead round-5's
         # rotation list)
+        "chunk_delimiter": _q_chunk_delimiter,
         "hybrid_minmax_arith": _q_hybrid_minmax_arith,
         "hybrid_l2_geometric": _q_hybrid_l2_geometric,
         "hybrid_collapse": _q_hybrid_collapse,
@@ -1931,6 +1947,7 @@ def oracle_sql() -> dict[str, str]:
             TERMS_OR, ANN_QUERY_ID, knn_k=NEURAL_HYBRID_KNN_K,
             weights=NEURAL_HYBRID_WEIGHTS,
         ),
+        "dsl_aggs": oracle.dsl_aggs_sql(TERMS_OR),
         "bm25_phrase": oracle.bm25_phrase_sql(PHRASE),
         # indexed phrase must equal the exhaustive phrase semantics —
         # same oracle (positions gate matching, stats drive scoring)

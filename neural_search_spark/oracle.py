@@ -493,6 +493,22 @@ FROM matched m JOIN {table} d USING (doc_id)
 GROUP BY d.lang"""
 
 
+def dsl_aggs_sql(terms: list[str], table: str = "documents", round_to: int = 4) -> str:
+    """Oracle for the DSL aggs translator: terms bucket on lang with
+    cardinality/avg/max metric sub-aggs over the full OR hit set —
+    the same matched-set algebra as hybrid_aggs_sql, with OpenSearch's
+    doc_count naming."""
+    return f"""{bm25_base_ctes(terms, table)},
+matched AS (SELECT DISTINCT doc_id FROM tf)
+SELECT d.lang AS lang,
+       count(*) AS doc_count,
+       count(DISTINCT d.source) AS sources,
+       round(avg(d.n_chars), {round_to}) AS avg_chars,
+       max(d.n_chars) AS max_chars
+FROM matched m JOIN {table} d USING (doc_id)
+GROUP BY d.lang"""
+
+
 def bm25_filtered_sql(
     terms: list[str], predicate: str, table: str = "documents", round_to: int = 4
 ) -> str:

@@ -409,6 +409,8 @@ def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> Data
     """Run one OpenSearch-style search body. ``pipeline`` carries the
     hybrid normalization/combination config (the plugin configures it
     on a search pipeline, not in the body)."""
+    if "aggs" in body:
+        return aggregate(ctx, body)
     _reject_unknown(body, _BODY_KEYS, "search body")
     if "query" not in body:
         raise DslError("search body needs a [query]")
@@ -481,3 +483,135 @@ def _post_stages(ctx: SearchContext, out: DataFrame, body: dict) -> DataFrame:
         out = field_collapse(out, ctx.docs, body["collapse"]["field"],
                              k=int(body.get("size", 10)), id_col=ctx.id_col)
     return out
+
+
+# --- aggregations (size=0 analytics bodies) -------------------------------
+
+_METRICS = ("avg", "sum", "min", "max", "value_count", "cardinality")
+
+
+def _metric_expr(name: str, typ: str, spec: dict):
+    _reject_unknown(spec, {"field"}, typ)
+    c = F.col(spec["field"])
+    if typ == "avg":
+        return F.round(F.avg(c), 4).alias(name)
+    if typ == "sum":
+        return F.round(F.sum(c).cast("double"), 4).alias(name)
+    if typ == "min":
+        return F.min(c).alias(name)
+    if typ == "max":
+        return F.max(c).alias(name)
+    if typ == "value_count":
+        return F.count(c).alias(name)
+    if typ == "cardinality":
+        # exact distinct count (the plugin's cardinality is an HLL
+        # approximation at scale — the engine's HLL variant is
+        # query/aggs.cardinality_hll, gated by hybrid_cardinality_hll)
+        return F.count_distinct(c).alias(name)
+    raise DslError(f"unknown metric agg [{typ}]; supported: {sorted(_METRICS)}")
+
+
+def _clause_matched(ctx: SearchContext, tok, clause: dict) -> DataFrame:
+    """Doc-id set matching one match clause (OR over its terms)."""
+    ct, cs = _one(clause, "bool clause")
+    if ct != "match":
+        raise DslError("aggs bool clauses must be match queries")
+    terms = _match_terms(ctx, cs, "match")
+    return (
+        tok.select(ctx.id_col, F.explode("toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .select(ctx.id_col)
+        .distinct()
+    )
+
+
+def _matched_docs(ctx: SearchContext, q: dict) -> DataFrame:
+    """The FULL hit set (no top-k cut) joined back to the corpus —
+    aggregations run over every matching doc, as in the reference
+    (aggs see all hits, not the size window)."""
+    from .exhaustive import tokenized
+
+    typ, spec = _one(q, "query")
+    tok = tokenized(ctx.docs, ctx.id_col, ctx.text_col)
+    if typ == "match":
+        field, params = _one(spec, "match")
+        params = _params(params, "query")
+        terms = _match_terms(ctx, {field: params}, "match")
+        op = params.get("operator", "or")
+        m = (
+            tok.select(ctx.id_col, F.explode("toks").alias("term"))
+            .where(F.col("term").isin(terms))
+        )
+        if op == "and":
+            m = (
+                m.groupBy(ctx.id_col)
+                .agg(F.count_distinct("term").alias("_nt"))
+                .where(F.col("_nt") == len(terms))
+                .select(ctx.id_col)
+            )
+        else:
+            m = m.select(ctx.id_col).distinct()
+    elif typ == "bool":
+        _reject_unknown(spec, {"must", "should", "must_not", "minimum_should_match"},
+                        "bool")
+        must = [_clause_matched(ctx, tok, c) for c in spec.get("must") or []]
+        should = [_clause_matched(ctx, tok, c) for c in spec.get("should") or []]
+        msm = int(spec.get("minimum_should_match", 0))
+        if not must and not should:
+            raise DslError("bool query needs at least one scoring clause")
+        m = None
+        for f in must:
+            m = f if m is None else m.join(f, ctx.id_col)
+        if should:
+            # count how many should clauses each doc matches
+            tagged = None
+            for i, f in enumerate(should):
+                t = f.select(ctx.id_col, F.lit(i).alias("_c"))
+                tagged = t if tagged is None else tagged.unionByName(t)
+            counts = tagged.groupBy(ctx.id_col).agg(F.count(F.lit(1)).alias("_ns"))
+            need = msm if msm > 0 else (0 if must else 1)
+            ok = counts.where(F.col("_ns") >= need).select(ctx.id_col)
+            m = ok if m is None else (m.join(ok, ctx.id_col) if msm > 0 else m)
+            if must and msm == 0:
+                pass  # should is purely optional when must exists and msm=0
+        for c in spec.get("must_not") or []:
+            m = m.join(_clause_matched(ctx, tok, c), ctx.id_col, "left_anti")
+        m = m.select(ctx.id_col)
+    else:
+        raise DslError(f"aggs support match and bool queries, got [{typ}]")
+    return m.join(ctx.docs, ctx.id_col)
+
+
+def aggregate(ctx: SearchContext, body: dict) -> DataFrame:
+    """Run a ``size: 0`` analytics body: one optional ``terms`` bucket
+    agg (with metric sub-aggs) or a flat set of metric aggs over the
+    full hit set. Scale shape: the hit-set join + ONE groupBy on the
+    bucket field — identical to the gated hybrid_aggs family."""
+    _reject_unknown(body, {"query", "size", "aggs"}, "aggs body")
+    if int(body.get("size", 0)) != 0:
+        raise DslError("aggs bodies must set size: 0 (hits+aggs in one "
+                       "response is not supported; issue two searches)")
+    matched = _matched_docs(ctx, body["query"])
+    aggs = body["aggs"]
+    if len(aggs) == 1:
+        name, spec = _one(aggs, "aggs")
+        if "terms" in spec:
+            _reject_unknown(spec, {"terms", "aggs"}, name)
+            t = spec["terms"]
+            _reject_unknown(t, {"field", "size"}, "terms")
+            subs = [F.count(F.lit(1)).alias("doc_count")]
+            for sub_name, sub_spec in (spec.get("aggs") or {}).items():
+                st, ss = _one(sub_spec, sub_name)
+                subs.append(_metric_expr(sub_name, st, ss))
+            out = matched.groupBy(t["field"]).agg(*subs)
+            if "size" in t:
+                out = out.orderBy(F.col("doc_count").desc(),
+                                  F.col(t["field"]).asc()).limit(int(t["size"]))
+            return out
+    exprs = []
+    for name, spec in aggs.items():
+        st, ss = _one(spec, name)
+        if st == "terms":
+            raise DslError("terms must be the single top-level agg")
+        exprs.append(_metric_expr(name, st, ss))
+    return matched.agg(*exprs)

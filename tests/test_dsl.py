@@ -243,3 +243,66 @@ def test_indexed_bool_msm_rejected(reader_ctx):
             "should": [{"match": {"text": "spark window"}}],
             "minimum_should_match": 1,
         }}, "size": 10})
+
+
+# --- aggregations ----------------------------------------------------------
+
+
+def test_aggs_terms_with_metrics(ctx, documents):
+    body = {"query": {"match": {"text": "spark window merge"}}, "size": 0,
+            "aggs": {"langs": {"terms": {"field": "lang"}, "aggs": {
+                "sources": {"cardinality": {"field": "source"}},
+                "avg_chars": {"avg": {"field": "n_chars"}},
+                "max_chars": {"max": {"field": "n_chars"}},
+            }}}}
+    got = search(ctx, body)
+    from neural_search_spark.query.exhaustive import tokenized
+
+    matched = (
+        tokenized(documents)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(["merge", "spark", "window"]))
+        .select("doc_id").distinct()
+    )
+    exp = (
+        matched.join(documents, "doc_id").groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("doc_count"),
+             F.count_distinct("source").alias("sources"),
+             F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+             F.max("n_chars").alias("max_chars"))
+    )
+    assert _rows(got) == _rows(exp)
+
+
+def test_aggs_flat_metrics_and_bool(ctx, documents):
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "data"}}],
+        "must_not": [{"match": {"text": "dup"}}],
+    }}, "size": 0,
+        "aggs": {"n_chars_sum": {"sum": {"field": "n_chars"}},
+                 "langs": {"cardinality": {"field": "lang"}}}}
+    got = search(ctx, body).collect()[0]
+    from neural_search_spark.query.exhaustive import tokenized
+
+    tok = tokenized(documents).select("doc_id", F.explode("toks").alias("term"))
+    m_must = tok.where(F.col("term") == "data").select("doc_id").distinct()
+    m_not = tok.where(F.col("term") == "dup").select("doc_id").distinct()
+    m = m_must.join(m_not, "doc_id", "left_anti").join(documents, "doc_id")
+    exp = m.agg(F.round(F.sum("n_chars").cast("double"), 4).alias("s"),
+                F.count_distinct("lang").alias("c")).collect()[0]
+    assert got["n_chars_sum"] == exp["s"] and got["langs"] == exp["c"]
+
+
+def test_aggs_rejections(ctx):
+    ok_q = {"match": {"text": "data"}}
+    cases = [
+        {"query": ok_q, "size": 5, "aggs": {"a": {"avg": {"field": "n_chars"}}}},
+        {"query": ok_q, "size": 0, "aggs": {"a": {"percentiles": {"field": "x"}}}},
+        {"query": ok_q, "size": 0, "aggs": {
+            "a": {"terms": {"field": "lang"}}, "b": {"terms": {"field": "source"}}}},
+        {"query": {"prefix": {"text": "sp"}}, "size": 0,
+         "aggs": {"a": {"avg": {"field": "n_chars"}}}},
+    ]
+    for body in cases:
+        with pytest.raises(DslError):
+            search(ctx, body).collect()
