@@ -73,7 +73,8 @@ class SearchContext:
         return self.reader.meta.get("tokenizer", "simple") if self.reader else self.analyzer
 
 
-_BODY_KEYS = {"query", "size", "from", "post_filter", "sort", "collapse"}
+_BODY_KEYS = {"query", "size", "from", "post_filter", "sort", "collapse",
+              "highlight", "explain"}
 _QUERY_TYPES = (
     "match match_phrase match_phrase_prefix prefix wildcard fuzzy "
     "bool dis_max hybrid neural neural_sparse"
@@ -418,6 +419,32 @@ def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> Data
     typ, spec = _one(q, "query")
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
+
+    if body.get("explain"):
+        # per-hit scoring explanation (Lucene Explanation analog);
+        # match-only — the breakdown is the BM25 factor table
+        from .exhaustive import bm25_explain
+
+        if typ != "match" or from_ != 0 or set(body) - {"query", "size", "explain"}:
+            raise DslError("[explain] supports plain match bodies "
+                           "(query + size only)")
+        return bm25_explain(ctx.docs, _match_terms(ctx, spec, "match"), k=size,
+                            id_col=ctx.id_col, text_col=ctx.text_col)
+
+    if "highlight" in body:
+        from .highlight import highlight_topk
+
+        hl = body["highlight"]
+        _reject_unknown(hl, {"fields", "window"}, "highlight")
+        field, fspec = _one(hl["fields"], "highlight.fields")
+        if field != ctx.text_col or typ != "match":
+            raise DslError("[highlight] supports the corpus text field on "
+                           "plain match bodies")
+        if from_ != 0 or set(body) - {"query", "size", "highlight"}:
+            raise DslError("[highlight] bodies support query + size only")
+        kw = {"window": int(hl["window"])} if "window" in hl else {}
+        return highlight_topk(ctx.docs, _match_terms(ctx, spec, "match"), k=size,
+                              id_col=ctx.id_col, text_col=ctx.text_col, **kw)
 
     if typ == "hybrid":
         from .hybrid import combine, normalize, rrf_combine

@@ -306,3 +306,24 @@ def test_aggs_rejections(ctx):
     for body in cases:
         with pytest.raises(DslError):
             search(ctx, body).collect()
+
+
+def test_highlight_and_explain_bodies(ctx, documents):
+    from neural_search_spark.query.exhaustive import bm25_explain
+    from neural_search_spark.query.highlight import highlight_topk
+
+    got = search(ctx, {"query": {"match": {"text": "spark window merge"}}, "size": 10,
+                       "highlight": {"fields": {"text": {}}}})
+    exp = highlight_topk(documents, ["merge", "spark", "window"], k=10)
+    assert _rows(got) == _rows(exp)
+
+    got_e = search(ctx, {"query": {"match": {"text": "spark window merge"}},
+                         "size": 10, "explain": True})
+    exp_e = bm25_explain(documents, ["merge", "spark", "window"], k=10)
+    assert _rows(got_e) == _rows(exp_e)
+
+    with pytest.raises(DslError):
+        search(ctx, {"query": {"prefix": {"text": "sp"}}, "explain": True})
+    with pytest.raises(DslError):
+        search(ctx, {"query": {"match": {"text": "x"}}, "sort": ["doc_id"],
+                     "highlight": {"fields": {"text": {}}}})
