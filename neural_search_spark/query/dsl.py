@@ -642,3 +642,48 @@ def aggregate(ctx: SearchContext, body: dict) -> DataFrame:
             raise DslError("terms must be the single top-level agg")
         exprs.append(_metric_expr(name, st, ss))
     return matched.agg(*exprs)
+
+
+# --- msearch ---------------------------------------------------------------
+
+
+def msearch(ctx: SearchContext, bodies: list[dict]) -> DataFrame:
+    """Batch API (the reference's ``_msearch``): a list of search
+    bodies executed together. With ``ctx.reader``, a batch of plain
+    match bodies compiles into ONE multi-query kernel pass + ONE docmap
+    join (``bm25_topk_indexed_multi`` — 2 Spark jobs for the whole
+    batch, bit-identical per query to individual execution); anything
+    else is rejected by name. Returns (query_idx, doc_id, score, rank)
+    — query_idx = the body's position in the batch."""
+    if ctx.reader is None:
+        raise DslError("msearch needs ctx.reader (the batch kernel is the "
+                       "indexed path); issue individual search() calls otherwise")
+    _require_doc_key(ctx)
+    from .wand import bm25_topk_indexed_multi
+
+    queries = []
+    k = None
+    analyzer = ctx.index_analyzer()
+    for body in bodies:
+        _reject_unknown(body, {"query", "size"}, "msearch body")
+        typ, spec = _one(body.get("query"), "query")
+        if typ != "match":
+            raise DslError("msearch batches support match bodies only; "
+                           f"got [{typ}]")
+        field, params = _one(spec, "match")
+        params = _params(params, "query")
+        _reject_unknown(params, {"query", "operator"}, "match")
+        if field != ctx.text_col:
+            raise DslError(f"[match] field [{field}] is not [{ctx.text_col}]")
+        op = params.get("operator", "or")
+        if op not in ("or", "and"):
+            raise DslError(f"[match] operator must be or|and, got [{op}]")
+        bk = int(body.get("size", 10))
+        if k is not None and bk != k:
+            raise DslError("msearch bodies must share one size (the batch "
+                           "kernel cuts one top-k per query)")
+        k = bk
+        queries.append((sorted(set(analyze_query(params["query"], analyzer))), op))
+    out = bm25_topk_indexed_multi(ctx.reader, queries, k=k or 10)
+    return out.select("query_idx", ctx.id_col,
+                      F.round("score", 4).alias("score"), "rank")

@@ -327,3 +327,26 @@ def test_highlight_and_explain_bodies(ctx, documents):
     with pytest.raises(DslError):
         search(ctx, {"query": {"match": {"text": "x"}}, "sort": ["doc_id"],
                      "highlight": {"fields": {"text": {}}}})
+
+
+def test_msearch_batch(reader_ctx):
+    from neural_search_spark.query.dsl import msearch
+    from neural_search_spark.query.wand import bm25_topk_indexed_multi
+
+    bodies = [
+        {"query": {"match": {"text": "spark window merge"}}, "size": 10},
+        {"query": {"match": {"text": {"query": "spark window", "operator": "and"}}},
+         "size": 10},
+    ]
+    got = msearch(reader_ctx, bodies)
+    exp = bm25_topk_indexed_multi(
+        reader_ctx.reader,
+        [(["merge", "spark", "window"], "or"), (["spark", "window"], "and")], k=10,
+    ).select("query_idx", "doc_id", F.round("score", 4).alias("score"), "rank")
+    assert _rows(got) == _rows(exp)
+
+    with pytest.raises(DslError):
+        msearch(reader_ctx, [{"query": {"prefix": {"text": "sp"}}}])
+    ctx_no_reader = SearchContext(docs=reader_ctx.docs)
+    with pytest.raises(DslError):
+        msearch(ctx_no_reader, bodies)
