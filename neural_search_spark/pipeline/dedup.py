@@ -716,3 +716,24 @@ def dedup_survivors(
         F.count(F.lit(1)).over(w).alias("group_size"),
         (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
     )
+
+
+def components_update(prior_roots: DataFrame, new_pairs: DataFrame,
+                      src: str = "a", dst: str = "b") -> DataFrame:
+    """Incrementally maintain components as new near-dup pairs arrive
+    (the streaming-dedup path: each ingest micro-batch LSH-matches its
+    docs against the corpus and feeds the pairs here).
+
+    The prior (node, root) star edges ARE a connected-components
+    certificate, so the update is just contraction over
+    ``prior stars ∪ new pairs`` — the stars collapse every old
+    component to depth 1, so the alternating-star rounds only pay for
+    the NEW structure (near-constant rounds per batch), never a full
+    recompute. Result is IDENTICAL to recomputing from the union of
+    all pairs ever seen (pytest-pinned): min-rooted components are
+    history-independent.
+    """
+    edges = prior_roots.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        new_pairs.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+    )
+    return connected_components(edges)

@@ -125,3 +125,17 @@ def test_dedup_survivors_semantics(spark, documents, duck):
 def test_components_nonconvergence_guard(spark):
     with pytest.raises(RuntimeError):
         connected_components(_pairs(spark, [(1, 2), (2, 3)]), max_iter=0)
+
+
+def test_components_update_equals_full_recompute(spark):
+    # batch 1: two clusters; batch 2 adds a bridge between them plus a
+    # fresh chain — the update must equal recomputing over all pairs
+    b1 = _pairs(spark, [(1, 2), (2, 3), (10, 11)])
+    b2 = _pairs(spark, [(3, 10), (20, 21), (21, 22)])
+    from neural_search_spark.pipeline.dedup import components_update
+
+    prior = connected_components(b1)
+    got = {r["u"]: r["v"] for r in components_update(prior, b2).collect()}
+    full = {r["u"]: r["v"] for r in connected_components(b1.unionByName(b2)).collect()}
+    assert got == full
+    assert got[11] == 1  # the bridge merged the two old components
