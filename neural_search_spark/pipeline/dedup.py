@@ -675,13 +675,31 @@ def connected_components(
     # compute it once for the probe and again for the checkpoint
     if e.isEmpty():
         return e
+
+    def sig(df):
+        # order-insensitive edge-set signature: one map-side agg, no
+        # shuffle — the cheap per-round convergence probe
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: int64 would ANSI-overflow; a signature
+            # error in either direction is harmless (equal sets always
+            # match, and a spurious match is rejected by the exact
+            # subtract confirmation below)
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    prev = sig(e)
     for _ in range(max_iter):
         new = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # distinct sets: equal counts + empty one-sided difference = equal
-        if new.count() == e.count() and new.subtract(e).isEmpty():
+        cur = sig(new)
+        # signature match → confirm EXACTLY with one anti-join; doing
+        # the subtract only at candidate convergence keeps the per-round
+        # cost a map-side agg instead of a full edge-set shuffle
+        if cur == prev and new.subtract(e).isEmpty():
             e = new
             break
-        e = new
+        e, prev = new, cur
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
     return e

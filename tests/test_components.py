@@ -139,3 +139,38 @@ def test_components_update_equals_full_recompute(spark):
     full = {r["u"]: r["v"] for r in connected_components(b1.unionByName(b2)).collect()}
     assert got == full
     assert got[11] == 1  # the bridge merged the two old components
+
+
+def test_components_hypothesis_vs_union_find(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)), min_size=1, max_size=40,
+    ))
+    def run(edges):
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        parent = list(range(41))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for x in {v for e in edges for v in e}:
+            comp.setdefault(find(x), []).append(x)
+        expected = {x: min(ms) for ms in comp.values() for x in ms if x != min(ms)}
+        got = {r["u"]: r["v"]
+               for r in connected_components(_pairs(spark, edges)).collect()}
+        assert got == expected
+
+    run()
