@@ -118,7 +118,7 @@ def _match_terms(ctx: SearchContext, spec: Any, what: str) -> list[str]:
 def _predicate_sql(q: dict) -> str:
     """term/range filter → SQL over corpus columns (the filter context
     never scores, exactly as in the reference)."""
-    typ, spec = _one(q, "post_filter")
+    typ, spec = _one(q, "filter")
     if typ == "term":
         col, val = _one(spec, "term")
         lit = "'" + val.replace("'", "''") + "'" if isinstance(val, str) else repr(val)
@@ -263,7 +263,31 @@ def _indexed_topk(ctx: SearchContext, typ: str, spec: Any, k: int) -> DataFrame 
         from .booleans import bool_topk_indexed
 
         _require_doc_key(ctx)
-        _reject_unknown(spec, {"must", "should", "must_not", "minimum_should_match"}, "bool")
+        _reject_unknown(spec,
+                        {"must", "should", "must_not", "minimum_should_match",
+                         "filter"}, "bool")
+        if spec.get("filter"):
+            # indexed FILTER occur: predicate pushed into the docs scan,
+            # mapped to per-segment allow-lists through docmap, AND-ed
+            # into the kernel — non-scoring, stats global
+            from .wand import bm25_topk_indexed
+
+            scoring = {kk: vv for kk, vv in spec.items() if kk != "filter"}
+            if set(scoring) != {"must"} or len(scoring["must"]) != 1:
+                raise DslError("[bool] filter context supports a single must "
+                               "match clause (the FILTER-occur shape)")
+            preds = [_predicate_sql(c) for c in spec["filter"]]
+            pred = F.expr(" AND ".join(f"({p})" for p in preds))
+            f2, p2 = _one(scoring["must"][0], "bool.must")
+            if f2 != "match":
+                raise DslError("bool [must] clauses must be match queries")
+            mf, mp = _one(p2, "match")
+            mp = _params(mp, "query")
+            terms = sorted(set(analyze_query(mp["query"], ctx.index_analyzer())))
+            allowed = (
+                r.docmap().join(ctx.docs.where(pred), ctx.id_col).select("nss_doc_id")
+            )
+            return _ranked(bm25_topk_indexed(r, terms, k=k, mode="or", allowed=allowed))
         if int(spec.get("minimum_should_match", 0)) != 0:
             raise DslError(
                 "[bool] minimum_should_match is not supported on the indexed "
@@ -361,8 +385,29 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
     if typ == "bool":
         from .booleans import bool_topk
 
-        _reject_unknown(spec, {"must", "should", "must_not", "minimum_should_match"},
-                        "bool")
+        _reject_unknown(spec,
+                        {"must", "should", "must_not", "minimum_should_match",
+                         "filter"}, "bool")
+        if spec.get("filter"):
+            # FILTER occur (HybridQuery.java:48-59 semantics): the
+            # predicate restricts the MATCH SET, scores and stats stay
+            # global — never re-scored, never affecting IDF
+            from .exhaustive import topk
+            from .filters import filtered_scores
+
+            scoring = {kk: vv for kk, vv in spec.items() if kk != "filter"}
+            preds = [_predicate_sql(c) for c in spec["filter"]]
+            pred = F.expr(" AND ".join(f"({p})" for p in preds))
+            if set(scoring) == {"must"} and len(scoring["must"]) == 1:
+                from .exhaustive import bm25_scores
+
+                terms = _match_terms(ctx, _one(scoring["must"][0], "bool.must")[1],
+                                     "match")
+                scores = bm25_scores(ctx.docs, terms, id_col=ic, text_col=tc,
+                                     round_to=None)
+                return topk(filtered_scores(scores, ctx.docs, pred), k=k)
+            raise DslError("[bool] filter context supports a single must "
+                           "match clause (the FILTER-occur shape)")
 
         def clause_terms(key):
             out = []

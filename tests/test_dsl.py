@@ -350,3 +350,41 @@ def test_msearch_batch(reader_ctx):
     ctx_no_reader = SearchContext(docs=reader_ctx.docs)
     with pytest.raises(DslError):
         msearch(ctx_no_reader, bodies)
+
+
+def test_bool_filter_context(ctx, documents):
+    from neural_search_spark.query.exhaustive import bm25_scores, topk
+    from neural_search_spark.query.filters import filtered_scores
+
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "spark window merge"}}],
+        "filter": [{"term": {"lang": "en"}},
+                   {"range": {"n_chars": {"gte": 150, "lte": 350}}}],
+    }}, "size": 10}
+    got = search(ctx, body)
+    pred = F.expr("(lang = 'en') AND (n_chars >= 150.0 AND n_chars <= 350.0)")
+    scores = bm25_scores(documents, ["merge", "spark", "window"], round_to=None)
+    exp = topk(filtered_scores(scores, documents, pred), k=10)
+    assert _rows(got) == _rows(exp)
+
+    with pytest.raises(DslError):
+        search(ctx, {"query": {"bool": {
+            "should": [{"match": {"text": "x"}}],
+            "filter": [{"term": {"lang": "en"}}],
+        }}})
+
+
+def test_bool_filter_context_indexed(reader_ctx, documents):
+    from neural_search_spark.query.exhaustive import bm25_scores, topk
+    from neural_search_spark.query.filters import filtered_scores
+
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "spark window merge"}}],
+        "filter": [{"term": {"lang": "en"}},
+                   {"range": {"n_chars": {"gte": 150, "lte": 350}}}],
+    }}, "size": 10}
+    got = search(reader_ctx, body)  # indexed kernel + allow-list
+    pred = F.expr("(lang = 'en') AND (n_chars >= 150.0 AND n_chars <= 350.0)")
+    scores = bm25_scores(documents, ["merge", "spark", "window"], round_to=None)
+    exp = topk(filtered_scores(scores, documents, pred), k=10)
+    assert _rows(got) == _rows(exp)
