@@ -174,7 +174,7 @@ def test_post_filter_sort_collapse_from(ctx, documents):
 def test_rejections(ctx):
     cases = [
         {"query": {"knn": {"f": {}}}},                       # unknown type
-        {"query": {"match": {"text": "x"}}, "explain": True},  # unknown body key
+        {"query": {"match": {"text": "x"}}, "suggest": {}},  # unknown body key
         {"query": {"match": {"body": "x"}}},                 # wrong field
         {"query": {"match": {"text": {"query": "x", "operator": "xor"}}}},
         {"query": {"hybrid": {"queries": [{"match": {"text": "x"}}] * 6}}},
