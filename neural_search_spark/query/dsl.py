@@ -74,7 +74,7 @@ class SearchContext:
 
 
 _BODY_KEYS = {"query", "size", "from", "post_filter", "sort", "collapse",
-              "highlight", "explain"}
+              "highlight", "explain", "rescore"}
 _QUERY_TYPES = (
     "match match_phrase match_phrase_prefix prefix wildcard fuzzy "
     "bool dis_max hybrid neural neural_sparse"
@@ -523,6 +523,35 @@ def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> Data
 
             out = topk(out, k=size)
         return _post_stages(ctx, out, body)
+
+    if "rescore" in body:
+        # OpenSearch rescore: re-rank the top window_size hits of the
+        # main query by a weighted combination with a rescore query's
+        # scores — the window is re-ranked, the corpus never re-scored
+        from .exhaustive import bm25_scores
+        from .rerank import rescore as _rescore
+
+        if typ != "match" or from_ != 0:
+            raise DslError("[rescore] supports plain match bodies")
+        rs = body["rescore"]
+        _reject_unknown(rs, {"window_size", "query"}, "rescore")
+        rq = rs["query"]
+        _reject_unknown(rq, {"rescore_query", "query_weight",
+                             "rescore_query_weight"}, "rescore.query")
+        rtyp, rspec = _one(rq["rescore_query"], "rescore_query")
+        if rtyp != "match":
+            raise DslError("[rescore_query] must be a match query")
+        window = int(rs.get("window_size", 10))
+        main = bm25_scores(ctx.docs, _match_terms(ctx, spec, "match"),
+                           id_col=ctx.id_col, text_col=ctx.text_col, round_to=None)
+        win = main.orderBy(F.col("score").desc(), F.col(ctx.id_col).asc()).limit(window)
+        rsc = bm25_scores(ctx.docs, _match_terms(ctx, rspec, "match"),
+                          id_col=ctx.id_col, text_col=ctx.text_col, round_to=None)
+        out = _rescore(win, rsc,
+                       weight_original=float(rq.get("query_weight", 1.0)),
+                       weight_rescore=float(rq.get("rescore_query_weight", 1.0)),
+                       k=size)
+        return out.withColumn("score", F.round("score", 4))
 
     if from_ != 0:
         # supported for non-hybrid: fetch from+size, drop leading ranks

@@ -388,3 +388,20 @@ def test_bool_filter_context_indexed(reader_ctx, documents):
     scores = bm25_scores(documents, ["merge", "spark", "window"], round_to=None)
     exp = topk(filtered_scores(scores, documents, pred), k=10)
     assert _rows(got) == _rows(exp)
+
+
+def test_rescore_body(ctx, documents):
+    from neural_search_spark.query.exhaustive import bm25_scores
+    from neural_search_spark.query.rerank import rescore
+
+    body = {"query": {"match": {"text": "spark window merge"}}, "size": 10,
+            "rescore": {"window_size": 20, "query": {
+                "rescore_query": {"match": {"text": "data query"}},
+                "query_weight": 0.5, "rescore_query_weight": 0.5}}}
+    got = search(ctx, body)
+    main = bm25_scores(documents, ["merge", "spark", "window"], round_to=None)
+    win = main.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(20)
+    rsc = bm25_scores(documents, ["data", "query"], round_to=None)
+    exp = rescore(win, rsc, weight_original=0.5, weight_rescore=0.5, k=10)
+    exp = exp.withColumn("score", F.round("score", 4))
+    assert _rows(got) == _rows(exp)
