@@ -1943,9 +1943,16 @@ def oracle_sql() -> dict[str, str]:
         "dsl_bool": oracle.bool_topk_sql(
             BOOL_MUST, BOOL_SHOULD, BOOL_MUST_NOT, minimum_should_match=1, k=10
         ),
-        "dsl_hybrid_neural": oracle.hybrid_neural_bm25_sql(
-            TERMS_OR, ANN_QUERY_ID, knn_k=NEURAL_HYBRID_KNN_K,
-            weights=NEURAL_HYBRID_WEIGHTS,
+        # the DSL applies the default size=10 cut (rank + limit over the
+        # same combined set as hybrid_neural_bm25)
+        "dsl_hybrid_neural": (
+            "SELECT doc_id, score, CAST(row_number() OVER "
+            "(ORDER BY score DESC, doc_id ASC) AS INT) AS rank FROM ("
+            + oracle.hybrid_neural_bm25_sql(
+                TERMS_OR, ANN_QUERY_ID, knn_k=NEURAL_HYBRID_KNN_K,
+                weights=NEURAL_HYBRID_WEIGHTS,
+            )
+            + ") ORDER BY score DESC, doc_id ASC LIMIT 10"
         ),
         "dsl_aggs": oracle.dsl_aggs_sql(TERMS_OR),
         "bm25_phrase": oracle.bm25_phrase_sql(PHRASE),

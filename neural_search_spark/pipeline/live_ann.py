@@ -10,9 +10,11 @@ Re-expressed for Structured Streaming over the persisted-graph tier:
   ``vectors/ingest_batch=K`` (dynamic partition overwrite — a retried
   batch replaces exactly its own partition, the exactly-once contract
   of foreachBatch's stable batch ids), then grow the stored graph with
-  ``hnsw_append`` over the full vector table and atomically swap the
-  graph directory (write-aside + rename, crash-safe like the live
-  postings manifest swap).
+  ``hnsw_append`` over the full vector table into a NEW versioned
+  directory and flip a one-line manifest via ``os.replace`` — a single
+  atomic step, so a crash at ANY point leaves the manifest pointing at
+  the previous complete graph (same discipline as index/live.py's
+  manifest swap).
 * ``streaming_vector_ingest``: readStream → foreachBatch(append) —
   after the stream drains, the stored graph is BIT-IDENTICAL to a
   from-scratch ``hnsw_build_frame`` over everything ingested
@@ -37,6 +39,7 @@ query time, built/grown at index time by the k-NN engine).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -55,8 +58,18 @@ def _vectors_dir(store_dir: str) -> str:
     return os.path.join(store_dir, "vectors")
 
 
-def _graph_dir(store_dir: str) -> str:
-    return os.path.join(store_dir, "graph")
+def _manifest_path(store_dir: str) -> str:
+    return os.path.join(store_dir, "graph_manifest.json")
+
+
+def _graph_dir(store_dir: str) -> str | None:
+    """Current graph directory per the manifest; None before the first
+    batch lands."""
+    p = _manifest_path(store_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return os.path.join(store_dir, json.load(fh)["current"])
 
 
 def read_live_vectors(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -64,7 +77,10 @@ def read_live_vectors(spark: SparkSession, store_dir: str) -> DataFrame:
 
 
 def read_live_graph(spark: SparkSession, store_dir: str) -> DataFrame:
-    return spark.read.parquet(_graph_dir(store_dir))
+    gdir = _graph_dir(store_dir)
+    if gdir is None:
+        raise FileNotFoundError(f"no graph manifest under {store_dir}")
+    return spark.read.parquet(gdir)
 
 
 def append_vector_batch(
@@ -98,11 +114,11 @@ def append_vector_batch(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     emb = read_live_vectors(spark, store_dir)
-    gdir = _graph_dir(store_dir)
-    if os.path.exists(gdir):
+    prev_dir = _graph_dir(store_dir)
+    if prev_dir is not None:
         grown = hnsw_append(
             emb,
-            spark.read.parquet(gdir),
+            spark.read.parquet(prev_dir),
             m=m,
             ef_construction=ef_construction,
             n_segments=n_segments,
@@ -115,21 +131,28 @@ def append_vector_batch(
             n_segments=n_segments,
             layered=layered,
         )
-    # write-aside + swap: a crash mid-write leaves the previous graph
-    # intact (same discipline as index/live.py's manifest swap)
-    aside = gdir + f".batch{int(batch_id)}.tmp"
-    if os.path.exists(aside):
-        shutil.rmtree(aside)
-    grown.write.mode("overwrite").parquet(aside)
-    if os.path.exists(gdir):
-        old = gdir + ".old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(gdir, old)
-        os.rename(aside, gdir)
-        shutil.rmtree(old)
-    else:
-        os.rename(aside, gdir)
+    # versioned write + atomic manifest flip: the ONLY commit point is
+    # the os.replace of the one-line manifest — a crash before it
+    # leaves the previous manifest (and graph) fully intact; a crash
+    # after it leaves a complete new graph. No rename window in which
+    # neither graph exists.
+    new_name = f"graph.v{int(batch_id)}"
+    new_dir = os.path.join(store_dir, new_name)
+    if prev_dir is not None and os.path.abspath(new_dir) == os.path.abspath(prev_dir):
+        # retried batch whose version IS the live graph: never delete
+        # the manifest target — alternate the name so the live graph
+        # stays intact until the flip
+        new_name += ".r"
+        new_dir = os.path.join(store_dir, new_name)
+    if os.path.exists(new_dir):
+        shutil.rmtree(new_dir)  # stale leftover from a crashed attempt
+    grown.write.mode("overwrite").parquet(new_dir)
+    tmp = _manifest_path(store_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"current": new_name}, fh)
+    os.replace(tmp, _manifest_path(store_dir))
+    if prev_dir is not None and os.path.abspath(prev_dir) != os.path.abspath(new_dir):
+        shutil.rmtree(prev_dir)
 
 
 def streaming_vector_ingest(

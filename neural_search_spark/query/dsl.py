@@ -115,18 +115,41 @@ def _match_terms(ctx: SearchContext, spec: Any, what: str) -> list[str]:
     return _terms(ctx, params["query"], what)
 
 
+_IDENT_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _col_name(col: str) -> str:
+    if not isinstance(col, str) or not _IDENT_RE.match(col):
+        raise DslError(f"invalid field name {col!r}")
+    return col
+
+
 def _predicate_sql(q: dict) -> str:
     """term/range filter → SQL over corpus columns (the filter context
-    never scores, exactly as in the reference)."""
+    never scores, exactly as in the reference). Field names must be
+    plain identifiers and values plain scalars — anything else is
+    rejected, never interpolated."""
     typ, spec = _one(q, "filter")
     if typ == "term":
         col, val = _one(spec, "term")
-        lit = "'" + val.replace("'", "''") + "'" if isinstance(val, str) else repr(val)
+        col = _col_name(col)
+        if isinstance(val, str):
+            lit = "'" + val.replace("'", "''") + "'"
+        elif isinstance(val, bool):
+            lit = "true" if val else "false"
+        elif isinstance(val, (int, float)):
+            lit = repr(val)
+        else:
+            raise DslError(f"[term] value must be a scalar, got {val!r}")
         return f"{col} = {lit}"
     if typ == "range":
         col, bounds = _one(spec, "range")
+        col = _col_name(col)
         ops = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
         _reject_unknown(bounds, set(ops), "range")
+        for v in bounds.values():
+            if not isinstance(v, (int, float)) or isinstance(v, bool):
+                raise DslError(f"[range] bounds must be numeric, got {v!r}")
         parts = [f"{col} {ops[op]} {float(v)}" for op, v in sorted(bounds.items())]
         return " AND ".join(parts)
     raise DslError(f"unsupported filter type [{typ}]; supported: term, range")
@@ -229,7 +252,11 @@ def _indexed_topk(ctx: SearchContext, typ: str, spec: Any, k: int) -> DataFrame 
         field, params = _one(spec, "match_phrase")
         params = _params(params, "query")
         _reject_unknown(params, {"query", "slop"}, "match_phrase")
+        if field != ctx.text_col:
+            raise DslError(f"[match_phrase] field [{field}] is not [{ctx.text_col}]")
         terms = analyze_query(params["query"], ctx.index_analyzer())
+        if not terms:
+            raise DslError("[match_phrase] query analyzed to zero tokens")
         top = bm25_phrase_indexed(r, terms, k=k, slop=int(params.get("slop", 0)))
         return _ranked(top)
     if typ == "match_phrase_prefix":
@@ -239,7 +266,12 @@ def _indexed_topk(ctx: SearchContext, typ: str, spec: Any, k: int) -> DataFrame 
         field, params = _one(spec, "match_phrase_prefix")
         params = _params(params, "query")
         _reject_unknown(params, {"query", "max_expansions"}, "match_phrase_prefix")
+        if field != ctx.text_col:
+            raise DslError(f"[match_phrase_prefix] field [{field}] is not "
+                           f"[{ctx.text_col}]")
         toks = analyze_query(params["query"], ctx.index_analyzer())
+        if not toks:
+            raise DslError("[match_phrase_prefix] query analyzed to zero tokens")
         kw = {"max_expansions": int(params["max_expansions"])} if "max_expansions" in params else {}
         return _ranked(phrase_prefix_topk_indexed(r, toks[:-1], toks[-1], k=k, **kw))
     if typ in ("prefix", "wildcard", "fuzzy"):
@@ -283,6 +315,8 @@ def _indexed_topk(ctx: SearchContext, typ: str, spec: Any, k: int) -> DataFrame 
                 raise DslError("bool [must] clauses must be match queries")
             mf, mp = _one(p2, "match")
             mp = _params(mp, "query")
+            if mf != ctx.text_col:
+                raise DslError(f"[match] field [{mf}] is not [{ctx.text_col}]")
             terms = sorted(set(analyze_query(mp["query"], ctx.index_analyzer())))
             allowed = (
                 r.docmap().join(ctx.docs.where(pred), ctx.id_col).select("nss_doc_id")
@@ -349,6 +383,8 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
         if field != tc:
             raise DslError(f"[match_phrase] field [{field}] is not [{tc}]")
         terms = analyze_query(params["query"], ctx.analyzer)  # order matters
+        if not terms:
+            raise DslError("[match_phrase] query analyzed to zero tokens")
         slop = int(params.get("slop", 0))
         scores = (
             bm25_phrase_sloppy(ctx.docs, terms, slop=slop, id_col=ic,
@@ -365,6 +401,8 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
         params = _params(params, "query")
         _reject_unknown(params, {"query", "max_expansions"}, "match_phrase_prefix")
         toks = analyze_query(params["query"], ctx.analyzer)
+        if not toks:
+            raise DslError("[match_phrase_prefix] query analyzed to zero tokens")
         kw = {"max_expansions": int(params["max_expansions"])} if "max_expansions" in params else {}
         return phrase_prefix_topk(ctx.docs, toks[:-1], toks[-1], k=k,
                                   id_col=ic, text_col=tc, **kw)
@@ -440,13 +478,24 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
                             k=k, id_col=ic, text_col=tc)
 
     if typ == "neural":
-        top = _neural_topk(ctx, spec)
+        # the neural query's own k is the ANN candidate pool; the BODY
+        # size (the k passed here) bounds the returned hits
+        field, params = _one(spec, "neural")
+        params = _params(params, "query_vector_id")
+        if int(params.get("k", k)) < k:
+            params = dict(params); params["k"] = k
+        top = _neural_topk(ctx, {field: params})
         w = F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc()))
-        return top.select(F.col("vec_id").alias("doc_id"),
-                          F.col("cos").alias("score"), w.cast("int").alias("rank"))
+        out = top.select(F.col("vec_id").alias("doc_id"),
+                         F.round("cos", 4).alias("score"),
+                         w.cast("int").alias("rank"))
+        return out.where(F.col("rank") <= k)
 
     if typ == "neural_sparse":
-        return _sub_scores(ctx, {typ: spec}, 0).drop("subquery_idx")
+        from .exhaustive import topk
+
+        scores = _sub_scores(ctx, {typ: spec}, 0).drop("subquery_idx")
+        return topk(scores, k=k)
 
     raise DslError(f"[{typ}] is only valid inside a hybrid query")  # pragma: no cover
 
@@ -497,6 +546,8 @@ def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> Data
         # hybrid cannot nest: sub-queries are restricted to
         # match/neural/neural_sparse below, which enforces the
         # top-level-only placement rule by construction
+        _reject_unknown(body, {"query", "size", "from", "post_filter",
+                               "sort", "collapse"}, "hybrid body")
         _reject_unknown(spec, {"queries"}, "hybrid")
         subs = spec["queries"]
         p = dict(pipeline or {})
@@ -518,11 +569,9 @@ def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> Data
                           hs.weights or [1.0 / len(subs)] * len(subs), len(subs),
                           keep_negative=hs.normalization == "z_score")
         out = out.withColumn("score", F.round("score", 4))
-        if "size" in body:
-            from .exhaustive import topk
+        from .exhaustive import topk
 
-            out = topk(out, k=size)
-        return _post_stages(ctx, out, body)
+        return _post_stages(ctx, topk(out, k=size), body)
 
     if "rescore" in body:
         # OpenSearch rescore: re-rank the top window_size hits of the
@@ -531,8 +580,9 @@ def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> Data
         from .exhaustive import bm25_scores
         from .rerank import rescore as _rescore
 
-        if typ != "match" or from_ != 0:
-            raise DslError("[rescore] supports plain match bodies")
+        if typ != "match" or set(body) - {"query", "size", "rescore"}:
+            raise DslError("[rescore] supports plain match bodies "
+                           "(query + size only)")
         rs = body["rescore"]
         _reject_unknown(rs, {"window_size", "query"}, "rescore")
         rq = rs["query"]
@@ -639,6 +689,8 @@ def _matched_docs(ctx: SearchContext, q: dict) -> DataFrame:
         params = _params(params, "query")
         terms = _match_terms(ctx, {field: params}, "match")
         op = params.get("operator", "or")
+        if op not in ("or", "and"):
+            raise DslError(f"[match] operator must be or|and, got [{op}]")
         m = (
             tok.select(ctx.id_col, F.explode("toks").alias("term"))
             .where(F.col("term").isin(terms))

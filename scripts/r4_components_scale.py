@@ -31,10 +31,12 @@ def build_edges(spark, n_clusters=N_CLUSTERS, chain_nodes=CHAIN_NODES):
     from pyspark.sql import functions as F
 
     base = spark.range(n_clusters).select(
-        (F.col("id") * 4).alias("lo"), (F.col("id") % 5 + 1).alias("extra")
+        (F.col("id") * 8).alias("lo"), (F.col("id") % 5 + 1).alias("extra")
     )
-    # cluster i occupies ids [4i, 4i+extra]; edges lo->lo+j (star) plus
-    # a ring edge to make it clique-ish rather than already-a-star
+    # cluster i occupies ids [8i, 8i+extra] (stride 8 > max extra 5, so
+    # clusters are DISJOINT — a stride-4 layout let extra=4/5 reach into
+    # cluster i+1 and silently fuse ~40% of them); edges lo->lo+j (star)
+    # plus a ring edge to make it clique-ish rather than already-a-star
     cluster = base.select(
         "lo", F.explode(F.sequence(F.lit(1), F.col("extra"))).alias("j")
     ).select(F.col("lo").alias("a"), (F.col("lo") + F.col("j")).alias("b"))
@@ -43,7 +45,7 @@ def build_edges(spark, n_clusters=N_CLUSTERS, chain_nodes=CHAIN_NODES):
     )
     if not chain_nodes:
         return cluster.union(ring)
-    chain_base = n_clusters * 4 + 16
+    chain_base = n_clusters * 8 + 16
     chain = spark.range(chain_nodes - 1).select(
         (F.col("id") + chain_base).alias("a"), (F.col("id") + chain_base + 1).alias("b")
     )

@@ -109,10 +109,15 @@ def test_hybrid_matches_gate_row(spark, ctx):
         {"match": {"text": "spark window merge"}},
         {"neural": {"embedding": {"query_vector_id": 0, "k": 50}}},
     ]}}}
+    from neural_search_spark.query.exhaustive import topk
+
     got = search(ctx, body, pipeline={"normalization": "min_max",
                                       "combination": "arithmetic_mean",
                                       "weights": [0.7, 0.3]})
-    exp = entry.queries()["hybrid_neural_bm25"](spark, SF_SMALL)
+    # the DSL applies OpenSearch's default size=10 cut; the gate row
+    # returns the full combined set
+    exp = topk(entry.queries()["hybrid_neural_bm25"](spark, SF_SMALL),
+               k=10, round_to=None)
     assert _rows(got) == _rows(exp)
 
 
@@ -146,9 +151,12 @@ def test_neural_sparse(spark, ctx, documents):
     )
     q = {"spark": 1.0, "window": 0.45, "merge": 0.39, "the": 0.1}
     sctx = SearchContext(docs=documents, sparse_features=feats)
+    from neural_search_spark.query.exhaustive import topk
+
     got = search(sctx, {"query": {"neural_sparse": {"sparse": {"query_tokens": q}}},
                         "size": 10})
-    exp = sparse_topk_two_phase(feats, q, k=10, round_to=None).select("doc_id", "score")
+    exp = topk(sparse_topk_two_phase(feats, q, k=10, round_to=None)
+               .select("doc_id", "score"), k=10)
     assert _rows(got) == _rows(exp)
 
 
