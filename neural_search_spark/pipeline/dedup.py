@@ -755,3 +755,83 @@ def components_update(prior_roots: DataFrame, new_pairs: DataFrame,
         new_pairs.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
     )
     return connected_components(edges)
+
+
+def doc_sketches(
+    docs: DataFrame,
+    n: int = 2,
+    num_perm: int = DEFAULT_NUM_PERM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, hs, mh0..mh{P-1}) — the per-doc dedup sketch: distinct
+    shingle-hash set (exact-verify side) plus the minhash signature
+    (banding side), all per-row expressions, zero shuffles. This is the
+    frame a streaming pipeline PERSISTS per ingest batch: pairs between
+    any two doc sets can then be computed from sketches alone, without
+    re-tokenizing anything already ingested."""
+    hs = shingle_hash_arrays(docs, n, id_col, text_col)
+    return hs.select("doc_id", "hs", *_minhash_cols(num_perm))
+
+
+def _banded_keys(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    rows = num_perm // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.concat_ws("-", *[F.col(f"mh{bi * rows + r}") for r in range(rows)]).alias(
+                    "band_key"
+                ),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bd")).select(
+        "doc_id", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_key").alias("band_key")
+    )
+
+
+def minhash_pairs_between(
+    left_sketches: DataFrame,
+    all_sketches: DataFrame,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs (a < b, jaccard >= threshold) with AT LEAST ONE
+    side in ``left_sketches`` — the incremental-ingest shape: each new
+    batch LSH-joins against the whole corpus's stored sketches (itself
+    included) and every pair is emitted exactly once, by the batch its
+    later member arrives in. Same banding, signature-estimate prefilter,
+    and exact hash-set verification as ``minhash_lsh_pairs`` (identical
+    pair set when left == all; pytest-pinned)."""
+    lb = _banded_keys(left_sketches, num_perm, bands)
+    ab = _banded_keys(all_sketches, num_perm, bands)
+    cands = (
+        lb.withColumnRenamed("doc_id", "x")
+        .join(ab.withColumnRenamed("doc_id", "y"), ["band_idx", "band_key"])
+        .where(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+    )
+    est_min = int(np.ceil(max(0.0, threshold - 0.2) * num_perm))
+    sig_arr = all_sketches.select(
+        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(num_perm)]).alias("sig")
+    )
+    eq = "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+    cands = (
+        cands.join(sig_arr.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")), "a")
+        .join(sig_arr.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")), "b")
+        .where(F.expr(eq) >= est_min)
+        .select("a", "b")
+    )
+    hs = all_sketches.select("doc_id", "hs")
+    return (
+        cands.join(hs.select(F.col("doc_id").alias("a"), F.col("hs").alias("ha")), "a")
+        .join(hs.select(F.col("doc_id").alias("b"), F.col("hs").alias("hb")), "b")
+        .withColumn("inter", F.size(F.array_intersect("ha", "hb")))
+        .withColumn("jaccard", F.col("inter") / (F.size("ha") + F.size("hb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+    )
