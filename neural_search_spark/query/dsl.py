@@ -74,7 +74,7 @@ class SearchContext:
 
 
 _BODY_KEYS = {"query", "size", "from", "post_filter", "sort", "collapse",
-              "highlight", "explain", "rescore"}
+              "highlight", "explain", "rescore", "search_after"}
 _QUERY_TYPES = (
     "match match_phrase match_phrase_prefix prefix wildcard fuzzy "
     "bool dis_max hybrid neural neural_sparse"
@@ -572,6 +572,26 @@ def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> Data
         from .exhaustive import topk
 
         return _post_stages(ctx, topk(out, k=size), body)
+
+    if "search_after" in body:
+        # keyset pagination: the client supplies the previous page's
+        # last (score, doc_id) sort tuple — the page is O(size) work
+        # after one predicate, no deepening from-offset scan
+        from .exhaustive import bm25_scores
+        from .paginate import search_after
+
+        if typ != "match" or set(body) - {"query", "size", "search_after"}:
+            raise DslError("[search_after] supports plain match bodies "
+                           "(query + size only)")
+        sa = body["search_after"]
+        if not isinstance(sa, (list, tuple)) or len(sa) != 2:
+            raise DslError("[search_after] expects [score, doc_id] — the "
+                           "previous page's last sort tuple")
+        scores = bm25_scores(ctx.docs, _match_terms(ctx, spec, "match"),
+                             id_col=ctx.id_col, text_col=ctx.text_col, round_to=4)
+        page = search_after(scores, float(sa[0]), int(sa[1]), k=size)
+        w = Window.orderBy(F.col("score").desc(), F.col(ctx.id_col).asc())
+        return page.withColumn("rank", F.row_number().over(w).cast("int"))
 
     if "rescore" in body:
         # OpenSearch rescore: re-rank the top window_size hits of the

@@ -413,3 +413,19 @@ def test_rescore_body(ctx, documents):
     exp = rescore(win, rsc, weight_original=0.5, weight_rescore=0.5, k=10)
     exp = exp.withColumn("score", F.round("score", 4))
     assert _rows(got) == _rows(exp)
+
+
+def test_search_after_body(ctx, documents):
+    page1 = search(ctx, {"query": {"match": {"text": "spark window merge"}},
+                         "size": 5})
+    last = sorted(page1.collect(), key=lambda r: r["rank"])[-1]
+    page2 = search(ctx, {"query": {"match": {"text": "spark window merge"}},
+                         "size": 5,
+                         "search_after": [last["score"], last["doc_id"]]})
+    # keyset page 2 == offset page 2
+    exp = search(ctx, {"query": {"match": {"text": "spark window merge"}},
+                       "size": 5, "from": 5})
+    assert sorted(r["doc_id"] for r in page2.collect()) == \
+        sorted(r["doc_id"] for r in exp.collect())
+    with pytest.raises(DslError):
+        search(ctx, {"query": {"match": {"text": "x"}}, "search_after": [1.0]})

@@ -83,3 +83,38 @@ def test_streaming_dedup_ingest_file_stream(spark, documents, tmp_path):
         for r in dedup_survivors(documents, minhash_lsh_pairs(documents)).collect()
     }
     assert got == exp
+
+
+def test_dedup_aware_search(spark, documents, tmp_path):
+    """The production loop: the live survivors view feeds the indexed
+    query as a FILTER-occur allow-list — duplicates never reach the
+    top-k, scores/stats stay global (same semantics as the gated
+    bm25_filtered family)."""
+    from neural_search_spark.index.builder import build_index
+    from neural_search_spark.query.exhaustive import bm25_scores, topk
+    from neural_search_spark.query.filters import filtered_scores
+    from neural_search_spark.query.wand import IndexReader, bm25_topk_indexed
+
+    store = str(tmp_path / "dedup_store")
+    for i, b in enumerate(_batches(documents)):
+        append_dedup_batch(spark, b, store, batch_id=i)
+    kept = live_survivors(spark, store).where("keep").select("doc_id")
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, documents, idx, key_cols=["doc_id"], text_col="text",
+                tokenizer="simple", num_segments=4, range_block=64)
+    reader = IndexReader(spark, idx, cache_hot=True)
+    allowed = reader.docmap().join(kept, "doc_id").select("nss_doc_id")
+    got = bm25_topk_indexed(reader, ["spark", "window"], k=10, mode="or",
+                            allowed=allowed)
+    got_rows = {(r["doc_id"], round(r["score"], 4)) for r in got.collect()}
+
+    exp = topk(
+        filtered_scores(bm25_scores(documents, ["spark", "window"], round_to=None),
+                        documents.join(kept, "doc_id"), F.lit(True)),
+        k=10,
+    )
+    exp_rows = {(r["doc_id"], r["score"]) for r in exp.collect()}
+    assert got_rows == exp_rows
+    keep_ids = {r["doc_id"] for r in kept.collect()}
+    assert {d for d, _ in got_rows} <= keep_ids
