@@ -429,3 +429,31 @@ def test_search_after_body(ctx, documents):
         sorted(r["doc_id"] for r in exp.collect())
     with pytest.raises(DslError):
         search(ctx, {"query": {"match": {"text": "x"}}, "search_after": [1.0]})
+
+
+def test_hybrid_rrf_pipeline_and_post_stages(ctx, documents, embeddings):
+    from neural_search_spark.pipeline.similarity import cosine_topk
+    from neural_search_spark.query.exhaustive import bm25_scores, topk
+    from neural_search_spark.query.hybrid import rrf_combine
+
+    body = {"query": {"hybrid": {"queries": [
+        {"match": {"text": "spark window merge"}},
+        {"neural": {"embedding": {"query_vector_id": 0, "k": 50}}},
+    ]}}, "size": 10}
+    got = search(ctx, body, pipeline={"normalization": "rrf", "combination": "rrf"})
+    s0 = bm25_scores(documents, ["merge", "spark", "window"], round_to=None).select(
+        F.lit(0).alias("subquery_idx"), "doc_id", "score")
+    s1 = cosine_topk(embeddings, 0, k=50).select(
+        F.lit(1).alias("subquery_idx"), F.col("vec_id").alias("doc_id"),
+        F.col("cos").alias("score"))
+    exp = topk(rrf_combine(s0.unionByName(s1), n_subqueries=2)
+               .withColumn("score", F.round("score", 4)), k=10, round_to=None)
+    assert _rows(got) == _rows(exp)
+
+    # post stages compose after the hybrid cut
+    body_pf = dict(body)
+    body_pf["post_filter"] = {"range": {"doc_id": {"lt": 300}}}
+    rows = search(ctx, body_pf, pipeline={"normalization": "min_max",
+                                          "combination": "arithmetic_mean",
+                                          "weights": [0.7, 0.3]}).collect()
+    assert rows and all(r["doc_id"] < 300 for r in rows)
