@@ -1708,6 +1708,82 @@ ORDER BY agg.score DESC, agg.doc_id ASC
 LIMIT {k}"""
 
 
+def bool_clauses_sql(
+    must: list[tuple[list[str], str]],
+    should: list[tuple[list[str], str]],
+    must_not: list[tuple[list[str], str]],
+    minimum_should_match: int = 0,
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """Per-CLAUSE ``bool`` oracle (query/booleans.bool_clauses_topk):
+    each clause (terms, operator) is its own scorer — or-clauses match
+    on ≥1 term, and-clauses on all terms; minimum_should_match counts
+    CLAUSES; matched scoring clauses contribute their matched-term BM25
+    sums; must_not clauses exclude on match."""
+    clauses = [("must", *c) for c in must] + [("should", *c) for c in should] + [
+        ("must_not", *c) for c in must_not
+    ]
+    member_rows = ", ".join(
+        f"({ci}, '{kind}', '" + t.replace("'", "''") + f"', {len(sorted(set(terms)))}, "
+        + ("TRUE" if op == "and" else "FALSE") + ", "
+        + ("FALSE" if kind == "must_not" else "TRUE") + ")"
+        for ci, (kind, terms, op) in enumerate(clauses)
+        for t in sorted(set(terms))
+    )
+    scoring_terms = sorted({t for kind, terms, _ in clauses if kind != "must_not" for t in terms})
+    all_terms = sorted({t for _, terms, _ in clauses for t in terms})
+    need_should = minimum_should_match if minimum_should_match > 0 else (0 if must else 1)
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    _, duck_toks = simple_tokens_sql("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {duck_toks} AS toks FROM {table}
+),
+stats AS (
+  SELECT count(*) AS N, sum(len(toks)) * 1.0 / count(*) AS avgdl FROM tok
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok)
+  WHERE term IN {_terms_list(all_terms)}
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf
+  WHERE term IN {_terms_list(scoring_terms)} GROUP BY term
+),
+member (cid, kind, term, n_terms, is_and, scoring) AS (VALUES {member_rows}),
+per_clause AS (
+  SELECT tf.doc_id AS doc_id, m.cid AS cid, m.kind AS kind, m.scoring AS scoring,
+         m.n_terms AS n_terms, m.is_and AS is_and,
+         count(DISTINCT tf.term) AS n_matched,
+         sum(CASE WHEN m.scoring THEN {contrib} ELSE 0.0 END) AS cscore
+  FROM tf LEFT JOIN dfreq USING (term) JOIN member m ON m.term = tf.term, stats
+  GROUP BY tf.doc_id, m.cid, m.kind, m.scoring, m.n_terms, m.is_and
+),
+pc AS (
+  SELECT *, CASE WHEN is_and THEN n_matched = n_terms ELSE TRUE END AS matched
+  FROM per_clause
+),
+agg AS (
+  SELECT doc_id,
+         round(sum(CASE WHEN matched AND scoring THEN cscore ELSE 0.0 END), {round_to}) AS score,
+         sum(CASE WHEN matched AND kind = 'must' THEN 1 ELSE 0 END) AS n_must,
+         sum(CASE WHEN matched AND kind = 'should' THEN 1 ELSE 0 END) AS n_should,
+         sum(CASE WHEN matched AND kind = 'must_not' THEN 1 ELSE 0 END) AS n_not
+  FROM pc GROUP BY doc_id
+)
+SELECT doc_id, agg.score AS score,
+       CAST(row_number() OVER (ORDER BY agg.score DESC, agg.doc_id ASC) AS INT) AS rank
+FROM agg
+WHERE n_must = {len(must)} AND n_should >= {need_should} AND n_not = 0
+ORDER BY agg.score DESC, agg.doc_id ASC
+LIMIT {k}"""
+
+
 def dis_max_topk_sql(
     term_groups: list[list[str]],
     tie_breaker: float = 0.0,

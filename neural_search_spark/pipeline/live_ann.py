@@ -62,6 +62,19 @@ def _manifest_path(store_dir: str) -> str:
     return os.path.join(store_dir, "graph_manifest.json")
 
 
+def _gc_stale_versions(store_dir: str, prefix: str, keep_name: str) -> None:
+    """Remove every versioned dir that is not the manifest's current
+    target. A crash between the manifest flip and the old version's
+    delete used to orphan that directory forever (later batches only
+    removed their OWN name) — sweeping against the manifest, the single
+    source of truth, is idempotent and never touches the live target."""
+    for name in os.listdir(store_dir):
+        if name.startswith(prefix) and name != keep_name:
+            path = os.path.join(store_dir, name)
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+
+
 def _graph_dir(store_dir: str) -> str | None:
     """Current graph directory per the manifest; None before the first
     batch lands."""
@@ -151,8 +164,7 @@ def append_vector_batch(
     with open(tmp, "w") as fh:
         json.dump({"current": new_name}, fh)
     os.replace(tmp, _manifest_path(store_dir))
-    if prev_dir is not None and os.path.abspath(prev_dir) != os.path.abspath(new_dir):
-        shutil.rmtree(prev_dir)
+    _gc_stale_versions(store_dir, "graph.v", new_name)
 
 
 def streaming_vector_ingest(

@@ -38,6 +38,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .live_ann import _gc_stale_versions
+
 from .dedup import (
     DEFAULT_BANDS,
     DEFAULT_NUM_PERM,
@@ -160,8 +162,7 @@ def append_dedup_batch(
     with open(tmp, "w") as fh:
         json.dump({"current": new_name}, fh)
     os.replace(tmp, _manifest_path(store_dir))
-    if prev_dir is not None and os.path.abspath(prev_dir) != os.path.abspath(new_dir):
-        shutil.rmtree(prev_dir)
+    _gc_stale_versions(store_dir, "roots.v", new_name)
 
 
 def streaming_dedup_ingest(

@@ -25,6 +25,12 @@ Supported query types (each names its dispatch target):
   when present, exact otherwise) → similarity.cosine_topk /
   graph_ann.hnsw_topk
 * ``neural_sparse`` (``query_tokens``) → sparse.sparse_topk_two_phase
+* ``term`` / ``range`` / ``match_all`` / ``constant_score`` — the
+  constant-score leaf family (scoring, top-level AND as hybrid
+  sub-queries; the reference's hybrid ITs compose exactly these,
+  HybridQueryIT.java:71-82): range/match_all/keyword-term score 1.0
+  (Lucene's ConstantScore rewrite), constant_score applies its boost,
+  term on the TEXT column scores single-term BM25
 
 Body keys: ``query`` (required), ``size``, ``from`` (hybrid rejects
 from≠0, mirroring HybridQueryPhaseSearcher.java:123-148), ``post_filter``
@@ -77,7 +83,8 @@ _BODY_KEYS = {"query", "size", "from", "post_filter", "sort", "collapse",
               "highlight", "explain", "rescore", "search_after"}
 _QUERY_TYPES = (
     "match match_phrase match_phrase_prefix prefix wildcard fuzzy "
-    "bool dis_max hybrid neural neural_sparse"
+    "bool dis_max hybrid neural neural_sparse "
+    "term range match_all constant_score"
 ).split()
 
 
@@ -105,14 +112,34 @@ def _terms(ctx: SearchContext, text: Any, what: str) -> list[str]:
     return sorted(set(analyze_query(text, ctx.analyzer)))
 
 
-def _match_terms(ctx: SearchContext, spec: Any, what: str) -> list[str]:
+def _match_clause(
+    ctx: SearchContext, spec: Any, what: str, analyzer: str | None = None
+) -> tuple[list[str], str]:
+    """A match clause as (analyzed terms, operator). Every caller must
+    HONOR the operator — paths that only implement OR semantics go
+    through `_match_terms`, which rejects operator=and explicitly
+    instead of silently scoring with the wrong semantics."""
     field, params = _one(spec, what)
     params = _params(params, "query")
     _reject_unknown(params, {"query", "operator"}, what)
     if field != ctx.text_col:
         raise DslError(f"[{what}] field [{field}] is not the corpus text "
                        f"column [{ctx.text_col}]")
-    return _terms(ctx, params["query"], what)
+    op = params.get("operator", "or")
+    if op not in ("or", "and"):
+        raise DslError(f"[{what}] operator must be or|and, got [{op}]")
+    text = params["query"]
+    if not isinstance(text, str) or not text.strip():
+        raise DslError(f"[{what}] needs a non-empty query string")
+    return sorted(set(analyze_query(text, analyzer or ctx.analyzer))), op
+
+
+def _match_terms(ctx: SearchContext, spec: Any, what: str) -> list[str]:
+    terms, op = _match_clause(ctx, spec, what)
+    if op != "or":
+        raise DslError(f"[{what}] operator=and is not supported in this "
+                       "position (only OR semantics are implemented here)")
+    return terms
 
 
 _IDENT_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
@@ -155,35 +182,104 @@ def _predicate_sql(q: dict) -> str:
     raise DslError(f"unsupported filter type [{typ}]; supported: term, range")
 
 
+# --- constant-score leaf family -------------------------------------------
+
+
+def _filter_frame(ctx: SearchContext, q: dict) -> DataFrame:
+    """(doc_id, 1.0) for a term/range filter — the non-scoring match
+    set at Lucene's ConstantScore 1.0."""
+    return ctx.docs.where(F.expr(_predicate_sql(q))).select(
+        F.col(ctx.id_col).alias("doc_id"), F.lit(1.0).cast("double").alias("score")
+    )
+
+
+def _leaf_scores(ctx: SearchContext, typ: str, spec: Any) -> DataFrame | None:
+    """Scoring frames for the leaf types the reference composes inside
+    hybrid queries (HybridQueryIT.java:71-82 mixes term/range clauses;
+    RangeQueryBuilder import :35). Lucene rewrites range to
+    ConstantScore(1.0); match_all scores 1.0; constant_score wraps any
+    filter with a boost. A ``term`` query on the analyzed text column
+    scores single-term BM25 (TermQuery on a text field, value used
+    VERBATIM — term queries are never analyzed); on any other corpus
+    column it is the keyword-field shape: non-analyzed equality at
+    constant score 1.0. Returns None for non-leaf types."""
+    if typ == "match_all":
+        if not isinstance(spec, dict) or spec:
+            raise DslError("[match_all] takes an empty object")
+        return ctx.docs.select(F.col(ctx.id_col).alias("doc_id"),
+                               F.lit(1.0).cast("double").alias("score"))
+    if typ == "range":
+        return _filter_frame(ctx, {"range": spec})
+    if typ == "term":
+        col, params = _one(spec, "term")
+        params = _params(params, "value")
+        _reject_unknown(params, {"value"}, "term")
+        val = params["value"]
+        if col == ctx.text_col:
+            from .exhaustive import bm25_scores
+
+            if not isinstance(val, str) or not val.strip():
+                raise DslError("[term] on the text column needs a non-empty "
+                               "string value")
+            return bm25_scores(ctx.docs, [val], id_col=ctx.id_col,
+                               text_col=ctx.text_col, round_to=None)
+        return _filter_frame(ctx, {"term": {col: val}})
+    if typ == "constant_score":
+        _reject_unknown(spec, {"filter", "boost"}, "constant_score")
+        if "filter" not in spec:
+            raise DslError("[constant_score] needs a [filter]")
+        boost = float(spec.get("boost", 1.0))
+        out = _filter_frame(ctx, spec["filter"])
+        if boost != 1.0:
+            out = out.select("doc_id", (F.col("score") * F.lit(boost)).alias("score"))
+        return out
+    return None
+
+
 # --- sub-query scorers (hybrid) ------------------------------------------
 
 
 def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
     typ, spec = _one(q, "hybrid sub-query")
     if typ == "match":
-        from .exhaustive import bm25_scores
+        from .exhaustive import bm25_conjunctive, bm25_scores
 
-        s = bm25_scores(ctx.docs, _match_terms(ctx, spec, "match"),
-                        id_col=ctx.id_col, text_col=ctx.text_col, round_to=None)
+        terms, op = _match_clause(ctx, spec, "match")
+        fn = bm25_conjunctive if op == "and" else bm25_scores
+        s = fn(ctx.docs, terms,
+               id_col=ctx.id_col, text_col=ctx.text_col, round_to=None)
     elif typ == "neural":
         s = _neural_topk(ctx, spec).select(
             F.col("vec_id").alias("doc_id"), F.col("cos").alias("score")
         )
     elif typ == "neural_sparse":
-        from .sparse import sparse_topk_two_phase
-
         field, params = _one(spec, "neural_sparse")
-        _reject_unknown(_params(params, "query_tokens"), {"query_tokens", "k"},
-                        "neural_sparse")
+        params = _params(params, "query_tokens")
+        _reject_unknown(params, {"query_tokens", "k"}, "neural_sparse")
         if ctx.sparse_features is None:
             raise DslError("neural_sparse needs ctx.sparse_features")
-        s = sparse_topk_two_phase(
-            ctx.sparse_features, dict(params["query_tokens"]),
-            k=int(params.get("k", 10)), round_to=None,
-        ).select("doc_id", "score")
+        if "k" in params:
+            from .sparse import sparse_topk_two_phase
+
+            s = sparse_topk_two_phase(
+                ctx.sparse_features, dict(params["query_tokens"]),
+                k=int(params["k"]), round_to=None,
+            ).select("doc_id", "score")
+        else:
+            # no k → the sub-query scores its FULL match set, exactly
+            # like the engine's exhaustive hybrid twins (normalization
+            # statistics then see every matched doc, not a cut)
+            from .sparse import sparse_scores
+
+            s = sparse_scores(
+                ctx.sparse_features, dict(params["query_tokens"])
+            ).select("doc_id", "score")
     else:
-        raise DslError(f"hybrid sub-query type [{typ}] unsupported; "
-                       "supported: match, neural, neural_sparse")
+        s = _leaf_scores(ctx, typ, spec)
+        if s is None:
+            raise DslError(f"hybrid sub-query type [{typ}] unsupported; "
+                           "supported: match, neural, neural_sparse, term, "
+                           "range, match_all, constant_score")
     return s.select(F.lit(idx).alias("subquery_idx"), "doc_id", "score")
 
 
@@ -292,7 +388,7 @@ def _indexed_topk(ctx: SearchContext, typ: str, spec: Any, k: int) -> DataFrame 
             )
         return _ranked(top)
     if typ == "bool":
-        from .booleans import bool_topk_indexed
+        from .booleans import bool_clauses_topk_indexed
 
         _require_doc_key(ctx)
         _reject_unknown(spec,
@@ -322,29 +418,30 @@ def _indexed_topk(ctx: SearchContext, typ: str, spec: Any, k: int) -> DataFrame 
                 r.docmap().join(ctx.docs.where(pred), ctx.id_col).select("nss_doc_id")
             )
             return _ranked(bm25_topk_indexed(r, terms, k=k, mode="or", allowed=allowed))
-        if int(spec.get("minimum_should_match", 0)) != 0:
-            raise DslError(
-                "[bool] minimum_should_match is not supported on the indexed "
-                "path — search without ctx.reader for the exhaustive builder"
-            )
+        # per-CLAUSE semantics (a multi-term must clause with the
+        # default operator=or requires ONE of its terms, and
+        # minimum_should_match counts clauses — BooleanQuery semantics,
+        # identical to the exhaustive bool path and the aggs path)
+        analyzer = ctx.index_analyzer()
 
-        def clause_terms(key):
+        def clause_list(key):
             out = []
             for c in spec.get(key) or []:
                 ct, cs = _one(c, f"bool.{key}")
                 if ct != "match":
                     raise DslError(f"bool [{key}] clauses must be match queries")
-                f, p = _one(cs, "match")
-                p = _params(p, "query")
-                if f != ctx.text_col:
-                    raise DslError(f"[match] field [{f}] is not [{ctx.text_col}]")
-                out.extend(sorted(set(analyze_query(p["query"], ctx.index_analyzer()))))
+                out.append(_match_clause(ctx, cs, "match", analyzer=analyzer))
             return out
 
-        return bool_topk_indexed(
-            r, must=clause_terms("must"), should=clause_terms("should"),
-            must_not=clause_terms("must_not"), k=k,
-        )
+        try:
+            return bool_clauses_topk_indexed(
+                r, must=clause_list("must"), should=clause_list("should"),
+                must_not=clause_list("must_not"),
+                minimum_should_match=int(spec.get("minimum_should_match", 0)),
+                k=k,
+            )
+        except ValueError as e:
+            raise DslError(f"[bool] {e}") from e
     return None
 
 
@@ -362,17 +459,12 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
     if typ == "match":
         from .exhaustive import bm25_conjunctive, bm25_scores
 
-        field, params = _one(spec, "match")
-        params = _params(params, "query")
-        terms = _match_terms(ctx, {field: params}, "match")
-        op = params.get("operator", "or")
-        if op == "and":
-            return topk(bm25_conjunctive(ctx.docs, terms, id_col=ic, text_col=tc,
-                                         round_to=None), k=k)
-        if op != "or":
-            raise DslError(f"[match] operator must be or|and, got [{op}]")
-        return topk(bm25_scores(ctx.docs, terms, id_col=ic, text_col=tc,
-                                round_to=None), k=k)
+        terms, op = _match_clause(ctx, spec, "match")
+        fn = bm25_conjunctive if op == "and" else bm25_scores
+        return topk(fn(ctx.docs, terms, id_col=ic, text_col=tc, round_to=None), k=k)
+
+    if typ in ("term", "range", "match_all", "constant_score"):
+        return topk(_leaf_scores(ctx, typ, spec), k=k)
 
     if typ == "match_phrase":
         from .exhaustive import bm25_phrase, bm25_phrase_sloppy
@@ -421,7 +513,7 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
         return fn(ctx.docs, params["value"], k=k, id_col=ic, text_col=tc, **kw)
 
     if typ == "bool":
-        from .booleans import bool_topk
+        from .booleans import bool_clauses_topk
 
         _reject_unknown(spec,
                         {"must", "should", "must_not", "minimum_should_match",
@@ -447,21 +539,27 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
             raise DslError("[bool] filter context supports a single must "
                            "match clause (the FILTER-occur shape)")
 
-        def clause_terms(key):
+        # per-CLAUSE semantics: each match clause is its own scorer
+        # (OR over its terms by default, AND with operator=and);
+        # minimum_should_match counts clauses, not terms
+        def clause_list(key):
             out = []
             for c in spec.get(key) or []:
                 ct, cs = _one(c, f"bool.{key}")
                 if ct != "match":
                     raise DslError(f"bool [{key}] clauses must be match queries")
-                out.extend(_match_terms(ctx, cs, "match"))
+                out.append(_match_clause(ctx, cs, "match"))
             return out
 
-        return bool_topk(
-            ctx.docs, must=clause_terms("must"), should=clause_terms("should"),
-            must_not=clause_terms("must_not"),
-            minimum_should_match=int(spec.get("minimum_should_match", 0)),
-            k=k, id_col=ic, text_col=tc,
-        )
+        try:
+            return bool_clauses_topk(
+                ctx.docs, must=clause_list("must"), should=clause_list("should"),
+                must_not=clause_list("must_not"),
+                minimum_should_match=int(spec.get("minimum_should_match", 0)),
+                k=k, id_col=ic, text_col=tc,
+            )
+        except ValueError as e:
+            raise DslError(f"[bool] {e}") from e
 
     if typ == "dis_max":
         from .booleans import dis_max_topk
@@ -479,10 +577,15 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
 
     if typ == "neural":
         # the neural query's own k is the ANN candidate pool; the BODY
-        # size (the k passed here) bounds the returned hits
+        # size (the k passed here) bounds the returned hits. One rule
+        # for both cases: the pool is never smaller than the size —
+        # a missing k defaults to max(size, 10), an explicit k < size
+        # is widened to size (so size hits always come back)
         field, params = _one(spec, "neural")
         params = _params(params, "query_vector_id")
-        if int(params.get("k", k)) < k:
+        if "k" not in params:
+            params = dict(params); params["k"] = max(k, 10)
+        elif int(params["k"]) < k:
             params = dict(params); params["k"] = k
         top = _neural_topk(ctx, {field: params})
         w = F.row_number().over(Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc()))
@@ -683,17 +786,25 @@ def _metric_expr(name: str, typ: str, spec: dict):
 
 
 def _clause_matched(ctx: SearchContext, tok, clause: dict) -> DataFrame:
-    """Doc-id set matching one match clause (OR over its terms)."""
+    """Doc-id set matching one match clause (OR over its terms by
+    default, all-terms with operator=and — same per-clause semantics
+    as the search() bool path, so hits and aggs agree on one body)."""
     ct, cs = _one(clause, "bool clause")
     if ct != "match":
         raise DslError("aggs bool clauses must be match queries")
-    terms = _match_terms(ctx, cs, "match")
-    return (
+    terms, op = _match_clause(ctx, cs, "match")
+    m = (
         tok.select(ctx.id_col, F.explode("toks").alias("term"))
         .where(F.col("term").isin(terms))
-        .select(ctx.id_col)
-        .distinct()
     )
+    if op == "and":
+        return (
+            m.groupBy(ctx.id_col)
+            .agg(F.count_distinct("term").alias("_nt"))
+            .where(F.col("_nt") == len(terms))
+            .select(ctx.id_col)
+        )
+    return m.select(ctx.id_col).distinct()
 
 
 def _matched_docs(ctx: SearchContext, q: dict) -> DataFrame:
@@ -705,12 +816,7 @@ def _matched_docs(ctx: SearchContext, q: dict) -> DataFrame:
     typ, spec = _one(q, "query")
     tok = tokenized(ctx.docs, ctx.id_col, ctx.text_col)
     if typ == "match":
-        field, params = _one(spec, "match")
-        params = _params(params, "query")
-        terms = _match_terms(ctx, {field: params}, "match")
-        op = params.get("operator", "or")
-        if op not in ("or", "and"):
-            raise DslError(f"[match] operator must be or|and, got [{op}]")
+        terms, op = _match_clause(ctx, spec, "match")
         m = (
             tok.select(ctx.id_col, F.explode("toks").alias("term"))
             .where(F.col("term").isin(terms))

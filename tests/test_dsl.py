@@ -245,11 +245,39 @@ def test_indexed_multiterm_and_bool(reader_ctx):
     assert _rows(got_b) == _rows(exp_b)
 
 
-def test_indexed_bool_msm_rejected(reader_ctx):
+def test_indexed_bool_msm_and_clause_semantics(reader_ctx, ctx):
+    """minimum_should_match counts CLAUSES on both paths, and indexed
+    == exhaustive for per-clause bool bodies (multi-term must clause
+    with default operator=or requires only ONE of its terms)."""
+    body = {"query": {"bool": {
+        "should": [{"match": {"text": "spark window"}},
+                   {"match": {"text": "merge"}}],
+        "minimum_should_match": 2,
+    }}, "size": 10}
+    got_idx = search(reader_ctx, body)
+    got_ex = search(ctx, body)
+    assert _rows(got_idx) == _rows(got_ex)
+
+    body2 = {"query": {"bool": {
+        "must": [{"match": {"text": "data table"}}],  # OR within the clause
+        "must_not": [{"match": {"text": "dup"}}],
+    }}, "size": 10}
+    assert _rows(search(reader_ctx, body2)) == _rows(search(ctx, body2))
+
+
+def test_indexed_bool_rejects_inexact_shapes(reader_ctx):
+    # AND should-clauses and duplicated scoring terms cannot be scored
+    # exactly by the single kernel pass — explicit rejection, never a
+    # silently-wrong answer
     with pytest.raises(DslError):
         search(reader_ctx, {"query": {"bool": {
+            "should": [{"match": {"text": {"query": "spark window",
+                                           "operator": "and"}}}],
+        }}, "size": 10})
+    with pytest.raises(DslError):
+        search(reader_ctx, {"query": {"bool": {
+            "must": [{"match": {"text": "spark"}}],
             "should": [{"match": {"text": "spark window"}}],
-            "minimum_should_match": 1,
         }}, "size": 10})
 
 
@@ -457,3 +485,169 @@ def test_hybrid_rrf_pipeline_and_post_stages(ctx, documents, embeddings):
                                           "combination": "arithmetic_mean",
                                           "weights": [0.7, 0.3]}).collect()
     assert rows and all(r["doc_id"] < 300 for r in rows)
+
+
+# --- per-clause bool semantics (round 5) -----------------------------------
+
+
+def test_bool_per_clause_vs_flattened(ctx, documents):
+    """A multi-term must clause with the default operator=or matches on
+    ANY of its terms — per-CLAUSE gating, wider than the flattened
+    AND-of-all-terms set the r04 translator produced."""
+    from neural_search_spark.query.booleans import bool_clauses_topk, bool_topk
+
+    body = {"query": {"bool": {"must": [{"match": {"text": "merge window"}}]}},
+            "size": 10}
+    got = search(ctx, body)
+    exp = bool_clauses_topk(documents, must=[(["merge", "window"], "or")], k=10)
+    assert _rows(got) == _rows(exp)
+    # the flattened builder's set is strictly narrower on this corpus
+    flat = bool_topk(documents, must=["merge", "window"], k=500)
+    wide = bool_clauses_topk(documents, must=[(["merge", "window"], "or")], k=500)
+    flat_ids = {r["doc_id"] for r in flat.collect()}
+    wide_ids = {r["doc_id"] for r in wide.collect()}
+    assert flat_ids < wide_ids  # docs holding only one of the two terms
+
+
+def test_bool_clause_operator_and(ctx, documents):
+    from neural_search_spark.query.booleans import bool_clauses_topk
+
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark window", "operator": "and"}}}],
+    }}, "size": 10}
+    exp = bool_clauses_topk(documents, must=[(["spark", "window"], "and")], k=10)
+    assert _rows(search(ctx, body)) == _rows(exp)
+
+
+def test_bool_msm_counts_clauses(ctx, documents):
+    """minimum_should_match counts CLAUSES: a doc matching both terms
+    of ONE clause satisfies msm=1, not msm=2."""
+    from neural_search_spark.query.booleans import bool_clauses_topk
+
+    clauses = [(["spark", "window"], "or"), (["merge"], "or")]
+    one = bool_clauses_topk(documents, should=clauses, minimum_should_match=1, k=2000)
+    two = bool_clauses_topk(documents, should=clauses, minimum_should_match=2, k=2000)
+    one_ids = {r["doc_id"] for r in one.collect()}
+    two_ids = {r["doc_id"] for r in two.collect()}
+    assert two_ids < one_ids
+    # msm=2 requires BOTH clauses; a doc with spark+window but no merge is out
+    from neural_search_spark.query.exhaustive import tokenized
+    toks = {r["doc_id"]: set(r["toks"]) for r in
+            tokenized(documents).select("doc_id", "toks").collect()}
+    for d in two_ids:
+        assert toks[d] & {"spark", "window"} and "merge" in toks[d]
+    assert any(toks[d] & {"spark", "window"} and "merge" not in toks[d]
+               for d in one_ids - two_ids)
+
+
+def test_hybrid_subquery_honors_operator(ctx, documents):
+    from neural_search_spark.query.exhaustive import bm25_conjunctive, bm25_scores, topk
+    from neural_search_spark.query.hybrid import combine, normalize
+
+    body = {"query": {"hybrid": {"queries": [
+        {"match": {"text": {"query": "spark window", "operator": "and"}}},
+        {"match": {"text": "merge"}},
+    ]}}, "size": 10}
+    got = search(ctx, body, pipeline={"normalization": "min_max",
+                                      "combination": "arithmetic_mean",
+                                      "weights": [0.5, 0.5]})
+    s0 = bm25_conjunctive(documents, ["spark", "window"], round_to=None).select(
+        F.lit(0).alias("subquery_idx"), "doc_id", "score")
+    s1 = bm25_scores(documents, ["merge"], round_to=None).select(
+        F.lit(1).alias("subquery_idx"), "doc_id", "score")
+    exp = topk(combine(normalize(s0.unionByName(s1), "min_max"),
+                       "arithmetic_mean", [0.5, 0.5], 2)
+               .withColumn("score", F.round("score", 4)), k=10, round_to=None)
+    assert _rows(got) == _rows(exp)
+
+
+def test_operator_rejected_where_or_only(ctx):
+    # dis_max sub-queries score OR-only: operator=and must raise, not
+    # silently score with OR semantics
+    with pytest.raises(DslError):
+        search(ctx, {"query": {"dis_max": {"queries": [
+            {"match": {"text": {"query": "spark window", "operator": "and"}}},
+        ]}}, "size": 10})
+
+
+def test_aggs_and_search_agree_on_bool(ctx, documents):
+    """search() and aggregate() compute the SAME hit set for one bool
+    body (the r04 translator disagreed on multi-term clauses)."""
+    body_q = {"bool": {"must": [{"match": {"text": "merge window"}}]}}
+    hits = search(ctx, {"query": body_q, "size": 5000})
+    n_hits = hits.count()
+    agg = search(ctx, {"query": body_q, "size": 0,
+                       "aggs": {"n": {"value_count": {"field": "doc_id"}}}})
+    assert agg.collect()[0]["n"] == n_hits
+
+
+def test_neural_k_defaults_to_size(ctx, embeddings):
+    # missing k widens the ANN pool to the body size — size hits return
+    got = search(ctx, {"query": {"neural": {"embedding": {
+        "query_vector_id": 0}}}, "size": 25})
+    assert got.count() == 25
+    # explicit k < size is widened identically
+    got2 = search(ctx, {"query": {"neural": {"embedding": {
+        "query_vector_id": 0, "k": 5}}}, "size": 25})
+    assert got2.count() == 25
+    assert _rows(got) == _rows(got2)
+
+
+# --- constant-score leaf family (round 5) ----------------------------------
+
+
+def test_leaf_types_top_level(ctx, documents):
+    # range → ConstantScore 1.0 over the match set
+    got = search(ctx, {"query": {"range": {"n_chars": {"gte": 200, "lte": 400}}},
+                       "size": 5})
+    rows = got.collect()
+    assert len(rows) == 5 and all(r["score"] == 1.0 for r in rows)
+    # rank ties broken by doc_id asc → the 5 smallest matching ids
+    exp_ids = [r["doc_id"] for r in documents.where(
+        "n_chars BETWEEN 200 AND 400").orderBy("doc_id").limit(5).collect()]
+    assert sorted(r["doc_id"] for r in rows) == exp_ids
+
+    # match_all
+    got_all = search(ctx, {"query": {"match_all": {}}, "size": 3})
+    assert [r["doc_id"] for r in sorted(got_all.collect(), key=lambda r: r["rank"])] \
+        == [r["doc_id"] for r in documents.orderBy("doc_id").limit(3).collect()]
+
+    # keyword-column term → equality at 1.0
+    lang = documents.select("lang").first()["lang"]
+    got_t = search(ctx, {"query": {"term": {"lang": lang}}, "size": 5})
+    assert all(r["score"] == 1.0 for r in got_t.collect())
+
+    # text-column term → single-term BM25, value verbatim (not analyzed)
+    from neural_search_spark.query.exhaustive import bm25_scores, topk
+    got_tt = search(ctx, {"query": {"term": {"text": "spark"}}, "size": 10})
+    exp_tt = topk(bm25_scores(documents, ["spark"], round_to=None), k=10)
+    assert _rows(got_tt) == _rows(exp_tt)
+
+    # constant_score applies its boost
+    got_cs = search(ctx, {"query": {"constant_score": {
+        "filter": {"range": {"n_chars": {"gte": 200, "lte": 400}}},
+        "boost": 2.5}}, "size": 5})
+    assert all(r["score"] == 2.5 for r in got_cs.collect())
+
+
+def test_hybrid_heterogeneous_body(spark, ctx):
+    """The reference's heterogeneous hybrid (match + range + sparse,
+    HybridQueryIT.java:71-82) expressed as a JSON body equals the
+    direct-builder gate row under the same pipeline config."""
+    import __spark_entry__ as entry
+    from neural_search_spark.query.exhaustive import topk
+
+    feats = entry.queries()["hybrid_heterogeneous"]  # direct builder frame
+    direct = feats(spark, SF_SMALL)
+    sctx = SearchContext(docs=ctx.docs,
+                         sparse_features=entry._sparse_features(spark, SF_SMALL))
+    body = {"query": {"hybrid": {"queries": [
+        {"match": {"text": "spark window merge"}},
+        {"range": {"n_chars": {"gte": 200, "lte": 400}}},
+        {"neural_sparse": {"sparse": {"query_tokens": entry.SPARSE_QUERY}}},
+    ]}}, "size": 10}
+    got = search(sctx, body, pipeline={"normalization": "min_max",
+                                       "combination": "arithmetic_mean",
+                                       "weights": [0.5, 0.2, 0.3]})
+    exp = topk(direct, k=10, round_to=None)
+    assert _rows(got) == _rows(exp)

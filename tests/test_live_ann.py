@@ -100,3 +100,29 @@ def test_streaming_ingest_and_serving_parity(spark, embeddings, tmp_path):
     got = {r["vec_id"] for r in hnsw_topk(emb, qid, k=10, graphs=live_g).collect()}
     exact = {r["vec_id"] for r in cosine_topk(embeddings, qid, k=10).collect()}
     assert got == exact
+
+
+def test_crash_orphan_dirs_are_swept(spark, embeddings, tmp_path):
+    """A crash between the manifest flip and the old version's delete
+    leaves an orphaned graph.v* dir; the NEXT append must GC every
+    versioned dir that is not the manifest's current target (unbounded
+    disk growth otherwise), and serving must be unaffected."""
+    import json
+
+    store = str(tmp_path / "store")
+    b0, b1, b2 = _batches(embeddings)
+    append_vector_batch(spark, b0, store, batch_id=0)
+    # simulate the crash artifact: an orphan version the manifest does
+    # not reference (as if a prior process died right after its flip)
+    orphan = os.path.join(store, "graph.v99")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk"), "w") as fh:
+        fh.write("x")
+    append_vector_batch(spark, b1, store, batch_id=1)
+    with open(os.path.join(store, "graph_manifest.json")) as fh:
+        current = json.load(fh)["current"]
+    vdirs = [n for n in os.listdir(store) if n.startswith("graph.v")]
+    assert vdirs == [current]  # orphan AND the v0 graph both swept
+    append_vector_batch(spark, b2, store, batch_id=2)
+    assert _graph_set(read_live_graph(spark, store)) == _graph_set(
+        hnsw_build_frame(embeddings))
