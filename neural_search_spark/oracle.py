@@ -509,6 +509,39 @@ FROM matched m JOIN {table} d USING (doc_id)
 GROUP BY d.lang"""
 
 
+def dsl_hybrid_union_aggs_sql(
+    terms: list[str],
+    query_vec_id: int,
+    knn_k: int = 50,
+    table: str = "documents",
+    emb_table: str = "embeddings",
+    round_to: int = 4,
+) -> str:
+    """Aggs over a HYBRID body's hit set — the UNION of the match
+    sub-query's OR-matched docs and the neural sub-query's top-k pool
+    (totalHits semantics: HybridQueryScorer iterates all sub-scorers;
+    aggs run over every matched doc, not the size window)."""
+    return f"""{bm25_base_ctes(sorted(set(terms)), table)},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {emb_table}),
+qv AS (SELECT v AS qvec FROM e WHERE vec_id = {query_vec_id}),
+knn AS (
+  SELECT vec_id AS doc_id,
+         round(list_dot_product(v, qvec)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))), 6) AS score
+  FROM e, qv WHERE vec_id <> {query_vec_id}
+  ORDER BY score DESC, vec_id ASC LIMIT {knn_k}
+),
+hit AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id FROM tf UNION SELECT doc_id FROM knn
+  )
+)
+SELECT count(d.doc_id) AS n,
+       count(DISTINCT d.lang) AS langs,
+       round(avg(d.n_chars), {round_to}) AS avg_chars
+FROM hit JOIN {table} d USING (doc_id)"""
+
+
 def bm25_filtered_sql(
     terms: list[str], predicate: str, table: str = "documents", round_to: int = 4
 ) -> str:

@@ -603,11 +603,105 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
     raise DslError(f"[{typ}] is only valid inside a hybrid query")  # pragma: no cover
 
 
+def _parse_sorts(body_sort: Any) -> list[tuple[str, str]]:
+    sorts = []
+    for s in body_sort:
+        if isinstance(s, str):
+            sorts.append((s, "asc"))
+        else:
+            col, o = _one(s, "sort")
+            sorts.append((col, o["order"] if isinstance(o, dict) else o))
+    return sorts
+
+
+def _phrase_terms(ctx: SearchContext, spec: Any, analyzer: str) -> list[str]:
+    field, params = _one(spec, "match_phrase")
+    params = _params(params, "query")
+    _reject_unknown(params, {"query", "slop"}, "match_phrase")
+    if field != ctx.text_col:
+        raise DslError(f"[match_phrase] field [{field}] is not [{ctx.text_col}]")
+    toks = analyze_query(params["query"], analyzer)
+    if not toks:
+        raise DslError("[match_phrase] query analyzed to zero tokens")
+    return sorted(set(toks))
+
+
+def _explainable_terms(ctx: SearchContext, typ: str, spec: Any) -> list[str]:
+    """The scoring terms whose per-term contributions sum EXACTLY to
+    each hit's score — the invariant the factor table exposes.
+    Restricted to shapes where it holds: match, match_phrase (phrase
+    queries score by term statistics), and bool bodies whose scoring
+    clauses are all operator=or with no term repeated across clauses
+    (an AND clause can match partially without scoring; a repeated term
+    scores once per clause)."""
+    analyzer = ctx.index_analyzer() if ctx.reader else ctx.analyzer
+    if typ == "match":
+        terms, _ = _match_clause(ctx, spec, "match", analyzer=analyzer)
+        return terms
+    if typ == "match_phrase":
+        return _phrase_terms(ctx, spec, analyzer)
+    if typ == "bool":
+        if spec.get("must_not") is not None or spec.get("filter"):
+            pass  # non-scoring clauses don't enter the breakdown
+        seen: set[str] = set()
+        for key in ("must", "should"):
+            for c in spec.get(key) or []:
+                ct, cs = _one(c, f"bool.{key}")
+                if ct != "match":
+                    raise DslError(f"bool [{key}] clauses must be match queries")
+                terms, op = _match_clause(ctx, cs, "match", analyzer=analyzer)
+                if op != "or":
+                    raise DslError("[explain] bool clauses must be operator=or "
+                                   "(a partially-matched AND clause breaks the "
+                                   "contribution-sum invariant)")
+                if dup := seen & set(terms):
+                    raise DslError(f"[explain] terms repeated across clauses "
+                                   f"{sorted(dup)} would double-count")
+                seen |= set(terms)
+        if not seen:
+            raise DslError("bool query needs at least one scoring clause")
+        return sorted(seen)
+    raise DslError("[explain] supports match, match_phrase and bool bodies")
+
+
+def _highlightable_terms(ctx: SearchContext, typ: str, spec: Any) -> list[str]:
+    """All scoring terms of the body — the snippet window centers on
+    the first occurrence of any of them (no sum invariant needed)."""
+    analyzer = ctx.index_analyzer() if ctx.reader else ctx.analyzer
+    if typ == "match":
+        terms, _ = _match_clause(ctx, spec, "match", analyzer=analyzer)
+        return terms
+    if typ == "match_phrase":
+        return _phrase_terms(ctx, spec, analyzer)
+    if typ == "bool":
+        out: set[str] = set()
+        for key in ("must", "should"):
+            for c in spec.get(key) or []:
+                ct, cs = _one(c, f"bool.{key}")
+                if ct != "match":
+                    raise DslError(f"bool [{key}] clauses must be match queries")
+                terms, _ = _match_clause(ctx, cs, "match", analyzer=analyzer)
+                out |= set(terms)
+        if not out:
+            raise DslError("bool query needs at least one scoring clause")
+        return sorted(out)
+    raise DslError("[highlight] supports match, match_phrase and bool bodies")
+
+
+def _plain_or_match(ctx: SearchContext, typ: str, spec: Any) -> bool:
+    return (typ == "match" and ctx.reader is None
+            and _match_clause(ctx, spec, "match")[1] == "or")
+
+
 def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> DataFrame:
     """Run one OpenSearch-style search body. ``pipeline`` carries the
     hybrid normalization/combination config (the plugin configures it
     on a search pipeline, not in the body)."""
     if "aggs" in body:
+        if int(body.get("size", 0)) != 0:
+            raise DslError("search() returns one frame; a hits+aggs body "
+                           "(size > 0 with aggs) goes through "
+                           "search_with_aggs(), which returns both")
         return aggregate(ctx, body)
     _reject_unknown(body, _BODY_KEYS, "search body")
     if "query" not in body:
@@ -618,15 +712,21 @@ def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> Data
     from_ = int(body.get("from", 0))
 
     if body.get("explain"):
-        # per-hit scoring explanation (Lucene Explanation analog);
-        # match-only — the breakdown is the BM25 factor table
+        # per-hit scoring explanation (Lucene Explanation analog): the
+        # BM25 factor table, on match / match_phrase / bool bodies and
+        # on the indexed path (the hits come from the dispatched kernel,
+        # the breakdown joins to them — bounded by k × |terms| rows)
         from .exhaustive import bm25_explain
 
-        if typ != "match" or from_ != 0 or set(body) - {"query", "size", "explain"}:
-            raise DslError("[explain] supports plain match bodies "
-                           "(query + size only)")
-        return bm25_explain(ctx.docs, _match_terms(ctx, spec, "match"), k=size,
-                            id_col=ctx.id_col, text_col=ctx.text_col)
+        if from_ != 0 or set(body) - {"query", "size", "explain"}:
+            raise DslError("[explain] bodies support query + size only")
+        terms = _explainable_terms(ctx, typ, spec)
+        if _plain_or_match(ctx, typ, spec):
+            hits = None  # the scorer's own top-k IS the hit list
+        else:
+            hits = _topk_frame(ctx, q, size)
+        return bm25_explain(ctx.docs, terms, k=size,
+                            id_col=ctx.id_col, text_col=ctx.text_col, hits=hits)
 
     if "highlight" in body:
         from .highlight import highlight_topk
@@ -634,14 +734,47 @@ def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> Data
         hl = body["highlight"]
         _reject_unknown(hl, {"fields", "window"}, "highlight")
         field, fspec = _one(hl["fields"], "highlight.fields")
-        if field != ctx.text_col or typ != "match":
-            raise DslError("[highlight] supports the corpus text field on "
-                           "plain match bodies")
+        if field != ctx.text_col:
+            raise DslError("[highlight] supports the corpus text field only")
         if from_ != 0 or set(body) - {"query", "size", "highlight"}:
             raise DslError("[highlight] bodies support query + size only")
         kw = {"window": int(hl["window"])} if "window" in hl else {}
-        return highlight_topk(ctx.docs, _match_terms(ctx, spec, "match"), k=size,
-                              id_col=ctx.id_col, text_col=ctx.text_col, **kw)
+        terms = _highlightable_terms(ctx, typ, spec)
+        if _plain_or_match(ctx, typ, spec):
+            hits = None
+        else:
+            # phrase/bool/indexed: the dispatched kernel produces the
+            # hits; the highlighter only windows their token streams
+            hits = _topk_frame(ctx, q, size)
+        return highlight_topk(ctx.docs, terms, k=size,
+                              id_col=ctx.id_col, text_col=ctx.text_col,
+                              hits=hits, **kw)
+
+    if "sort" in body and typ != "hybrid":
+        # OpenSearch sort semantics: the sort REPLACES relevance
+        # ranking — the size window cuts the sorted FULL hit set, and
+        # search_after keyset-pages through that order
+        # (PagingFieldCollector; reference HybridCollectorManager.java:
+        # 295-310 builds exactly these field collectors)
+        from .paginate import search_after_fields, sort_by_fields
+
+        _reject_unknown(body, {"query", "size", "sort", "search_after",
+                               "post_filter"}, "sort body")
+        sorts = _parse_sorts(body["sort"])
+        fields = [_col_name(c) for c, _ in sorts]
+        matched = _matched_docs(ctx, q)
+        if "post_filter" in body:
+            matched = matched.where(F.expr(_predicate_sql(body["post_filter"])))
+        base = matched.select(F.col(ctx.id_col).alias("doc_id"), *fields)
+        if "search_after" in body:
+            sa = body["search_after"]
+            if not isinstance(sa, (list, tuple)) or len(sa) != len(sorts) + 1:
+                raise DslError("[search_after] with sort expects "
+                               "[*sort_values, doc_id] — the previous page's "
+                               "last sort tuple plus its doc_id tiebreak")
+            return search_after_fields(base, sorts, list(sa[:-1]), int(sa[-1]),
+                                       k=size)
+        return sort_by_fields(base, sorts, k=size)
 
     if typ == "hybrid":
         from .hybrid import combine, normalize, rrf_combine
@@ -742,13 +875,7 @@ def _post_stages(ctx: SearchContext, out: DataFrame, body: dict) -> DataFrame:
     if "sort" in body:
         from .paginate import sort_by_fields
 
-        sorts = []
-        for s in body["sort"]:
-            if isinstance(s, str):
-                sorts.append((s, "asc"))
-            else:
-                col, o = _one(s, "sort")
-                sorts.append((col, o["order"] if isinstance(o, dict) else o))
+        sorts = _parse_sorts(body["sort"])
         joined = out.join(ctx.docs.drop(ctx.text_col), ctx.id_col)
         out = sort_by_fields(joined, sorts, k=int(body.get("size", 10)))
     if "collapse" in body:
@@ -814,6 +941,22 @@ def _matched_docs(ctx: SearchContext, q: dict) -> DataFrame:
     from .exhaustive import tokenized
 
     typ, spec = _one(q, "query")
+    if typ == "match" and ctx.reader is not None:
+        # indexed hit set: the kernel's match stream through docmap —
+        # no corpus re-tokenize for an aggs/sort body when an index
+        # exists (same dispatch rule as the top-k path)
+        from .wand import matched_ids_indexed
+
+        _require_doc_key(ctx)
+        terms, op = _match_clause(ctx, spec, "match",
+                                  analyzer=ctx.index_analyzer())
+        ids = matched_ids_indexed(ctx.reader, terms, mode=op)
+        m = (
+            ctx.reader.docmap()
+            .join(ids.select("nss_doc_id"), "nss_doc_id")
+            .select(ctx.id_col)
+        )
+        return m.join(ctx.docs, ctx.id_col)
     tok = tokenized(ctx.docs, ctx.id_col, ctx.text_col)
     if typ == "match":
         terms, op = _match_clause(ctx, spec, "match")
@@ -856,8 +999,22 @@ def _matched_docs(ctx: SearchContext, q: dict) -> DataFrame:
         for c in spec.get("must_not") or []:
             m = m.join(_clause_matched(ctx, tok, c), ctx.id_col, "left_anti")
         m = m.select(ctx.id_col)
+    elif typ in ("term", "range", "match_all", "constant_score"):
+        m = _leaf_scores(ctx, typ, spec).select(
+            F.col("doc_id").alias(ctx.id_col)).distinct()
+    elif typ == "hybrid":
+        # a hybrid's hit set is the UNION of its sub-queries' matches
+        # (HybridQueryScorer iterates all sub-scorers; totalHits counts
+        # any-match docs) — aggs then run over every matched doc
+        _reject_unknown(spec, {"queries"}, "hybrid")
+        m = None
+        for i, sq in enumerate(spec["queries"]):
+            ids = _sub_scores(ctx, sq, i).select("doc_id")
+            m = ids if m is None else m.unionByName(ids)
+        m = m.distinct().select(F.col("doc_id").alias(ctx.id_col))
     else:
-        raise DslError(f"aggs support match and bool queries, got [{typ}]")
+        raise DslError("aggs/sort hit sets support match, bool, hybrid and "
+                       f"the constant-score leaf family, got [{typ}]")
     return m.join(ctx.docs, ctx.id_col)
 
 
@@ -894,6 +1051,34 @@ def aggregate(ctx: SearchContext, body: dict) -> DataFrame:
             raise DslError("terms must be the single top-level agg")
         exprs.append(_metric_expr(name, st, ss))
     return matched.agg(*exprs)
+
+
+def search_with_aggs(
+    ctx: SearchContext, body: dict, pipeline: dict | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Hits AND aggregations from ONE body — the reference returns both
+    in one response (MetricAggregationsWithHybridQueryIT.java:83-179
+    runs metric aggs alongside hybrid hits). Returns (hits, aggs): the
+    hits frame is the ranked top-``size`` cut; the aggs frame is
+    computed over the FULL hit set (aggregations see every matching
+    doc, never the size window — HybridAggregationProcessor runs before
+    the fetch phase truncates).
+
+    Scale shape: the two frames share the query's matched set
+    definition but materialize independently — the hits path keeps its
+    TakeOrderedAndProject cut, the aggs path its single groupBy; no
+    corpus pass is added over issuing the two bodies separately, and
+    callers that cache ``ctx.docs`` pay the scan once."""
+    if "aggs" not in body:
+        raise DslError("search_with_aggs needs an [aggs] block — use "
+                       "search() for hits-only bodies")
+    size = int(body.get("size", 10))
+    if size <= 0:
+        raise DslError("search_with_aggs needs size > 0 — use search() "
+                       "for size: 0 aggs-only bodies")
+    hits_body = {kk: vv for kk, vv in body.items() if kk != "aggs"}
+    aggs_body = {"query": body["query"], "size": 0, "aggs": body["aggs"]}
+    return search(ctx, hits_body, pipeline), aggregate(ctx, aggs_body)
 
 
 # --- msearch ---------------------------------------------------------------

@@ -236,6 +236,7 @@ def bm25_explain(
     text_col: str = "text",
     k1: float = K1,
     b: float = B,
+    hits: DataFrame | None = None,
 ) -> DataFrame:
     """Lucene ``Explanation`` analog for the match side: one row per
     (top-k doc, matched term) with the full BM25 factor breakdown —
@@ -273,13 +274,21 @@ def bm25_explain(
         )
         .withColumn("contribution", F.col("idf") * F.col("tf_norm"))
     )
-    totals = per.groupBy("doc_id").agg(F.round(F.sum("contribution"), 4).alias("score"))
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    top = (
-        totals.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-    )
+    if hits is not None:
+        # explain someone else's hit list (a bool/phrase/indexed top-k):
+        # the breakdown rows join to the given (doc_id, score, rank)
+        # frame instead of this scorer's own OR top-k — the caller
+        # guarantees the hits' scores are the sum of these terms'
+        # contributions (all-or clauses, no duplicated terms)
+        top = hits.select("doc_id", "score", "rank")
+    else:
+        totals = per.groupBy("doc_id").agg(F.round(F.sum("contribution"), 4).alias("score"))
+        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        top = (
+            totals.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+        )
     return per.join(F.broadcast(top), "doc_id").select(
         "doc_id",
         "score",

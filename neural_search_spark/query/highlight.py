@@ -30,14 +30,20 @@ def highlight_topk(
     window: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hits: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, score, rank, snippet) for the BM25 top-k of an OR
-    query. Ranks cut on the rounded score (cross-engine tie rule, same
-    as query/multiterm.py)."""
+    query — or, with ``hits``, snippets for someone else's top-k frame
+    (a phrase/bool/indexed result): the snippet window still centers on
+    the first occurrence of any of ``terms``. Ranks cut on the rounded
+    score (cross-engine tie rule, same as query/multiterm.py)."""
     uniq = sorted(set(terms))
     tok = tokenized(docs, id_col, text_col)
-    scored = bm25_scores(docs, uniq, id_col, text_col, round_to=4, tok=tok)
-    top = topk(scored, k=k, round_to=None)
+    if hits is not None:
+        top = hits.select("doc_id", "score", "rank")
+    else:
+        scored = bm25_scores(docs, uniq, id_col, text_col, round_to=4, tok=tok)
+        top = topk(scored, k=k, round_to=None)
     positions = [
         F.nullif(F.array_position(F.col("toks"), F.lit(t)), F.lit(0)) for t in uniq
     ]

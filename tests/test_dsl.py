@@ -651,3 +651,166 @@ def test_hybrid_heterogeneous_body(spark, ctx):
                                        "weights": [0.5, 0.2, 0.3]})
     exp = topk(direct, k=10, round_to=None)
     assert _rows(got) == _rows(exp)
+
+
+# --- generalized explain / highlight / sort+search_after / hits+aggs -------
+
+
+def test_explain_on_phrase_bool_and_indexed(ctx, reader_ctx, documents):
+    from neural_search_spark.query.exhaustive import bm25_explain
+
+    # phrase body: breakdown joins the phrase kernel's hits, and the
+    # per-term contributions sum to each hit's phrase score
+    body_p = {"query": {"match_phrase": {"text": "spark window"}}, "size": 10,
+              "explain": True}
+    got_p = search(ctx, body_p)
+    hits_p = search(ctx, {"query": {"match_phrase": {"text": "spark window"}},
+                          "size": 10})
+    exp_p = bm25_explain(documents, ["spark", "window"], k=10, hits=hits_p)
+    assert _rows(got_p) == _rows(exp_p)
+    import collections
+    sums = collections.defaultdict(float)
+    score_of = {}
+    for r in got_p.collect():
+        sums[r["doc_id"]] += r["contribution"]
+        score_of[r["doc_id"]] = r["score"]
+    for d, s in score_of.items():
+        assert abs(sums[d] - s) < 2e-3  # contributions sum to the hit score
+
+    # bool body (all-or clauses, distinct terms)
+    body_b = {"query": {"bool": {"must": [{"match": {"text": "data"}}],
+                                 "should": [{"match": {"text": "spark window"}}]}},
+              "size": 10, "explain": True}
+    got_b = search(ctx, body_b).collect()
+    hit_ids = {r["doc_id"] for r in search(ctx, {"query": body_b["query"],
+                                                 "size": 10}).collect()}
+    assert {r["doc_id"] for r in got_b} == hit_ids
+
+    # indexed match body: same breakdown, hits from the kernel
+    body_i = {"query": {"match": {"text": "spark window merge"}}, "size": 10,
+              "explain": True}
+    assert _rows(search(reader_ctx, body_i)) == _rows(search(ctx, body_i))
+
+    # AND clauses / repeated terms are rejected, not mis-explained
+    with pytest.raises(DslError):
+        search(ctx, {"query": {"bool": {"must": [
+            {"match": {"text": {"query": "spark window", "operator": "and"}}}]}},
+            "size": 10, "explain": True})
+    with pytest.raises(DslError):
+        search(ctx, {"query": {"bool": {
+            "must": [{"match": {"text": "spark"}}],
+            "should": [{"match": {"text": "spark merge"}}]}},
+            "size": 10, "explain": True})
+
+
+def test_highlight_on_phrase_bool_and_indexed(ctx, reader_ctx, documents):
+    from neural_search_spark.query.highlight import highlight_topk
+
+    body = {"query": {"match_phrase": {"text": "spark window"}}, "size": 10,
+            "highlight": {"fields": {"text": {}}, "window": 3}}
+    got = search(ctx, body)
+    hits = search(ctx, {"query": {"match_phrase": {"text": "spark window"}},
+                        "size": 10})
+    exp = highlight_topk(documents, ["spark", "window"], k=10, window=3, hits=hits)
+    assert _rows(got) == _rows(exp)
+    for r in got.collect():
+        assert "spark" in r["snippet"] or "window" in r["snippet"]
+
+    # indexed match highlight == exhaustive match highlight
+    body_m = {"query": {"match": {"text": "spark window merge"}}, "size": 10,
+              "highlight": {"fields": {"text": {}}}}
+    assert _rows(search(reader_ctx, body_m)) == _rows(search(ctx, body_m))
+
+    # bool highlight returns snippets for the bool's own hits
+    body_b = {"query": {"bool": {"must": [{"match": {"text": "data"}}]}},
+              "size": 5, "highlight": {"fields": {"text": {}}}}
+    rows = search(ctx, body_b).collect()
+    assert len(rows) == 5 and all("data" in r["snippet"] for r in rows)
+
+
+def test_sort_over_full_hit_set(ctx, documents):
+    """sort REPLACES relevance ranking: the size window cuts the sorted
+    FULL hit set, not the score top-k (OpenSearch sort semantics)."""
+    from neural_search_spark.query.exhaustive import tokenized
+
+    body = {"query": {"match": {"text": "spark window"}}, "size": 5,
+            "sort": [{"n_chars": {"order": "desc"}}]}
+    got = [r["doc_id"] for r in search(ctx, body).collect()]
+    matched = (
+        tokenized(documents)
+        .select("doc_id", F.explode("toks").alias("t"))
+        .where(F.col("t").isin(["spark", "window"]))
+        .select("doc_id").distinct()
+        .join(documents, "doc_id")
+    )
+    exp = [r["doc_id"] for r in
+           matched.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+           .limit(5).collect()]
+    assert got == exp
+
+
+def test_sort_with_search_after_fields(ctx, documents):
+    """Keyset paging on an arbitrary sort spec: page 2 after page 1's
+    last (sort value, doc_id) tuple == rows 6-10 of the sorted order."""
+    base = {"query": {"match": {"text": "spark window"}},
+            "sort": [{"n_chars": {"order": "desc"}}]}
+    page_all = search(ctx, {**base, "size": 10}).collect()
+    last5 = page_all[4]
+    page2 = search(ctx, {**base, "size": 5,
+                         "search_after": [last5["n_chars"], last5["doc_id"]]})
+    assert [r["doc_id"] for r in page2.collect()] == \
+        [r["doc_id"] for r in page_all[5:10]]
+    with pytest.raises(DslError):
+        search(ctx, {**base, "size": 5, "search_after": [100]})  # missing tiebreak
+
+
+def test_search_with_aggs_one_body(ctx, documents):
+    from neural_search_spark.query.dsl import search_with_aggs
+
+    body = {"query": {"match": {"text": "spark window merge"}}, "size": 10,
+            "aggs": {"langs": {"terms": {"field": "lang"},
+                               "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}}
+    hits, aggs = search_with_aggs(ctx, body)
+    exp_hits = search(ctx, {"query": body["query"], "size": 10})
+    exp_aggs = search(ctx, {"query": body["query"], "size": 0,
+                            "aggs": body["aggs"]})
+    assert _rows(hits) == _rows(exp_hits)
+    assert _rows(aggs) == _rows(exp_aggs)
+    # search() itself still refuses the two-frame shape by name
+    with pytest.raises(DslError):
+        search(ctx, body)
+    with pytest.raises(DslError):
+        search_with_aggs(ctx, {"query": body["query"], "size": 10})
+
+
+def test_hybrid_aggs_over_union_hit_set(ctx, documents, embeddings):
+    """aggs on a hybrid body aggregate over the UNION of sub-query
+    match sets (totalHits semantics), per MetricAggregationsWithHybrid
+    QueryIT."""
+    from neural_search_spark.query.dsl import search_with_aggs
+    from neural_search_spark.query.exhaustive import tokenized
+    from neural_search_spark.pipeline.similarity import cosine_topk
+
+    body = {"query": {"hybrid": {"queries": [
+        {"match": {"text": "spark window merge"}},
+        {"neural": {"embedding": {"query_vector_id": 0, "k": 50}}},
+    ]}}, "size": 10,
+        "aggs": {"n": {"value_count": {"field": "doc_id"}},
+                 "langs": {"cardinality": {"field": "lang"}}}}
+    hits, aggs = search_with_aggs(
+        ctx, body, pipeline={"normalization": "min_max",
+                             "combination": "arithmetic_mean",
+                             "weights": [0.7, 0.3]})
+    m0 = (
+        tokenized(documents)
+        .select("doc_id", F.explode("toks").alias("t"))
+        .where(F.col("t").isin(["merge", "spark", "window"]))
+        .select("doc_id").distinct()
+    )
+    m1 = cosine_topk(embeddings, 0, k=50).select(F.col("vec_id").alias("doc_id"))
+    union = m0.unionByName(m1).distinct().join(documents, "doc_id")
+    exp = union.agg(F.count("doc_id").alias("n"),
+                    F.count_distinct("lang").alias("langs")).collect()[0]
+    got = aggs.collect()[0]
+    assert got["n"] == exp["n"] and got["langs"] == exp["langs"]
+    assert hits.count() == 10
