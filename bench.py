@@ -173,6 +173,13 @@ def main() -> int:
         with open(scaling_path) as fh:
             sc = json.load(fh)
         side["scaling_evidence"] = sc
+        # serving latency percentiles per concurrency level (1/8/32
+        # clients), measured by scaling_worker on the persisted index
+        lat = {c: r.get("latency_p50_p95")
+               for c, r in sc.get("results", {}).items()
+               if isinstance(r, dict) and r.get("latency_p50_p95")}
+        if lat:
+            side["latency_p50_p95"] = lat
         # surface just the two headline efficiency scalars on stdout
         try:
             pair = sc.get("pairs", {}).get("8_to_32", {})

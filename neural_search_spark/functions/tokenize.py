@@ -40,11 +40,78 @@ SIMPLE_SPLIT_RE = "[^a-z0-9]+"
 ANALYZERS: dict[str, tuple[str, str, bool]] = {
     "code": (CODE_SPLIT_RE, "[a-z0-9_]+", True),
     "simple": (SIMPLE_SPLIT_RE, "[a-z0-9]+", True),
-    "standard": ("[^a-zA-Z0-9]+", "[a-zA-Z0-9]+", False),
-    "letter": ("[^a-zA-Z]+", "[a-zA-Z]+", False),
-    "lowercase": ("[^a-z]+", "[a-zA-Z]+", True),
+    # UNICODE word classes (round 5): `standard` tokens are maximal
+    # runs of [\p{L}\p{N}_] — the deterministic approximation of
+    # UAX#29 word boundaries for alphabetic scripts (underscore joins:
+    # UAX#29 WB13a/13b ExtendNumLet, which is why Lucene's
+    # StandardTokenizer keeps `foo_bar` as ONE token). `letter` /
+    # `lowercase` are Unicode-letter runs (Lucene LetterTokenizer /
+    # LowerCaseTokenizer). These patterns are the ENGINE dialect —
+    # Java regex (Spark SQL) and RE2 (Arrow kernel, DuckDB) both read
+    # \p{} classes; Python's stdlib `re` does not, so Python-side
+    # consumers use PY_ANALYZERS below (same semantics, \w classes;
+    # parity pinned by tests on mixed-script text).
+    # Remaining documented divergence from full UAX#29: (a) unsegmented
+    # scripts (CJK) come out as whole runs, not dictionary words —
+    # `thai` stays rejected by name; (b) MidLetter/MidNum joiners
+    # (don't, 3.14) split at the punctuation; (c) locale case folding
+    # (Turkish İ) follows each engine's default lower().
+    "standard": ("[^\\p{L}\\p{N}_]+", "[\\p{L}\\p{N}_]+", False),
+    "letter": ("[^\\p{L}]+", "\\p{L}+", False),
+    "lowercase": ("[^\\p{L}]+", "\\p{L}+", True),
     "whitespace": ("[\\s]+", "[^\\s]+", False),
 }
+
+# Python-side dialect. stdlib `re` has no \p{} classes, and its
+# approximations diverge (\d is Nd only, so \W misses No/Nl
+# superscripts/fractions) — so the Unicode analyzers tokenize in
+# Python via CHARACTER PREDICATES that match the engine classes
+# exactly: str.isalnum() == \p{L}\p{N} (L* + Nd + Nl + No) and
+# str.isalpha() == \p{L}. The ASCII analyzers keep their regexes.
+# Consumers: analyze_query (driver-side) and the chunker's span scan.
+# Cross-dialect parity vs RE2/Java is pinned by tests on mixed-script
+# text.
+PY_ANALYZERS: dict[str, tuple[str, str, bool]] = {
+    "code": (CODE_SPLIT_RE, "[a-z0-9_]+", True),
+    "simple": (SIMPLE_SPLIT_RE, "[a-z0-9]+", True),
+    "whitespace": ("[\\s]+", "[^\\s]+", False),
+}
+
+# analyzer name -> (is-token-char predicate, lowercase)
+PY_TOKEN_PREDICATES: dict[str, tuple] = {
+    "standard": (lambda ch: ch.isalnum() or ch == "_", False),
+    "letter": (str.isalpha, False),
+    "lowercase": (str.isalpha, True),
+}
+
+
+def py_token_spans(text: str, tokenizer: str) -> list[tuple[int, int]]:
+    """Char spans of the analyzer's tokens in ``text`` (Python side).
+    Predicate scan for the Unicode analyzers, regex for the ASCII ones."""
+    import re as _re
+
+    pred_entry = PY_TOKEN_PREDICATES.get(tokenizer)
+    if pred_entry is None:
+        try:
+            _split, token_re, _lower = PY_ANALYZERS[tokenizer]
+        except KeyError:
+            raise ValueError(
+                f"[{tokenizer}] is not a registered analyzer name "
+                f"(one of {sorted(PY_ANALYZERS) + sorted(PY_TOKEN_PREDICATES)})"
+            ) from None
+        return [(m.start(), m.end()) for m in _re.finditer(token_re, text)]
+    pred = pred_entry[0]
+    spans, start = [], None
+    for i, ch in enumerate(text):
+        if pred(ch):
+            if start is None:
+                start = i
+        elif start is not None:
+            spans.append((start, i))
+            start = None
+    if start is not None:
+        spans.append((start, len(text)))
+    return spans
 # name -> split regex (back-compat registry: mappings validation and the
 # builder resolve through this; unknown names fall through as raw
 # split regexes)
@@ -52,7 +119,8 @@ SPLIT_RES = {name: spec[0] for name, spec in ANALYZERS.items()}
 
 
 def resolve_analyzer(tokenizer: str) -> tuple[str, str, bool]:
-    """Name or raw split-regex → (split_re, token_re, lowercase).
+    """Name or raw split-regex → (split_re, token_re, lowercase) in the
+    ENGINE dialect (Java/RE2 — Spark SQL, the Arrow kernel, DuckDB).
 
     A raw regex keeps the historical behavior (lowercase then split);
     its token_re is unknown, so span-based consumers (the fixed-token
@@ -69,7 +137,14 @@ def analyze_query(text: str, tokenizer: str = "simple") -> list[str]:
     Driver-side and deterministic: this is query metadata, never data."""
     import re as _re
 
-    split_re, _token_re, lower = resolve_analyzer(tokenizer)
+    if tokenizer in PY_TOKEN_PREDICATES:
+        lower = PY_TOKEN_PREDICATES[tokenizer][1]
+        s = text.lower() if lower else text
+        return [s[a:b] for a, b in py_token_spans(s, tokenizer)]
+    if tokenizer in PY_ANALYZERS:
+        split_re, _token_re, lower = PY_ANALYZERS[tokenizer]
+    else:
+        split_re, lower = tokenizer, True  # raw split regex (historical)
     s = text.lower() if lower else text
     return [t for t in _re.split(split_re, s) if t]
 

@@ -59,7 +59,12 @@ SEG_SHIFT = 40  # doc_id = (segment_id << 40) | local_id
 # bump when POSTINGS_SCHEMA changes — cached index dirs embed this so a
 # reader never opens an index written by an incompatible layout
 # v4: per-posting position streams (block_pos_off + positions columns)
-FORMAT_VERSION = 4
+# v5: positions bit-packed per term (PFor low bits + exceptions) when
+#     that beats varint — position deltas are small (token gaps), so a
+#     6-8 bit width typically cuts the position stream ~25-35% vs the
+#     8-bit-minimum varint; the stream was the v4 build's bandwidth
+#     cost at 32 cores (BENCH/r4_attrib.json)
+FORMAT_VERSION = 5
 
 # One row per (segment, term): per-block metadata travels as parallel
 # arrays and the three payload streams are single blobs with per-block
@@ -98,6 +103,16 @@ POSTINGS_SCHEMA = T.StructType(
         # Empty when the index was built with store_positions=False.
         T.StructField("block_pos_off", T.ArrayType(T.IntegerType(), False), False),
         T.StructField("positions", T.BinaryType(), False),
+        # v5 position codec (mirrors the doc-delta PFor trio):
+        # pos_pack_bits < 0 -> the positions blob is varint;
+        # pos_pack_bits >= 0 -> b-bit packed low parts, byte-aligned per
+        # block (block_pos_n values each), exceptions patched from
+        # pos_exc_pos (term-level value index) / pos_exc_high. The
+        # builder picks per TERM whichever encoding is smaller.
+        T.StructField("block_pos_n", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("pos_pack_bits", T.IntegerType(), False),
+        T.StructField("pos_exc_pos", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("pos_exc_high", T.ArrayType(T.LongType(), False), False),
     ]
 )
 
@@ -109,6 +124,8 @@ _EMPTY_POSTINGS = {
     "pack_bits": np.int32, "exc_pos": object, "exc_high": object,
     "docs": object, "tfs": object, "norms": object,
     "block_pos_off": object, "positions": object,
+    "block_pos_n": object, "pos_pack_bits": np.int32,
+    "pos_exc_pos": object, "pos_exc_high": object,
 }
 
 
@@ -188,22 +205,68 @@ def decode_block_positions(
     block_idx: int,
     block_pos_off,
     blob_end: int,
+    pos_pack_bits: int = -1,
+    block_pos_n=None,
+    pos_exc_pos=None,
+    pos_exc_high=None,
 ) -> np.ndarray:
-    """One block's raw position-delta stream (chains still packed —
-    split them with the block's tf values via :func:`chains_absolute`)."""
-    from ..functions.codecs import varint_decode
+    """One block's raw position-delta stream for any codec (chains
+    still packed — split them with the block's tf values via
+    :func:`chains_absolute`). Mirrors :func:`decode_block_deltas`:
+    ``pos_pack_bits < 0`` = varint slice, else b-bit PFor group with
+    term-level exceptions localized to the block."""
+    from ..functions.codecs import pfor_decode_group, varint_decode
 
     offs = np.asarray(block_pos_off, dtype=np.int64)
     s = int(offs[block_idx])
-    e = int(offs[block_idx + 1]) if block_idx + 1 < len(offs) else blob_end
-    return varint_decode(pos_blob[s:e]).astype(np.int64)
+    if pos_pack_bits < 0:
+        e = int(offs[block_idx + 1]) if block_idx + 1 < len(offs) else blob_end
+        return varint_decode(pos_blob[s:e]).astype(np.int64)
+    pn = np.asarray(block_pos_n, dtype=np.int64)
+    n = int(pn[block_idx])
+    low = pfor_decode_group(
+        pos_blob[s:s + (n * pos_pack_bits + 7) // 8], n, pos_pack_bits
+    )
+    ep = np.asarray(pos_exc_pos, dtype=np.int64)
+    if len(ep):
+        p0 = int(pn[:block_idx].sum())
+        sel = (ep >= p0) & (ep < p0 + n)
+        if sel.any():
+            low[ep[sel] - p0] |= (
+                np.asarray(pos_exc_high, dtype=np.uint64)[sel]
+                << np.uint64(pos_pack_bits)
+            )
+    return low.astype(np.int64)
 
 
-def decode_term_positions(pos_blob: bytes, tfs: np.ndarray) -> np.ndarray:
+def decode_term_positions(
+    pos_blob: bytes,
+    tfs: np.ndarray,
+    pos_pack_bits: int = -1,
+    block_pos_n=None,
+    block_pos_off=None,
+    pos_exc_pos=None,
+    pos_exc_high=None,
+) -> np.ndarray:
     """Whole-term flat ABSOLUTE position stream (chains of len tfs[i])."""
-    from ..functions.codecs import varint_decode
+    from ..functions.codecs import pfor_decode_group, varint_decode
 
-    return chains_absolute(varint_decode(pos_blob).astype(np.int64), tfs)
+    if pos_pack_bits < 0:
+        return chains_absolute(varint_decode(pos_blob).astype(np.int64), tfs)
+    pn = np.asarray(block_pos_n, dtype=np.int64)
+    offs = np.asarray(block_pos_off, dtype=np.int64)
+    parts = [
+        pfor_decode_group(
+            pos_blob[offs[j]:offs[j] + (int(pn[j]) * pos_pack_bits + 7) // 8],
+            int(pn[j]), pos_pack_bits,
+        )
+        for j in range(len(pn))
+    ]
+    low = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+    ep = np.asarray(pos_exc_pos, dtype=np.int64)
+    if len(ep):
+        low[ep] |= np.asarray(pos_exc_high, dtype=np.uint64) << np.uint64(pos_pack_bits)
+    return chains_absolute(low.astype(np.int64), tfs)
 
 
 def empty_postings_frame() -> pd.DataFrame:
@@ -275,6 +338,7 @@ def postings_rows_from_flat(
         # per-posting position chains: first absolute, rest deltas
         tfl = tfv.astype(np.int64)
         chain_starts = np.r_[0, np.cumsum(tfl)][:-1]
+        post_val = np.r_[0, np.cumsum(tfl)]  # value index at posting boundaries
         pdl = np.empty(len(pos_flat), dtype=np.int64)
         pdl[1:] = pos_flat[1:] - pos_flat[:-1]
         pdl[chain_starts] = pos_flat[chain_starts]
@@ -282,6 +346,9 @@ def postings_rows_from_flat(
         pos_elem_off = np.r_[0, np.cumsum(varint_nbytes(pdl))]
         post_byte = pos_elem_off[chain_starts]  # byte start of posting i's chain
         pos_blob_end = int(pos_elem_off[-1])
+        from ..functions.codecs import bits_needed
+
+        pdl_bits = bits_needed(pdl.astype(np.uint64))  # one pass, all terms
 
     g_code = codes[starts]
     g_block = block[starts].astype(np.int32)
@@ -304,9 +371,10 @@ def postings_rows_from_flat(
     empty_l = np.empty(0, dtype=np.int64)
     block_ids, block_ns, block_maxtf, block_mindl = [], [], [], []
     bdoc_off, btf_off, docs_col, tfs_col, norms_col = [], [], [], [], []
-    bpos_off, pos_col = [], []
+    bpos_off, pos_col, bpos_n = [], [], []
     pack_col = np.full(n_terms, -1, dtype=np.int32)
-    excp_col, exch_col = [], []
+    pos_pack_col = np.full(n_terms, -1, dtype=np.int32)
+    excp_col, exch_col, pos_excp_col, pos_exch_col = [], [], [], []
     n_col = np.empty(n_terms, dtype=np.int32)
     for j in range(n_terms):
         a, b = t_bounds[j], t_bounds[j + 1]
@@ -314,11 +382,41 @@ def postings_rows_from_flat(
         if pos_flat is not None:
             t_start = int(post_byte[p0])
             t_end = int(post_byte[p1]) if p1 < len(post_byte) else pos_blob_end
-            pos_col.append(pos_b[t_start:t_end])
-            bpos_off.append((post_byte[bounds[a:b]] - t_start).astype(np.int32))
+            v0, v1 = int(post_val[p0]), int(post_val[p1])
+            pn_t = g_sumtf[a:b].astype(np.int64)  # positions per block
+            bpos_n.append(pn_t.astype(np.int32))
+            # per-term codec choice: PFor the position deltas when the
+            # packed-low-bits + exceptions footprint beats the varint
+            # slice (deltas are token gaps, usually < 8 bits — varint's
+            # floor); exceptions absorb each chain's absolute first
+            # position. ~12 bytes/exception approximates the parquet
+            # cost of its (pos, high) pair.
+            nb_t = pdl_bits[v0:v1]
+            bt = int(np.sort(nb_t)[min(v1 - v0 - 1, int(0.98 * (v1 - v0 - 1)))]) \
+                if v1 > v0 else 0
+            packed_bytes = int(((pn_t * bt + 7) // 8).sum())
+            n_exc = int((nb_t > bt).sum())
+            if v1 > v0 and packed_bytes + 12 * n_exc < t_end - t_start:
+                blob, offs, ep, eh = pfor_encode_groups(
+                    pdl[v0:v1].astype(np.uint64),
+                    (post_val[bounds[a:b]] - v0).astype(np.int64), pn_t, bt,
+                )
+                pos_col.append(blob)
+                bpos_off.append(offs.astype(np.int32))
+                pos_pack_col[j] = bt
+                pos_excp_col.append(ep.astype(np.int32))
+                pos_exch_col.append(eh.astype(np.int64))
+            else:
+                pos_col.append(pos_b[t_start:t_end])
+                bpos_off.append((post_byte[bounds[a:b]] - t_start).astype(np.int32))
+                pos_excp_col.append(empty_i)
+                pos_exch_col.append(empty_l)
         else:
             pos_col.append(b"")
             bpos_off.append(empty_i)
+            bpos_n.append(empty_i)
+            pos_excp_col.append(empty_i)
+            pos_exch_col.append(empty_l)
         block_ids.append(g_block[a:b])
         ns_t = n_per[a:b].astype(np.int32)
         block_ns.append(ns_t)
@@ -367,6 +465,10 @@ def postings_rows_from_flat(
             "norms": norms_col,
             "block_pos_off": bpos_off,
             "positions": pos_col,
+            "block_pos_n": bpos_n,
+            "pos_pack_bits": pos_pack_col,
+            "pos_exc_pos": pos_excp_col,
+            "pos_exc_high": pos_exch_col,
         }
     )
 
@@ -548,6 +650,10 @@ def build_index(
             (F.sum(F.length("docs")) + F.sum(F.length("tfs")) + F.sum(F.length("norms"))).alias(
                 "bytes_compressed"
             ),
+            # v5: the position stream reported separately — it was the
+            # v4 build's bandwidth cost (BENCH/r4_attrib.json), and the
+            # per-term PFor-vs-varint choice shows up here
+            F.sum(F.length("positions")).alias("bytes_positions"),
         )
         .join(dm_read.groupBy("segment_id").agg(F.count(F.lit(1)).alias("docs_tokenized")), "segment_id", "outer")
         .na.fill(0)
@@ -578,12 +684,14 @@ def build_index(
         F.sum("docs_tokenized").alias("docs"),
         F.sum("postings_emitted").alias("postings"),
         F.sum("bytes_compressed").alias("bytes"),
+        F.sum("bytes_positions").alias("pos_bytes"),
         F.sum("total_tokens").alias("tokens"),
     ).collect()[0]
     return {
         "docs": agg["docs"],
         "postings": agg["postings"],
         "bytes_compressed": agg["bytes"],
+        "bytes_positions": agg["pos_bytes"],
         "total_tokens": agg["tokens"],
         "wall_sec": time.time() - t0,
         "segments_built": num_segments - len(done),

@@ -70,7 +70,10 @@ def _merge_kernel(range_block: int, shift_of: dict[int, int], factor: int, term_
             tfs_l.append(tfs)
             norms_l.append(norms)
             if store_positions:
-                pos_l.append(decode_term_positions(r.positions, tfs))
+                pos_l.append(decode_term_positions(
+                    r.positions, tfs, int(r.pos_pack_bits), r.block_pos_n,
+                    r.block_pos_off, r.pos_exc_pos, r.pos_exc_high,
+                ))
         term = np.concatenate(terms_l)
         norm = np.concatenate(norms_l)
         return postings_rows_from_flat(

@@ -38,21 +38,22 @@ def _token_spans(text: str, tokenizer: str) -> list[tuple[int, int]]:
     """Char spans of the analyzer's tokens in the ORIGINAL text — the
     chunker needs offsets, not terms, so case-folding analyzers use
     their span pattern unfolded (a token's span is case-invariant)."""
-    from ..functions.tokenize import ANALYZERS
+    from ..functions.tokenize import py_token_spans
 
     if tokenizer == "whitespace":
         pat = _WS_TOKEN  # precompiled hot path (the historical default)
-    else:
-        try:
-            _split_re, token_re, _lower = ANALYZERS[tokenizer]
-        except KeyError:
-            raise ValueError(
-                f"fixed_token_length chunking requires a registered "
-                f"analyzer name (one of {sorted(ANALYZERS)}), got "
-                f"[{tokenizer}] — raw split regexes carry no span pattern"
-            ) from None
-        pat = re.compile(token_re)
-    return [(m.start(), m.end()) for m in pat.finditer(text)]
+        return [(m.start(), m.end()) for m in pat.finditer(text)]
+    try:
+        # Python dialect: runs inside a pandas UDF under stdlib re /
+        # char predicates (the engine dialect's \p{} classes don't
+        # compile there; cross-dialect parity pinned by tests)
+        return py_token_spans(text, tokenizer)
+    except ValueError:
+        raise ValueError(
+            f"fixed_token_length chunking requires a registered "
+            f"analyzer name, got [{tokenizer}] — raw split regexes "
+            "carry no span pattern"
+        ) from None
 
 
 def chunk_fixed_token_length(

@@ -44,6 +44,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .graph_ann import (
     DEFAULT_EF_CONSTRUCTION,
@@ -75,18 +76,42 @@ def _gc_stale_versions(store_dir: str, prefix: str, keep_name: str) -> None:
                 shutil.rmtree(path, ignore_errors=True)
 
 
-def _graph_dir(store_dir: str) -> str | None:
-    """Current graph directory per the manifest; None before the first
-    batch lands."""
+def _manifest(store_dir: str) -> dict | None:
     p = _manifest_path(store_dir)
     if not os.path.exists(p):
         return None
     with open(p) as fh:
-        return os.path.join(store_dir, json.load(fh)["current"])
+        return json.load(fh)
 
 
-def read_live_vectors(spark: SparkSession, store_dir: str) -> DataFrame:
-    return spark.read.parquet(_vectors_dir(store_dir)).drop("ingest_batch")
+def _graph_dir(store_dir: str) -> str | None:
+    """Current graph directory per the manifest; None before the first
+    batch lands."""
+    m = _manifest(store_dir)
+    return None if m is None else os.path.join(store_dir, m["current"])
+
+
+def _committed(store_dir: str) -> list[int] | None:
+    """Batch ids the manifest has committed — the SERVING view filter.
+    A crashed batch's vector partition lands before its graph flips;
+    gating reads on the manifest's committed list keeps the whole store
+    view atomic at the one commit point (kill-tested,
+    tests/test_crash_safety.py)."""
+    m = _manifest(store_dir)
+    return None if m is None else [int(x) for x in m.get("committed", [])]
+
+
+def read_live_vectors(
+    spark: SparkSession, store_dir: str, _plus_batch: int | None = None
+) -> DataFrame:
+    df = spark.read.parquet(_vectors_dir(store_dir))
+    committed = _committed(store_dir)
+    if committed is not None or _plus_batch is not None:
+        batches = set(committed or [])
+        if _plus_batch is not None:
+            batches.add(int(_plus_batch))
+        df = df.where(F.col("ingest_batch").isin(sorted(batches)))
+    return df.drop("ingest_batch")
 
 
 def read_live_graph(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -108,8 +133,6 @@ def append_vector_batch(
 ) -> None:
     """Persist one micro-batch of (vec_id, embedding) rows and grow the
     stored graph. Idempotent per ``batch_id``."""
-    from pyspark.sql import functions as F
-
     vdir = _vectors_dir(store_dir)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -126,7 +149,7 @@ def append_vector_batch(
         else:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
-    emb = read_live_vectors(spark, store_dir)
+    emb = read_live_vectors(spark, store_dir, _plus_batch=int(batch_id))
     prev_dir = _graph_dir(store_dir)
     if prev_dir is not None:
         grown = hnsw_append(
@@ -161,8 +184,9 @@ def append_vector_batch(
         shutil.rmtree(new_dir)  # stale leftover from a crashed attempt
     grown.write.mode("overwrite").parquet(new_dir)
     tmp = _manifest_path(store_dir) + ".tmp"
+    committed = sorted(set(_committed(store_dir) or []) | {int(batch_id)})
     with open(tmp, "w") as fh:
-        json.dump({"current": new_name}, fh)
+        json.dump({"current": new_name, "committed": committed}, fh)
     os.replace(tmp, _manifest_path(store_dir))
     _gc_stale_versions(store_dir, "graph.v", new_name)
 

@@ -62,12 +62,27 @@ def _manifest_path(store_dir: str) -> str:
     return os.path.join(store_dir, "roots_manifest.json")
 
 
-def _roots_dir(store_dir: str) -> str | None:
+def _manifest(store_dir: str) -> dict | None:
     p = _manifest_path(store_dir)
     if not os.path.exists(p):
         return None
     with open(p) as fh:
-        return os.path.join(store_dir, json.load(fh)["current"])
+        return json.load(fh)
+
+
+def _roots_dir(store_dir: str) -> str | None:
+    m = _manifest(store_dir)
+    return None if m is None else os.path.join(store_dir, m["current"])
+
+
+def _committed(store_dir: str) -> list[int] | None:
+    """Batch ids the manifest has committed — the SERVING view filter.
+    A crashed batch's docid/sketch partitions land before its roots
+    flip; gating reads on the manifest\'s committed list keeps the
+    whole store view atomic at the one commit point (kill-tested,
+    tests/test_crash_safety.py)."""
+    m = _manifest(store_dir)
+    return None if m is None else [int(x) for x in m.get("committed", [])]
 
 
 def read_live_roots(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -83,7 +98,13 @@ def live_survivors(spark: SparkSession, store_dir: str) -> DataFrame:
     ingested so far — the always-fresh dedup decision view."""
     from pyspark.sql import Window
 
-    ids = spark.read.parquet(_docids_dir(store_dir)).select("doc_id")
+    ids = spark.read.parquet(_docids_dir(store_dir))
+    committed = _committed(store_dir)
+    if committed is not None:
+        # serve only COMMITTED batches: a crashed batch's docids are
+        # invisible until its pairs fold into the roots
+        ids = ids.where(F.col("ingest_batch").isin(committed))
+    ids = ids.select("doc_id")
     roots = read_live_roots(spark, store_dir).withColumnRenamed("u", "doc_id")
     comp = ids.join(roots, "doc_id", "left").select(
         "doc_id", F.coalesce("v", F.col("doc_id")).alias("component_id")
@@ -138,6 +159,10 @@ def append_dedup_batch(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     all_sk = spark.read.parquet(_sketch_dir(store_dir))
+    # pair only against COMMITTED batches + this one: sketches from a
+    # crashed-and-never-redelivered batch must not contaminate pairs
+    visible = sorted(set(_committed(store_dir) or []) | {int(batch_id)})
+    all_sk = all_sk.where(F.col("ingest_batch").isin(visible))
     left_sk = all_sk.where(F.col("ingest_batch") == int(batch_id)).drop("ingest_batch")
     all_sk = all_sk.drop("ingest_batch")
     new_pairs = minhash_pairs_between(
@@ -159,8 +184,9 @@ def append_dedup_batch(
         shutil.rmtree(new_dir)
     roots.write.mode("overwrite").parquet(new_dir)
     tmp = _manifest_path(store_dir) + ".tmp"
+    committed = sorted(set(_committed(store_dir) or []) | {int(batch_id)})
     with open(tmp, "w") as fh:
-        json.dump({"current": new_name}, fh)
+        json.dump({"current": new_name, "committed": committed}, fh)
     os.replace(tmp, _manifest_path(store_dir))
     _gc_stale_versions(store_dir, "roots.v", new_name)
 

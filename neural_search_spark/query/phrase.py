@@ -44,7 +44,8 @@ from ..index.builder import SEG_SHIFT
 from .bm25 import B, K1
 from .wand import BULK_COLS, IndexReader
 
-PHRASE_COLS = [*BULK_COLS, "block_tf_off", "block_pos_off", "positions"]
+PHRASE_COLS = [*BULK_COLS, "block_tf_off", "block_pos_off", "positions",
+               "block_pos_n", "pos_pack_bits", "pos_exc_pos", "pos_exc_high"]
 
 # key = doc * 2^POS_SHIFT + position: positions must fit the low bits.
 # 2^24 = 16M tokens per doc — far beyond any real document; asserted.
@@ -108,7 +109,9 @@ def _phrase_kernel(
             tff = tfv.astype(np.float64).astype(ft)
             contrib = idf * (tff / (tff + k1f * (ft(1.0) - bf + bf * dlq / av)))
             per_term[r.term] = (ids, tfv, contrib, ns, r.positions,
-                                np.asarray(r.block_pos_off, dtype=np.int64))
+                                np.asarray(r.block_pos_off, dtype=np.int64),
+                                int(r.pos_pack_bits), r.block_pos_n,
+                                r.pos_exc_pos, r.pos_exc_high)
             if len(ids):
                 size = max(size, int(ids[-1]) + 1)
         if size == 0:
@@ -116,7 +119,7 @@ def _phrase_kernel(
         acc = np.zeros(size, dtype=ft)
         cnt = np.zeros(size, dtype=np.int32)
         for t in uniq_terms:  # sorted-term order -> deterministic sums
-            ids, _, contrib, _, _, _ = per_term[t]
+            ids, contrib = per_term[t][0], per_term[t][2]
             acc[ids] += contrib
             cnt[ids] += 1
         cand = np.flatnonzero(cnt == n_uniq).astype(np.int64)
@@ -126,7 +129,8 @@ def _phrase_kernel(
         # --- positions for candidate postings, candidate blocks only ---
         pos_keys: dict[str, np.ndarray] = {}
         for t in uniq_terms:
-            ids, tfv, _, ns, pos_blob, pos_off = per_term[t]
+            (ids, tfv, _, ns, pos_blob, pos_off,
+             pos_bits, pos_n, pos_ep, pos_eh) = per_term[t]
             in_cand = np.isin(ids, cand)
             noff = np.r_[0, np.cumsum(ns)]
             post_block = np.repeat(np.arange(len(ns), dtype=np.int64), ns)
@@ -134,7 +138,8 @@ def _phrase_kernel(
             keys_parts = []
             for j in needed:
                 p0, p1 = int(noff[j]), int(noff[j + 1])
-                d = decode_block_positions(pos_blob, int(j), pos_off, len(pos_blob))
+                d = decode_block_positions(pos_blob, int(j), pos_off, len(pos_blob),
+                                           pos_bits, pos_n, pos_ep, pos_eh)
                 pos_abs = chains_absolute(d, tfv[p0:p1])
                 # explicit raise (not assert: stripped under python -O) —
                 # a >=2^24-token doc would silently corrupt (doc<<24|pos)

@@ -83,7 +83,8 @@ def run_level(cpus: int, corpus_dir: str, work_dir: str, pkg_zip: str) -> dict:
     query = _run_worker(cpus, corpus_dir, work_dir, pkg_zip, ["--skip-build"])
     merged = dict(build)
     for k in ("n_queries", "query_sec", "queries_per_sec",
-              "query_single_sec", "queries_per_sec_single"):
+              "query_single_sec", "queries_per_sec_single",
+              "latency_p50_p95"):
         merged[k] = query[k]
     return merged
 

@@ -123,7 +123,8 @@ def main() -> int:
 
     if args.skip_build:
         build_s, mismatches = float("nan"), -1
-        metrics = {"postings": -1, "bytes_compressed": -1, "total_tokens": -1, "phase_sec": {}}
+        metrics = {"postings": -1, "bytes_compressed": -1, "bytes_positions": -1,
+                   "total_tokens": -1, "phase_sec": {}}
     else:
         shutil.rmtree(args.index_dir, ignore_errors=True)
         t0 = time.perf_counter()
@@ -148,6 +149,7 @@ def main() -> int:
             "phase_sec": metrics["phase_sec"],
             "postings": int(metrics["postings"]),
             "bytes_compressed": int(metrics["bytes_compressed"]),
+            "bytes_positions": int(metrics.get("bytes_positions", -1)),
             "total_tokens": int(metrics["total_tokens"]),
         }))
         spark.stop()
@@ -216,6 +218,36 @@ def main() -> int:
         list(pool.map(lambda tm: bm25_topk_indexed(reader, tm[0], k=10, mode=tm[1]).collect(), jobs))
     query_single_s = time.perf_counter() - t0
 
+    # --- serving latency percentiles under concurrent clients --------
+    # A serving engine's headline is PER-REQUEST latency under load,
+    # not only batch throughput: 1/8/32 clients issue one-query
+    # requests against the same persisted index through the FAIR
+    # scheduler; every request is timed individually and p50/p95 are
+    # reported per concurrency level (VERDICT r04 #8).
+    import threading
+
+    latency: dict[str, dict] = {}
+    lat_workload = make_query_workload(48)
+    lat_lock = threading.Lock()
+    for clients in (1, 8, 32):
+        times: list[float] = []
+
+        def one(tm):
+            t1 = time.perf_counter()
+            bm25_topk_indexed(reader, tm[0], k=10, mode=tm[1]).collect()
+            dt = time.perf_counter() - t1
+            with lat_lock:
+                times.append(dt)
+
+        with ThreadPoolExecutor(max_workers=clients) as pool:
+            list(pool.map(one, lat_workload))
+        ts = sorted(times)
+        latency[str(clients)] = {
+            "p50_sec": round(ts[len(ts) // 2], 3),
+            "p95_sec": round(ts[min(len(ts) - 1, int(0.95 * (len(ts) - 1)))], 3),
+            "n_requests": len(ts),
+        }
+
     print(
         json.dumps(
             {
@@ -231,6 +263,7 @@ def main() -> int:
                 "queries_per_sec": round(n_q / query_s, 2),
                 "query_single_sec": round(query_single_s, 2),
                 "queries_per_sec_single": round(len(jobs) / query_single_s, 2),
+                "latency_p50_p95": latency,
                 "phase_sec": metrics["phase_sec"],
                 "postings": int(metrics["postings"]),
                 "bytes_compressed": int(metrics["bytes_compressed"]),

@@ -250,8 +250,11 @@ def test_rounded_topk_small_fetch_escalation(spark):
 # --- named analyzers (reference FixedTokenLengthChunker.java:44-58) -----
 
 ANALYZER_FIXTURES = {
-    # text -> expected tokens per analyzer (hand-computed)
-    "standard": ("Foo-Bar v2.1_x  Ωmega", ["Foo", "Bar", "v2", "1", "x", "mega"]),
+    # text -> expected tokens per analyzer (hand-computed).
+    # round 5: `standard` is Unicode [\p{L}\p{N}_] runs — underscore
+    # JOINS (UAX#29 ExtendNumLet, as Lucene's StandardTokenizer) and Ω
+    # is a letter; the r04 ASCII approximation split both.
+    "standard": ("Foo-Bar v2.1_x  Ωmega", ["Foo", "Bar", "v2", "1_x", "Ωmega"]),
     "letter": ("Foo-Bar v2.1_x", ["Foo", "Bar", "v", "x"]),
     "lowercase": ("Foo-Bar V2", ["foo", "bar", "v"]),
     "whitespace": ("Foo-Bar  v2.1_x\tz", ["Foo-Bar", "v2.1_x", "z"]),

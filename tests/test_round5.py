@@ -1,0 +1,194 @@
+"""Round-5 additions, third-party-checked where possible:
+
+* Unicode analyzers (`standard`/`letter`/`lowercase` now use \\p{L}/\\p{N}
+  classes — UAX#29-approximate word runs with ExtendNumLet underscore
+  joining): the four engines that tokenize (Python predicates, RE2 via
+  DuckDB, RE2 via Arrow, Java via Spark SQL) must agree token-for-token
+  on mixed-script text, and `match_text_topk` must be rank-identical to
+  a DuckDB oracle over a NON-ASCII corpus.
+* v5 positional codec (per-term PFor-vs-varint choice for position
+  deltas): decoded chains equal direct tokenization on both codec
+  branches, and the PFor branch is actually exercised.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+# Mixed-script strings exercising the documented divergence boundary:
+# accents, Cyrillic, Greek, CJK runs, superscripts (No), Roman numerals
+# (Nl), underscores (ExtendNumLet).
+MIXED = [
+    "naïve café_über Москва привет42 foo_bar 3.14 don't 東京タワー test",
+    "Grüße ÅNGSTRÖM Ωmega ζήτα λ_calculus x²+y² Ⅷ time",
+    "mixed ASCII and Ünïcödé wörds_123",
+    "__edge__ _ 42 ¼cup preṃchand",
+]
+
+
+@pytest.mark.parametrize("name", ["standard", "letter", "lowercase"])
+def test_analyzer_four_engine_parity(spark, duck, name):
+    from neural_search_spark.functions.tokenize import ANALYZERS, py_token_spans
+
+    split_re, _token_re, lower = ANALYZERS[name]
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for s in MIXED:
+        t = s.lower() if lower else s
+        py = [t[a:b] for a, b in py_token_spans(t, name)]
+        got_duck = duck.execute(
+            "SELECT list_filter(regexp_split_to_array(?, ?), x -> x <> '')",
+            [t, split_re],
+        ).fetchone()[0]
+        assert py == got_duck, (name, s, py, got_duck)
+        cleaned = pc.replace_substring_regex(
+            pa.array([t]), pattern=split_re, replacement=" "
+        )
+        got_arrow = [x for x in cleaned[0].as_py().split(" ") if x]
+        assert py == got_arrow, (name, s, py, got_arrow)
+        # F.split passes the Java-regex pattern verbatim (a spark.sql
+        # string literal would eat the backslashes)
+        got_spark = [
+            x for x in spark.createDataFrame([(t,)], "t string")
+            .select(F.split("t", split_re)).collect()[0][0] if x
+        ]
+        assert py == got_spark, (name, s, py, got_spark)
+
+
+def test_standard_joins_underscore_like_uax29(spark):
+    # UAX#29 WB13a/13b: ExtendNumLet joins — StandardTokenizer keeps
+    # foo_bar as ONE token; the r04 ASCII approximation split it.
+    from neural_search_spark.functions.tokenize import analyze_query
+
+    assert analyze_query("foo_bar baz", "standard") == ["foo_bar", "baz"]
+    assert analyze_query("foo_bar baz", "letter") == ["foo", "bar", "baz"]
+
+
+NONASCII_DOCS = [
+    (0, "naïve café implementation naïve again"),
+    (1, "Москва uses naïve caching"),
+    (2, "café Москва café naïve"),
+    (3, "plain ascii words only here"),
+    (4, "λ_calculus and naïve λ_calculus notes"),
+    (5, "Grüße from the café in Москва"),
+]
+
+
+def test_match_text_nonascii_indexed_vs_duckdb_oracle(spark, tmp_path):
+    """VERDICT r04 #7 done-bar: match over a non-ASCII corpus with the
+    standard analyzer, indexed kernel vs a DuckDB oracle running the
+    SAME \\p{} spec — rank-identical."""
+    import duckdb
+    import pandas as pd
+
+    from neural_search_spark.index.builder import build_index
+    from neural_search_spark.oracle import match_text_topk_sql
+    from neural_search_spark.query.wand import IndexReader, match_text_topk
+
+    docs = spark.createDataFrame(NONASCII_DOCS, "doc_id long, text string")
+    d = str(tmp_path / "uniidx")
+    build_index(spark, docs, d, key_cols=["doc_id"], text_col="text",
+                tokenizer="standard", num_segments=2, range_block=4)
+    r = IndexReader(spark, d, cache_hot=True)
+    for q in ["naïve café", "Москва", "λ_calculus naïve", "NAÏVE plain"]:
+        got = match_text_topk(r, q, k=10)
+        rows = sorted(
+            ((int(x["doc_id"]), round(float(x["score"]), 4)) for x in got.collect()),
+            key=lambda t: (-t[1], t[0]))
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(NONASCII_DOCS,
+                                               columns=["doc_id", "text"]))
+        exp = con.execute(
+            match_text_topk_sql(q, k=10, tokenizer="standard")
+        ).fetchall()
+        exp = [(int(a), float(b)) for a, b, _rank in exp]
+        con.close()
+        assert rows == exp, (q, rows, exp)
+
+
+def test_chunk_fixed_standard_nonascii(spark):
+    """Fixed-token chunking with the standard analyzer over non-ASCII
+    text: chunk boundaries follow Unicode token spans; re-chunked text
+    concatenates back to full coverage of every token."""
+    from neural_search_spark.operators.chunkers import chunk_fixed_token_length
+    from neural_search_spark.functions.tokenize import py_token_spans
+
+    text = "naïve café_über Москва привет λ_calculus Grüße test naïve end"
+    chunks = chunk_fixed_token_length(text, token_limit=3, overlap_rate=0.0,
+                                      tokenizer="standard")
+    spans = py_token_spans(text, "standard")
+    # every chunk holds <= 3 tokens and the union covers all tokens
+    total = 0
+    for c in chunks:
+        n = len(py_token_spans(c, "standard"))
+        assert 1 <= n <= 3
+        total += n
+    assert total == len(spans)
+
+
+def test_v5_position_codec_both_branches(spark):
+    """Per-term codec choice: small-gap terms pick PFor, sparse terms
+    keep varint; decoded positions equal direct tokenization on BOTH."""
+    from neural_search_spark.functions.codecs import varint_decode
+    from neural_search_spark.index.builder import (
+        decode_term_deltas,
+        decode_term_positions,
+    )
+    from neural_search_spark.index.builder import build_index
+    from neural_search_spark.query.wand import IndexReader
+    import tempfile
+
+    # `dense` appears every other token (tiny gaps -> PFor); `rare`
+    # appears once per doc at a large offset (varint-friendly chains)
+    rows = []
+    for d in range(30):
+        toks = []
+        for i in range(40):
+            toks.append("dense" if i % 2 == 0 else f"filler{i}_{d}")
+        toks.append("rare")
+        if d == 7:
+            # one single-occurrence term: 1 block, 1 small value ->
+            # PFor ties varint (1 byte) and the strict < keeps varint
+            toks.append("zzqunique")
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as td:
+        d = os.path.join(td, "idx")
+        build_index(spark, docs, d, key_cols=["doc_id"], text_col="text",
+                    tokenizer="simple", num_segments=1, range_block=8)
+        r = IndexReader(spark, d, cache_hot=False)
+        pdf = r.postings_positional().toPandas().set_index("term")
+        assert int(pdf.loc["dense", "pos_pack_bits"]) >= 0  # PFor chosen
+        kinds = set(int(b) >= 0 for b in pdf["pos_pack_bits"])
+        assert kinds == {True, False}  # both branches exercised
+        # roundtrip every term against direct tokenization
+        from neural_search_spark.query.exhaustive import tokenized
+
+        toks_by_doc = {int(x["doc_id"]): list(x["toks"]) for x in
+                       tokenized(docs).collect()}
+        dm = {int(x["nss_doc_id"]): int(x["doc_id"]) for x in
+              r.docmap().collect()}
+        for term, row in pdf.iterrows():
+            deltas = decode_term_deltas(row["docs"], row["block_ns"],
+                                        row["block_doc_off"], int(row["pack_bits"]),
+                                        row["exc_pos"], row["exc_high"])
+            ns = np.asarray(row["block_ns"], dtype=np.int64)
+            bids = np.asarray(row["block_ids"], dtype=np.int64)
+            starts = np.r_[0, np.cumsum(ns)[:-1]]
+            cs = np.cumsum(deltas)
+            carry = np.repeat(cs[starts] - deltas[starts], ns)
+            local = np.repeat(bids * 8, ns) + cs - carry
+            tfs = varint_decode(row["tfs"]).astype(np.int64)
+            pos = decode_term_positions(
+                row["positions"], tfs, int(row["pos_pack_bits"]),
+                row["block_pos_n"], row["block_pos_off"],
+                row["pos_exc_pos"], row["pos_exc_high"])
+            off = np.r_[0, np.cumsum(tfs)]
+            seg = int(row["segment_id"])
+            for i, lid in enumerate(local):
+                did = dm[(seg << 40) + int(lid)]
+                exp = [j for j, t in enumerate(toks_by_doc[did]) if t == term]
+                assert pos[off[i]:off[i + 1]].tolist() == exp, (term, did)
