@@ -59,11 +59,14 @@ SEG_SHIFT = 40  # doc_id = (segment_id << 40) | local_id
 # bump when POSTINGS_SCHEMA changes — cached index dirs embed this so a
 # reader never opens an index written by an incompatible layout
 # v4: per-posting position streams (block_pos_off + positions columns)
-# v5: positions bit-packed per term (PFor low bits + exceptions) when
-#     that beats varint — position deltas are small (token gaps), so a
-#     6-8 bit width typically cuts the position stream ~25-35% vs the
-#     8-bit-minimum varint; the stream was the v4 build's bandwidth
-#     cost at 32 cores (BENCH/r4_attrib.json)
+# v5: position codec metadata (pos_pack_bits/block_pos_n/pos_exc_*) —
+#     readers handle per-term PFor-packed OR varint position streams.
+#     The build DEFAULT stays varint: the round-5 experiment measured
+#     only a 9.3% available byte cut on the code corpus (deltas are
+#     mostly sub-128 = already 1-byte varints, BENCH/r5_pos_bytes.json)
+#     for +43% position-encode CPU, with no 8->32 efficiency change
+#     (BENCH/r5_attrib.json) — pos_codec="auto" keeps the packed path
+#     opt-in for corpora whose position distributions reward it.
 FORMAT_VERSION = 5
 
 # One row per (segment, term): per-block metadata travels as parallel
@@ -284,6 +287,7 @@ def postings_rows_from_flat(
     term_buckets: int,
     codec: str = "varint",
     pos_flat: np.ndarray | None = None,
+    pos_codec: str = "varint",
 ) -> pd.DataFrame:
     """Flat (term, doc_id, tf, norm_byte, dl_q) posting streams (any
     order) -> one POSTINGS_SCHEMA row per term. Shared by the build and
@@ -348,8 +352,6 @@ def postings_rows_from_flat(
         pos_blob_end = int(pos_elem_off[-1])
         from ..functions.codecs import bits_needed
 
-        pdl_bits = bits_needed(pdl.astype(np.uint64))  # one pass, all terms
-
     g_code = codes[starts]
     g_block = block[starts].astype(np.int32)
     g_maxtf = np.maximum.reduceat(tfv, starts).astype(np.int32)
@@ -390,13 +392,26 @@ def postings_rows_from_flat(
             # slice (deltas are token gaps, usually < 8 bits — varint's
             # floor); exceptions absorb each chain's absolute first
             # position. ~12 bytes/exception approximates the parquet
-            # cost of its (pos, high) pair.
-            nb_t = pdl_bits[v0:v1]
-            bt = int(np.sort(nb_t)[min(v1 - v0 - 1, int(0.98 * (v1 - v0 - 1)))]) \
-                if v1 > v0 else 0
-            packed_bytes = int(((pn_t * bt + 7) // 8).sum())
-            n_exc = int((nb_t > bt).sum())
-            if v1 > v0 and packed_bytes + 12 * n_exc < t_end - t_start:
+            # cost of its (pos, high) pair. pos_codec="auto" probes
+            # terms with >= 1024 positions only (below that the
+            # per-term call overhead exceeds any saving). DEFAULT IS
+            # "varint": the round-5 experiment measured the available
+            # cut at just 9.3% on the code corpus (position deltas are
+            # mostly sub-128 = already 1-byte varints,
+            # BENCH/r5_pos_bytes.json) while PFor-encoding the big
+            # terms costs +43% position-encode CPU (the stream is
+            # varint-encoded once globally either way) and moved the
+            # 8->32 build efficiency not at all (0.306 vs v4's 0.305,
+            # BENCH/r5_attrib.json) — a bad trade kept opt-in, not
+            # default.
+            if pos_codec == "auto" and v1 - v0 >= 1024:
+                nb_t = bits_needed(pdl[v0:v1].astype(np.uint64))
+                bt = int(np.sort(nb_t)[min(v1 - v0 - 1, int(0.98 * (v1 - v0 - 1)))])
+                packed_bytes = int(((pn_t * bt + 7) // 8).sum())
+                n_exc = int((nb_t > bt).sum())
+            else:
+                bt, packed_bytes, n_exc = 0, 1 << 60, 0
+            if packed_bytes + 12 * n_exc < t_end - t_start:
                 blob, offs, ep, eh = pfor_encode_groups(
                     pdl[v0:v1].astype(np.uint64),
                     (post_val[bounds[a:b]] - v0).astype(np.int64), pn_t, bt,
@@ -504,6 +519,7 @@ def _term_buckets_of(terms: np.ndarray, term_buckets: int) -> np.ndarray:
 def _build_segment_kernel(
     tokenizer_name: str, text_col: str, key_cols: list[str], range_block: int,
     term_buckets: int = 0, codec: str = "varint", store_positions: bool = False,
+    pos_codec: str = "varint",
 ):
     # registry name, or a custom split regex — the same contract
     # index.mappings.validate_index_spec accepts (term_freq_frame resolves
@@ -540,6 +556,7 @@ def _build_segment_kernel(
             term_buckets,
             codec,
             pos_flat,
+            pos_codec=pos_codec,
         )
 
     return build
@@ -582,6 +599,7 @@ def build_index(
     term_buckets: int = 0,
     codec: str = "varint",
     store_positions: bool = True,
+    pos_codec: str = "varint",
 ) -> dict:
     """Build (or resume) the index; returns build metrics.
 
@@ -624,7 +642,8 @@ def build_index(
 
     phase_t: dict[str, float] = {}
     kernel = _build_segment_kernel(
-        tokenizer, text_col, key_cols, range_block, term_buckets, codec, store_positions
+        tokenizer, text_col, key_cols, range_block, term_buckets, codec,
+        store_positions, pos_codec=pos_codec,
     )
     postings = todo.select("segment_id", text_col, *key_cols).groupBy("segment_id").applyInPandas(
         kernel, schema=POSTINGS_SCHEMA
@@ -676,6 +695,7 @@ def build_index(
         "text_col": text_col,
         "seg_shift": SEG_SHIFT,
         "store_positions": store_positions,
+        "pos_codec": pos_codec,
     }
     with open(p["meta"], "w") as fh:
         json.dump(meta, fh)

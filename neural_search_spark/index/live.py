@@ -106,6 +106,7 @@ def _append_segment_writes(spark, with_seg, meta, p, segment_id, key_cols, text_
             (
                 F.sum(F.length("docs")) + F.sum(F.length("tfs")) + F.sum(F.length("norms"))
             ).alias("bytes_compressed"),
+            F.sum(F.length("positions")).alias("bytes_positions"),
         )
         .join(
             dm_read.groupBy("segment_id").agg(F.count(F.lit(1)).alias("docs_tokenized")),

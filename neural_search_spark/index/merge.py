@@ -150,6 +150,7 @@ def merge_segments(
         (
             F.sum(F.length("docs")) + F.sum(F.length("tfs")) + F.sum(F.length("norms"))
         ).alias("bytes_compressed"),
+        F.sum(F.length("positions")).alias("bytes_positions"),
     )
     man = spark.read.parquet(p_in["manifest"])
     man_new = (
@@ -161,7 +162,7 @@ def merge_segments(
             F.sum("docs_tokenized").alias("docs_tokenized"),
         )
         .join(layout, "segment_id", "left")
-        .na.fill(0, ["blocks", "bytes_compressed"])
+        .na.fill(0, ["blocks", "bytes_compressed", "bytes_positions"])
         .withColumn("build_id", F.lit(f"merge-{int(t0)}"))
         .withColumn("built_at_unix", F.lit(int(t0)))
         .withColumn("tokenizer", F.lit(meta["tokenizer"]))

@@ -641,8 +641,9 @@ def _explainable_terms(ctx: SearchContext, typ: str, spec: Any) -> list[str]:
     if typ == "match_phrase":
         return _phrase_terms(ctx, spec, analyzer)
     if typ == "bool":
-        if spec.get("must_not") is not None or spec.get("filter"):
-            pass  # non-scoring clauses don't enter the breakdown
+        # must_not/filter clauses are non-scoring — they shape the hit
+        # list (which comes from the dispatched bool kernel) but never
+        # enter the factor breakdown
         seen: set[str] = set()
         for key in ("must", "should"):
             for c in spec.get(key) or []:

@@ -66,3 +66,29 @@ def test_sketches_have_no_shuffle(spark, documents):
 
     plan = _plan(doc_sketches(documents), mode="simple")
     assert "Exchange" not in plan
+
+
+def test_leaf_range_filter_pushes_into_scan(spark, documents):
+    """Round-5: a DSL range/constant_score leaf's predicate reaches the
+    parquet scan as a pushed filter — the constant-score match set is a
+    pruned scan, never a post-filter over all rows."""
+    from neural_search_spark.query.dsl import SearchContext, search
+
+    ctx = SearchContext(docs=documents)
+    df = search(ctx, {"query": {"range": {"n_chars": {"gte": 200, "lte": 400}}},
+                      "size": 5})
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    flat = plan.replace(" ", "")
+    assert "GreaterThanOrEqual(n_chars" in flat and "LessThanOrEqual(n_chars" in flat
+
+
+def test_sort_body_compiles_to_take_ordered(spark, documents):
+    """Round-5: a sort body's full-hit-set ordering cuts with
+    TakeOrderedAndProject (never a global sort + limit)."""
+    from neural_search_spark.query.dsl import SearchContext, search
+
+    ctx = SearchContext(docs=documents)
+    df = search(ctx, {"query": {"match": {"text": "spark window"}}, "size": 5,
+                      "sort": [{"n_chars": {"order": "desc"}}]})
+    assert "TakeOrderedAndProject" in _plan(df)

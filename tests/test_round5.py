@@ -144,7 +144,7 @@ def test_v5_position_codec_both_branches(spark):
     # `dense` appears every other token (tiny gaps -> PFor); `rare`
     # appears once per doc at a large offset (varint-friendly chains)
     rows = []
-    for d in range(30):
+    for d in range(60):
         toks = []
         for i in range(40):
             toks.append("dense" if i % 2 == 0 else f"filler{i}_{d}")
@@ -158,7 +158,8 @@ def test_v5_position_codec_both_branches(spark):
     with tempfile.TemporaryDirectory() as td:
         d = os.path.join(td, "idx")
         build_index(spark, docs, d, key_cols=["doc_id"], text_col="text",
-                    tokenizer="simple", num_segments=1, range_block=8)
+                    tokenizer="simple", num_segments=1, range_block=8,
+                    pos_codec="auto")
         r = IndexReader(spark, d, cache_hot=False)
         pdf = r.postings_positional().toPandas().set_index("term")
         assert int(pdf.loc["dense", "pos_pack_bits"]) >= 0  # PFor chosen
