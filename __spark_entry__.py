@@ -374,6 +374,35 @@ def _q_dsl_constant_score(spark, sf_dir):
     return search(_dsl_ctx(spark, sf_dir), body)
 
 
+def _q_dsl_terms_topk(spark, sf_dir):
+    """Top-level ``terms`` leaf through the DSL: TermInSetQuery scores
+    constant 1.0 over the keyword-field match set (never analyzed,
+    never BM25 — TermsQueryBuilder rewrites to a filter in the
+    reference), ranked by the standard (score desc, doc_id asc) rule."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"terms": {"lang": ["en", "fr"]}}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
+def _q_dsl_terms_exists_filter(spark, sf_dir):
+    """bool FILTER context mixing all four filter types the translator
+    accepts (term/terms/range/exists): non-scoring occur — the match
+    set shrinks, BM25 stats and scores stay global
+    (HybridQuery.java:48-59 FILTER semantics)."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": " ".join(TERMS_OR)}}],
+        "filter": [
+            {"terms": {"lang": ["en", "de"]}},
+            {"exists": {"field": "source"}},
+            {"range": {"n_chars": {"gte": 150}}},
+        ],
+    }}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
 def _q_bm25_explain(spark, sf_dir):
     """Lucene Explanation analog: per-(top-k doc, term) BM25 factor
     breakdown (tf/df/idf/tf_norm/contribution) — output bounded by
@@ -1956,6 +1985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and 1 round old; r03-green rows are 2 rounds old, the rotation
         # ceiling. ALL rows run under pytest tests/test_entry.py against
         # their oracles every round.)
+        "dsl_terms_topk": _q_dsl_terms_topk,          # r05 late add: pytest-gated
+        "dsl_terms_exists_filter": _q_dsl_terms_exists_filter,  # r05 late add
         "ann_hnsw_layered": _q_ann_hnsw_layered,
         "indexed_hybrid_neural": _q_indexed_hybrid_neural,
         "match_text_topk": _q_match_text_topk,
@@ -2155,6 +2186,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER (ORDER BY doc_id ASC) AS INT) AS rank "
             "FROM documents WHERE n_chars >= 200 AND n_chars <= 400 "
             "ORDER BY doc_id ASC LIMIT 10"
+        ),
+        "dsl_terms_topk": (
+            "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score, "
+            "CAST(row_number() OVER (ORDER BY doc_id ASC) AS INT) AS rank "
+            "FROM documents WHERE lang IN ('en', 'fr') "
+            "ORDER BY doc_id ASC LIMIT 10"
+        ),
+        "dsl_terms_exists_filter": oracle.bm25_filtered_topk_sql(
+            TERMS_OR,
+            "lang IN ('en', 'de') AND source IS NOT NULL AND n_chars >= 150",
+            k=10,
         ),
         "bm25_phrase": oracle.bm25_phrase_sql(PHRASE),
         # indexed phrase must equal the exhaustive phrase semantics —

@@ -25,16 +25,19 @@ Supported query types (each names its dispatch target):
   when present, exact otherwise) → similarity.cosine_topk /
   graph_ann.hnsw_topk
 * ``neural_sparse`` (``query_tokens``) → sparse.sparse_topk_two_phase
-* ``term`` / ``range`` / ``match_all`` / ``constant_score`` — the
-  constant-score leaf family (scoring, top-level AND as hybrid
-  sub-queries; the reference's hybrid ITs compose exactly these,
-  HybridQueryIT.java:71-82): range/match_all/keyword-term score 1.0
-  (Lucene's ConstantScore rewrite), constant_score applies its boost,
-  term on the TEXT column scores single-term BM25
+* ``term`` / ``terms`` / ``range`` / ``exists`` / ``match_all`` /
+  ``constant_score`` — the constant-score leaf family (scoring,
+  top-level AND as hybrid sub-queries; the reference's hybrid ITs
+  compose exactly these, HybridQueryIT.java:71-82):
+  range/exists/match_all/keyword-term/terms score 1.0 (Lucene's
+  ConstantScore rewrite — TermInSetQuery and FieldExistsQuery never
+  score), constant_score applies its boost, term on the TEXT column
+  scores single-term BM25 (terms on it is rejected: unanalyzed
+  equality there would silently diverge from per-token match)
 
 Body keys: ``query`` (required), ``size``, ``from`` (hybrid rejects
 from≠0, mirroring HybridQueryPhaseSearcher.java:123-148), ``post_filter``
-(term/range over corpus columns), ``sort``, ``collapse``. Anything
+(term/terms/range/exists over corpus columns), ``sort``, ``collapse``. Anything
 unknown raises ``DslError`` naming the supported set — the reference's
 parsers are likewise strict (fromXContent throws on unknown fields).
 """
@@ -84,7 +87,7 @@ _BODY_KEYS = {"query", "size", "from", "post_filter", "sort", "collapse",
 _QUERY_TYPES = (
     "match match_phrase match_phrase_prefix prefix wildcard fuzzy "
     "bool dis_max hybrid neural neural_sparse "
-    "term range match_all constant_score"
+    "term terms range exists match_all constant_score"
 ).split()
 
 
@@ -151,24 +154,42 @@ def _col_name(col: str) -> str:
     return col
 
 
-def _predicate_sql(q: dict) -> str:
-    """term/range filter → SQL over corpus columns (the filter context
-    never scores, exactly as in the reference). Field names must be
-    plain identifiers and values plain scalars — anything else is
+def _scalar_lit(val: Any, what: str) -> str:
+    """Quote one scalar as a SQL literal; anything non-scalar is
     rejected, never interpolated."""
+    if isinstance(val, str):
+        return "'" + val.replace("'", "''") + "'"
+    if isinstance(val, bool):
+        return "true" if val else "false"
+    if isinstance(val, (int, float)):
+        return repr(val)
+    raise DslError(f"[{what}] value must be a scalar, got {val!r}")
+
+
+def _predicate_sql(q: dict) -> str:
+    """term/terms/range/exists filter → SQL over corpus columns (the
+    filter context never scores, exactly as in the reference). Field
+    names must be plain identifiers and values plain scalars —
+    anything else is rejected, never interpolated."""
     typ, spec = _one(q, "filter")
     if typ == "term":
         col, val = _one(spec, "term")
         col = _col_name(col)
-        if isinstance(val, str):
-            lit = "'" + val.replace("'", "''") + "'"
-        elif isinstance(val, bool):
-            lit = "true" if val else "false"
-        elif isinstance(val, (int, float)):
-            lit = repr(val)
-        else:
-            raise DslError(f"[term] value must be a scalar, got {val!r}")
-        return f"{col} = {lit}"
+        return f"{col} = {_scalar_lit(val, 'term')}"
+    if typ == "terms":
+        col, vals = _one(spec, "terms")
+        col = _col_name(col)
+        if not isinstance(vals, list):
+            raise DslError(f"[terms] expects a list of values, got {vals!r}")
+        if not vals:
+            # TermsQueryBuilder with an empty list rewrites to
+            # MatchNoDocsQuery — the filter matches nothing
+            return "false"
+        return f"{col} IN (" + ", ".join(_scalar_lit(v, "terms") for v in vals) + ")"
+    if typ == "exists":
+        if not isinstance(spec, dict) or set(spec) != {"field"}:
+            raise DslError(f"[exists] expects {{'field': name}}, got {spec!r}")
+        return f"{_col_name(spec['field'])} IS NOT NULL"
     if typ == "range":
         col, bounds = _one(spec, "range")
         col = _col_name(col)
@@ -179,7 +200,8 @@ def _predicate_sql(q: dict) -> str:
                 raise DslError(f"[range] bounds must be numeric, got {v!r}")
         parts = [f"{col} {ops[op]} {float(v)}" for op, v in sorted(bounds.items())]
         return " AND ".join(parts)
-    raise DslError(f"unsupported filter type [{typ}]; supported: term, range")
+    raise DslError(f"unsupported filter type [{typ}]; "
+                   "supported: term, terms, range, exists")
 
 
 # --- constant-score leaf family -------------------------------------------
@@ -210,6 +232,17 @@ def _leaf_scores(ctx: SearchContext, typ: str, spec: Any) -> DataFrame | None:
                                F.lit(1.0).cast("double").alias("score"))
     if typ == "range":
         return _filter_frame(ctx, {"range": spec})
+    if typ == "terms":
+        # TermInSetQuery scores constant 1.0 on ANY field; on the
+        # analyzed text column exact-value equality would silently
+        # diverge from the reference's per-token match, so reject
+        col, _ = _one(spec, "terms")
+        if col == ctx.text_col:
+            raise DslError(f"[terms] on the analyzed text column "
+                           f"[{ctx.text_col}] is not supported; use match")
+        return _filter_frame(ctx, {"terms": spec})
+    if typ == "exists":
+        return _filter_frame(ctx, {"exists": spec})
     if typ == "term":
         col, params = _one(spec, "term")
         params = _params(params, "value")
@@ -279,7 +312,7 @@ def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
         if s is None:
             raise DslError(f"hybrid sub-query type [{typ}] unsupported; "
                            "supported: match, neural, neural_sparse, term, "
-                           "range, match_all, constant_score")
+                           "terms, range, exists, match_all, constant_score")
     return s.select(F.lit(idx).alias("subquery_idx"), "doc_id", "score")
 
 
@@ -463,7 +496,7 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
         fn = bm25_conjunctive if op == "and" else bm25_scores
         return topk(fn(ctx.docs, terms, id_col=ic, text_col=tc, round_to=None), k=k)
 
-    if typ in ("term", "range", "match_all", "constant_score"):
+    if typ in ("term", "terms", "range", "exists", "match_all", "constant_score"):
         return topk(_leaf_scores(ctx, typ, spec), k=k)
 
     if typ == "match_phrase":
@@ -1000,7 +1033,7 @@ def _matched_docs(ctx: SearchContext, q: dict) -> DataFrame:
         for c in spec.get("must_not") or []:
             m = m.join(_clause_matched(ctx, tok, c), ctx.id_col, "left_anti")
         m = m.select(ctx.id_col)
-    elif typ in ("term", "range", "match_all", "constant_score"):
+    elif typ in ("term", "terms", "range", "exists", "match_all", "constant_score"):
         m = _leaf_scores(ctx, typ, spec).select(
             F.col("doc_id").alias(ctx.id_col)).distinct()
     elif typ == "hybrid":

@@ -814,3 +814,59 @@ def test_hybrid_aggs_over_union_hit_set(ctx, documents, embeddings):
     got = aggs.collect()[0]
     assert got["n"] == exp["n"] and got["langs"] == exp["langs"]
     assert hits.count() == 10
+
+
+def test_terms_exists_filter_context(ctx, documents):
+    """All four filter types in one bool FILTER context — non-scoring
+    occur, BM25 stats stay global (HybridQuery.java:48-59)."""
+    from neural_search_spark.query.exhaustive import bm25_scores, topk
+    from neural_search_spark.query.filters import filtered_scores
+
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "spark window merge"}}],
+        "filter": [{"terms": {"lang": ["en", "de"]}},
+                   {"exists": {"field": "source"}},
+                   {"range": {"n_chars": {"gte": 150}}}],
+    }}, "size": 10}
+    got = search(ctx, body)
+    pred = F.expr("lang IN ('en', 'de') AND source IS NOT NULL AND n_chars >= 150")
+    scores = bm25_scores(documents, ["merge", "spark", "window"], round_to=None)
+    exp = topk(filtered_scores(scores, documents, pred), k=10)
+    assert _rows(got) == _rows(exp)
+
+
+def test_terms_and_exists_leaves(ctx, documents):
+    """terms / exists as top-level scoring leaves: constant 1.0
+    (TermInSetQuery / FieldExistsQuery never score in Lucene)."""
+    got = search(ctx, {"query": {"terms": {"lang": ["en", "fr"]}}, "size": 5})
+    rows = got.collect()
+    assert len(rows) == 5 and all(r["score"] == 1.0 for r in rows)
+    exp_ids = [r["doc_id"] for r in documents.where(
+        "lang IN ('en', 'fr')").orderBy("doc_id").limit(5).collect()]
+    assert sorted(r["doc_id"] for r in rows) == exp_ids
+
+    got_e = search(ctx, {"query": {"exists": {"field": "source"}}, "size": 3})
+    exp_e = [r["doc_id"] for r in documents.where(
+        "source IS NOT NULL").orderBy("doc_id").limit(3).collect()]
+    assert [r["doc_id"] for r in sorted(got_e.collect(), key=lambda r: r["rank"])] == exp_e
+
+    # constant_score over a terms filter applies its boost
+    got_cs = search(ctx, {"query": {"constant_score": {
+        "filter": {"terms": {"lang": ["en"]}}, "boost": 3.0}}, "size": 3})
+    assert all(r["score"] == 3.0 for r in got_cs.collect())
+
+    # empty terms list = MatchNoDocsQuery (TermsQueryBuilder rewrite)
+    assert search(ctx, {"query": {"terms": {"lang": []}}, "size": 5}).count() == 0
+
+
+def test_terms_exists_rejections(ctx):
+    with pytest.raises(DslError):  # analyzed text column
+        search(ctx, {"query": {"terms": {"text": ["spark"]}}})
+    with pytest.raises(DslError):  # value not a list
+        search(ctx, {"query": {"terms": {"lang": "en"}}})
+    with pytest.raises(DslError):  # non-scalar member never interpolated
+        search(ctx, {"query": {"terms": {"lang": [["x"]]}}})
+    with pytest.raises(DslError):  # exists takes exactly {'field': name}
+        search(ctx, {"query": {"exists": {"field": "lang", "boost": 2}}})
+    with pytest.raises(DslError):  # field names must be plain identifiers
+        search(ctx, {"query": {"exists": {"field": "lang; drop"}}})
