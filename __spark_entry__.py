@@ -180,7 +180,9 @@ def _q_bm25_topk(spark, sf_dir):
 def _dsl_ctx(spark, sf_dir):
     from neural_search_spark.query.dsl import SearchContext
 
-    return SearchContext(docs=_docs(spark, sf_dir), embeddings=_emb(spark, sf_dir))
+    return SearchContext(docs=_docs(spark, sf_dir), embeddings=_emb(spark, sf_dir),
+                         nested_path="chunks",
+                         nested_delimiter=CHUNK_DELIMITER)
 
 
 def _q_dsl_match(spark, sf_dir):
@@ -401,6 +403,41 @@ def _q_dsl_terms_exists_filter(spark, sf_dir):
         ],
     }}, "size": 10}
     return search(_dsl_ctx(spark, sf_dir), body)
+
+
+def _q_dsl_nested_total(spark, sf_dir):
+    """DSL ``nested`` query, ScoreMode.Total: inner match scores the
+    delimiter-chunk children (chunk-level BM25 stats, exactly Lucene's
+    nested docs in the same index), sum-rollup to the parent — the
+    reference's ITs wrap nested queries with ScoreMode.Total
+    (TextEmbeddingProcessorIT.java:130-135)."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"nested": {
+        "path": "chunks",
+        "query": {"match": {"chunks.text": " ".join(TERMS_OR)}},
+        "score_mode": "total",
+    }}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
+def _q_dsl_hybrid_nested(spark, sf_dir):
+    """Hybrid of term + nested through the DSL — the exact composition
+    of HybridQueryIT.java:434-449 (termQuery + nestedQuery
+    (ScoreMode.Total) in one HybridQueryBuilder): min_max + weighted
+    arithmetic mean over the two sub-score lists."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"hybrid": {"queries": [
+        {"term": {"text": {"value": "spark"}}},
+        {"nested": {"path": "chunks",
+                    "query": {"match": {"chunks.text": " ".join(TERMS_OR)}},
+                    "score_mode": "total"}},
+    ]}}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body, pipeline={
+        "normalization": "min_max", "combination": "arithmetic_mean",
+        "weights": [0.7, 0.3],
+    })
 
 
 def _q_bm25_explain(spark, sf_dir):
@@ -1987,6 +2024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their oracles every round.)
         "dsl_terms_topk": _q_dsl_terms_topk,          # r05 late add: pytest-gated
         "dsl_terms_exists_filter": _q_dsl_terms_exists_filter,  # r05 late add
+        "dsl_nested_total": _q_dsl_nested_total,      # r05 late add
+        "dsl_hybrid_nested": _q_dsl_hybrid_nested,    # r05 late add
         "ann_hnsw_layered": _q_ann_hnsw_layered,
         "indexed_hybrid_neural": _q_indexed_hybrid_neural,
         "match_text_topk": _q_match_text_topk,
@@ -2197,6 +2236,18 @@ def oracle_sql() -> dict[str, str]:
             TERMS_OR,
             "lang IN ('en', 'de') AND source IS NOT NULL AND n_chars >= 150",
             k=10,
+        ),
+        "dsl_nested_total": oracle.nested_chunk_topk_sql(
+            TERMS_OR, CHUNK_DELIMITER, k=10, score_mode="total",
+        ),
+        "dsl_hybrid_nested": (
+            "SELECT doc_id, score, CAST(row_number() OVER "
+            "(ORDER BY score DESC, doc_id ASC) AS INT) AS rank FROM ("
+            + oracle.hybrid_term_nested_sql(
+                "spark", TERMS_OR, CHUNK_DELIMITER, [0.7, 0.3],
+                score_mode="total",
+            )
+            + ") ORDER BY score DESC, doc_id ASC LIMIT 10"
         ),
         "bm25_phrase": oracle.bm25_phrase_sql(PHRASE),
         # indexed phrase must equal the exhaustive phrase semantics —

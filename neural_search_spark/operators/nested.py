@@ -98,27 +98,43 @@ def nested_chunk_encode(
 NESTED_CHUNK_ID_BASE = 100_000  # chunk_id = parent * BASE + chunk_idx
 
 
-def nested_chunk_topk(
+# Lucene ScoreMode for block join (ToParentBlockJoinQuery): how the
+# matching children's scores become the parent score. "total" is the
+# ScoreMode.Total alias for sum; "avg" averages over MATCHING children
+# only (non-matching chunks contribute nothing), exactly as Lucene's
+# ParentApproximation accumulates.
+NESTED_SCORE_MODES = {
+    "max": F.max, "sum": F.sum, "total": F.sum, "avg": F.avg, "min": F.min,
+}
+
+
+def nested_chunk_scores(
     docs: DataFrame,
     terms: list[str],
     delimiter: str,
-    k: int = 10,
+    score_mode: str = "max",
     id_col: str = "doc_id",
     text_col: str = "text",
-    round_to: int = 4,
 ) -> DataFrame:
-    """Per-chunk BM25 scoring rolled up max-per-parent, top-k parents —
-    the ToParentBlockJoinQuery(ScoreMode.Max) analog: the reference's
-    nested support scores nested (chunk) docs and joins the best child
-    score to the parent (HybridQueryPhaseSearcher.java:86-104 unwraps
+    """Per-chunk BM25 scoring rolled up per-parent — the
+    ToParentBlockJoinQuery(ScoreMode) analog: the reference's nested
+    support scores nested (chunk) docs and joins the child scores to
+    the parent (HybridQueryPhaseSearcher.java:86-104 unwraps
     bool-wrapped hybrid for nested contexts; Lucene block-join does the
-    child->parent rollup).
+    child->parent rollup; the reference's ITs use ScoreMode.Total —
+    HybridQueryIT.java:436-440, TextEmbeddingProcessorIT.java:130-135).
 
     Chunks become the scored corpus: BM25 stats (N, avgdl, df) are
     CHUNK-level, exactly as Lucene computes them over nested docs in the
     same index. One chunk explode feeds tokenize -> score; the rollup is
-    one groupBy(parent) max; the final cut is TakeOrderedAndProject."""
+    one groupBy(parent) agg per ``score_mode``. Returns the FULL parent
+    match set (doc_id, score), unrounded — callers cut/rank."""
     from ..query.exhaustive import bm25_scores
+
+    if score_mode not in NESTED_SCORE_MODES:
+        raise ValueError(
+            f"score_mode must be one of {sorted(NESTED_SCORE_MODES)}, "
+            f"got [{score_mode}]")
 
     spark_chunks, _ = delimiter_chunks_sql(text_col, delimiter)
     chunks = docs.select(
@@ -148,11 +164,30 @@ def nested_chunk_topk(
     )
     scored = bm25_scores(chunks, sorted(set(terms)), id_col="chunk_id",
                          text_col="chunk_text", round_to=None)
-    rolled = scored.groupBy(
+    agg = NESTED_SCORE_MODES[score_mode]
+    return scored.groupBy(
         F.floor(F.col("doc_id") / NESTED_CHUNK_ID_BASE).cast("long").alias("doc_id")
-    ).agg(F.max("score").alias("score"))
+    ).agg(agg("score").alias("score"))
+
+
+def nested_chunk_topk(
+    docs: DataFrame,
+    terms: list[str],
+    delimiter: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+    score_mode: str = "max",
+) -> DataFrame:
+    """Deterministic top-k parents over ``nested_chunk_scores`` (the
+    final cut is TakeOrderedAndProject; standard (score desc, doc_id
+    asc) tiebreak)."""
     from pyspark.sql import Window
 
+    rolled = nested_chunk_scores(docs, terms, delimiter,
+                                 score_mode=score_mode,
+                                 id_col=id_col, text_col=text_col)
     top = rolled.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return top.select(

@@ -1438,17 +1438,22 @@ WHERE tf.doc_id IN (SELECT doc_id FROM phr)
 GROUP BY tf.doc_id"""
 
 
-def nested_chunk_topk_sql(
+def nested_chunk_scores_sql(
     terms: list[str],
     delimiter: str,
-    k: int = 10,
+    score_mode: str = "max",
     table: str = "documents",
-    round_to: int = 4,
 ) -> str:
-    """Oracle for operators.nested.nested_chunk_topk: chunk-level BM25
-    (chunks ARE the scored corpus — N/avgdl/df over chunks), max-rollup
-    to the parent, deterministic top-k."""
+    """Oracle for operators.nested.nested_chunk_scores: chunk-level
+    BM25 (chunks ARE the scored corpus — N/avgdl/df over chunks),
+    per-parent rollup by ``score_mode`` (Lucene block-join ScoreMode:
+    max / sum aka total / avg-over-matching-children / min). Full
+    (doc_id, score) match set, unrounded — standalone WITH query, so
+    it composes as a parenthesized subquery inside hybrid oracles."""
     from .operators.chunkers import delimiter_chunks_sql
+
+    mode_agg = {"max": "max", "sum": "sum", "total": "sum",
+                "avg": "avg", "min": "min"}[score_mode]
 
     _, duck_chunks = delimiter_chunks_sql("text", delimiter)
     _, duck_toks = simple_tokens_sql("chunk_text")
@@ -1482,12 +1487,73 @@ scored AS (
   GROUP BY tf.chunk_id
 ),
 rolled AS (
-  SELECT CAST(floor(chunk_id / {base}) AS BIGINT) AS doc_id, max(score) AS score
+  SELECT CAST(floor(chunk_id / {base}) AS BIGINT) AS doc_id,
+         {mode_agg}(score) AS score
   FROM scored GROUP BY 1
 )
+SELECT doc_id, score FROM rolled"""
+
+
+def nested_chunk_topk_sql(
+    terms: list[str],
+    delimiter: str,
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+    score_mode: str = "max",
+) -> str:
+    """Deterministic top-k over ``nested_chunk_scores_sql`` (oracle for
+    operators.nested.nested_chunk_topk and the DSL ``nested`` query)."""
+    inner = nested_chunk_scores_sql(terms, delimiter, score_mode, table)
+    return f"""
 SELECT doc_id, round(score, {round_to}) AS score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
-FROM rolled ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+FROM ({inner}) ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
+def hybrid_term_nested_sql(
+    term: str,
+    nested_terms: list[str],
+    delimiter: str,
+    weights: list[float],
+    score_mode: str = "sum",
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """Oracle for hybrid over [term-on-text (single-term BM25), nested
+    (inner match rolled up by ScoreMode)] — min_max + weighted
+    arithmetic mean. Mirrors the reference's hybrid-of-term-and-nested
+    IT [HybridQueryIT.java:434-449: termQuery + nestedQuery
+    (ScoreMode.Total) in one HybridQueryBuilder]. The nested sub-query
+    composes as a parenthesized WITH subquery whose chunk-level CTE
+    names shadow the document-level ones."""
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    wexpr = _weight_case(weights)
+    nested_inner = nested_chunk_scores_sql(nested_terms, delimiter,
+                                           score_mode, table)
+    return f"""{bm25_base_ctes([term], table)},
+sub0 AS (
+  SELECT doc_id, sum({contrib}) AS score
+  FROM tf JOIN dfreq USING (term), stats GROUP BY doc_id
+),
+sub1 AS (SELECT doc_id, score FROM ({nested_inner})),
+allsub AS (
+  SELECT 0 AS subquery_idx, doc_id, score FROM sub0
+  UNION ALL SELECT 1, doc_id, score FROM sub1
+),
+nstats AS (
+  SELECT subquery_idx, min(score) AS mn, max(score) AS mx FROM allsub GROUP BY subquery_idx
+),
+normed AS (
+  SELECT a.doc_id, a.subquery_idx,
+         CASE WHEN mx = mn THEN 1.0
+              WHEN (a.score - mn) / (mx - mn) = 0.0 THEN 0.001
+              ELSE (a.score - mn) / (mx - mn) END AS nscore
+  FROM allsub a JOIN nstats USING (subquery_idx)
+)
+SELECT doc_id, round(sum({wexpr} * nscore) / {float(sum(weights))!r}, {round_to}) AS score
+FROM normed WHERE nscore >= 0.0 GROUP BY doc_id"""
 
 
 def multiterm_topk_sql(

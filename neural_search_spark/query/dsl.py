@@ -25,6 +25,11 @@ Supported query types (each names its dispatch target):
   when present, exact otherwise) → similarity.cosine_topk /
   graph_ann.hnsw_topk
 * ``neural_sparse`` (``query_tokens``) → sparse.sparse_topk_two_phase
+* ``nested`` (``path`` + inner ``match`` + ``score_mode`` — Lucene
+  block-join ScoreMode: max/sum aka total/avg (default)/min; the
+  reference's ITs wrap nested with ScoreMode.Total and compose it in
+  hybrid, HybridQueryIT.java:436-449) → operators.nested
+  .nested_chunk_scores over the corpus's one nested path
 * ``term`` / ``terms`` / ``range`` / ``exists`` / ``match_all`` /
   ``constant_score`` — the constant-score leaf family (scoring,
   top-level AND as hybrid sub-queries; the reference's hybrid ITs
@@ -77,6 +82,11 @@ class SearchContext:
     analyzer: str = "simple"
     id_col: str = "doc_id"
     text_col: str = "text"
+    # nested mapping: the one nested path the corpus defines (children
+    # are delimiter-chunks of text_col, the TextChunkingProcessor
+    # ingest shape); a `nested` query must address exactly this path
+    nested_path: str | None = None
+    nested_delimiter: str | None = None
 
     def index_analyzer(self) -> str:
         return self.reader.meta.get("tokenizer", "simple") if self.reader else self.analyzer
@@ -86,7 +96,7 @@ _BODY_KEYS = {"query", "size", "from", "post_filter", "sort", "collapse",
               "highlight", "explain", "rescore", "search_after"}
 _QUERY_TYPES = (
     "match match_phrase match_phrase_prefix prefix wildcard fuzzy "
-    "bool dis_max hybrid neural neural_sparse "
+    "bool dis_max hybrid neural neural_sparse nested "
     "term terms range exists match_all constant_score"
 ).split()
 
@@ -272,6 +282,56 @@ def _leaf_scores(ctx: SearchContext, typ: str, spec: Any) -> DataFrame | None:
 # --- sub-query scorers (hybrid) ------------------------------------------
 
 
+def _nested_scores(ctx: SearchContext, spec: Any) -> DataFrame:
+    """``nested`` query → per-parent scores over the corpus's one
+    nested path (NestedQueryBuilder analog: inner query scores the
+    child docs, ScoreMode rolls them up to the parent — default Avg,
+    exactly Lucene's; the reference's ITs wrap match/neural inner
+    queries with ScoreMode.Total, HybridQueryIT.java:436-440). Returns
+    the FULL parent match set so hybrid normalization statistics see
+    every matched doc."""
+    from ..operators.nested import NESTED_SCORE_MODES, nested_chunk_scores
+
+    if not isinstance(spec, dict):
+        raise DslError(f"[nested] expects an object, got {spec!r}")
+    _reject_unknown(spec, {"path", "query", "score_mode"}, "nested")
+    if ctx.nested_path is None or ctx.nested_delimiter is None:
+        raise DslError("nested query needs ctx.nested_path + "
+                       "ctx.nested_delimiter (the corpus has no nested "
+                       "mapping)")
+    if spec.get("path") != ctx.nested_path:
+        raise DslError(f"[nested] unknown path [{spec.get('path')}]; the "
+                       f"corpus defines [{ctx.nested_path}]")
+    mode = spec.get("score_mode", "avg")
+    if mode not in NESTED_SCORE_MODES:
+        raise DslError(f"[nested] score_mode must be one of "
+                       f"{sorted(NESTED_SCORE_MODES)}, got [{mode}]")
+    ityp, ispec = _one(spec.get("query"), "nested inner query")
+    if ityp != "match":
+        raise DslError(f"[nested] inner query type [{ityp}] unsupported; "
+                       "supported: match")
+    field, params = _one(ispec, "match")
+    params = _params(params, "query")
+    _reject_unknown(params, {"query", "operator"}, "match")
+    expected = f"{ctx.nested_path}.{ctx.text_col}"
+    if field != expected:
+        raise DslError(f"[nested] match field [{field}] must address the "
+                       f"nested text field [{expected}]")
+    if params.get("operator", "or") != "or":
+        raise DslError("[nested] match operator=and is not supported "
+                       "inside nested")
+    text = params["query"]
+    if not isinstance(text, str) or not text.strip():
+        raise DslError("[nested] match needs a non-empty query string")
+    terms = sorted(set(analyze_query(text, ctx.analyzer)))
+    if not terms:
+        raise DslError("[nested] match query analyzed to zero tokens")
+    return nested_chunk_scores(
+        ctx.docs, terms, ctx.nested_delimiter, score_mode=mode,
+        id_col=ctx.id_col, text_col=ctx.text_col,
+    )
+
+
 def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
     typ, spec = _one(q, "hybrid sub-query")
     if typ == "match":
@@ -307,12 +367,17 @@ def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
             s = sparse_scores(
                 ctx.sparse_features, dict(params["query_tokens"])
             ).select("doc_id", "score")
+    elif typ == "nested":
+        # the reference composes hybrid over term + nested sub-queries
+        # (HybridQueryIT.java:436-449); full match set, like match
+        s = _nested_scores(ctx, spec)
     else:
         s = _leaf_scores(ctx, typ, spec)
         if s is None:
             raise DslError(f"hybrid sub-query type [{typ}] unsupported; "
-                           "supported: match, neural, neural_sparse, term, "
-                           "terms, range, exists, match_all, constant_score")
+                           "supported: match, neural, neural_sparse, nested, "
+                           "term, terms, range, exists, match_all, "
+                           "constant_score")
     return s.select(F.lit(idx).alias("subquery_idx"), "doc_id", "score")
 
 
@@ -498,6 +563,9 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
 
     if typ in ("term", "terms", "range", "exists", "match_all", "constant_score"):
         return topk(_leaf_scores(ctx, typ, spec), k=k)
+
+    if typ == "nested":
+        return topk(_nested_scores(ctx, spec), k=k)
 
     if typ == "match_phrase":
         from .exhaustive import bm25_phrase, bm25_phrase_sloppy
@@ -813,9 +881,11 @@ def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> Data
     if typ == "hybrid":
         from .hybrid import combine, normalize, rrf_combine
 
-        # hybrid cannot nest: sub-queries are restricted to
-        # match/neural/neural_sparse below, which enforces the
-        # top-level-only placement rule by construction
+        # hybrid cannot contain hybrid: _sub_scores dispatches only
+        # match/neural/neural_sparse/nested + the constant-score leaf
+        # family, which enforces the top-level-only placement rule by
+        # construction (a `nested` sub-query is a leaf here — its inner
+        # query scores child docs, never another compound)
         _reject_unknown(body, {"query", "size", "from", "post_filter",
                                "sort", "collapse"}, "hybrid body")
         _reject_unknown(spec, {"queries"}, "hybrid")
@@ -1035,6 +1105,9 @@ def _matched_docs(ctx: SearchContext, q: dict) -> DataFrame:
         m = m.select(ctx.id_col)
     elif typ in ("term", "terms", "range", "exists", "match_all", "constant_score"):
         m = _leaf_scores(ctx, typ, spec).select(
+            F.col("doc_id").alias(ctx.id_col)).distinct()
+    elif typ == "nested":
+        m = _nested_scores(ctx, spec).select(
             F.col("doc_id").alias(ctx.id_col)).distinct()
     elif typ == "hybrid":
         # a hybrid's hit set is the UNION of its sub-queries' matches

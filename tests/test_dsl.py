@@ -870,3 +870,103 @@ def test_terms_exists_rejections(ctx):
         search(ctx, {"query": {"exists": {"field": "lang", "boost": 2}}})
     with pytest.raises(DslError):  # field names must be plain identifiers
         search(ctx, {"query": {"exists": {"field": "lang; drop"}}})
+
+
+# --- nested query (round 5: NestedQueryBuilder / block-join ScoreMode) -----
+
+
+@pytest.fixture(scope="module")
+def nctx(documents, embeddings):
+    return SearchContext(docs=documents, embeddings=embeddings,
+                         nested_path="chunks", nested_delimiter=" the ")
+
+
+def test_nested_score_modes(nctx, documents):
+    """nested body == nested_chunk_topk builder for every ScoreMode
+    (max / total=sum / avg / min — Lucene block-join rollups)."""
+    from neural_search_spark.operators.nested import nested_chunk_topk
+
+    for mode in ("max", "total", "avg", "min"):
+        body = {"query": {"nested": {
+            "path": "chunks",
+            "query": {"match": {"chunks.text": "spark window merge"}},
+            "score_mode": mode,
+        }}, "size": 10}
+        got = search(nctx, body)
+        exp = nested_chunk_topk(documents, ["merge", "spark", "window"],
+                                " the ", k=10, score_mode=mode)
+        assert _rows(got) == _rows(exp), mode
+
+
+def test_nested_default_score_mode_is_avg(nctx, documents):
+    # NestedQueryBuilder's default is ScoreMode.Avg
+    from neural_search_spark.operators.nested import nested_chunk_topk
+
+    got = search(nctx, {"query": {"nested": {
+        "path": "chunks",
+        "query": {"match": {"chunks.text": "spark window"}},
+    }}, "size": 5})
+    exp = nested_chunk_topk(documents, ["spark", "window"], " the ",
+                            k=5, score_mode="avg")
+    assert _rows(got) == _rows(exp)
+
+
+def test_hybrid_term_plus_nested(nctx, documents):
+    """HybridQueryIT.java:434-449: termQuery + nestedQuery(Total) in one
+    hybrid body — equals the directly-composed normalize/combine."""
+    from neural_search_spark.operators.nested import nested_chunk_scores
+    from neural_search_spark.query.exhaustive import bm25_scores, topk
+    from neural_search_spark.query.hybrid import combine, normalize
+
+    body = {"query": {"hybrid": {"queries": [
+        {"term": {"text": {"value": "spark"}}},
+        {"nested": {"path": "chunks",
+                    "query": {"match": {"chunks.text": "spark window merge"}},
+                    "score_mode": "total"}},
+    ]}}, "size": 10}
+    got = search(nctx, body, pipeline={"normalization": "min_max",
+                                       "combination": "arithmetic_mean",
+                                       "weights": [0.7, 0.3]})
+    s0 = bm25_scores(documents, ["spark"], round_to=None).select(
+        F.lit(0).alias("subquery_idx"), "doc_id", "score")
+    s1 = nested_chunk_scores(documents, ["merge", "spark", "window"], " the ",
+                             score_mode="total").select(
+        F.lit(1).alias("subquery_idx"), "doc_id", "score")
+    exp = topk(combine(normalize(s0.unionByName(s1), "min_max"),
+                       "arithmetic_mean", [0.7, 0.3], 2)
+               .withColumn("score", F.round("score", 4)), k=10, round_to=None)
+    assert _rows(got) == _rows(exp)
+
+
+def test_nested_aggs_hit_set(nctx, documents):
+    """aggs over a nested body count parents with >=1 matching chunk —
+    the same hit set search() ranks."""
+    body_q = {"nested": {"path": "chunks",
+                         "query": {"match": {"chunks.text": "merge window"}},
+                         "score_mode": "total"}}
+    n_hits = search(nctx, {"query": body_q, "size": 5000}).count()
+    agg = search(nctx, {"query": body_q, "size": 0,
+                        "aggs": {"n": {"value_count": {"field": "doc_id"}}}})
+    assert n_hits > 0 and agg.collect()[0]["n"] == n_hits
+
+
+def test_nested_rejections(nctx, ctx):
+    with pytest.raises(DslError):  # ctx defines no nested mapping
+        search(ctx, {"query": {"nested": {"path": "chunks",
+               "query": {"match": {"chunks.text": "spark"}}}}})
+    with pytest.raises(DslError):  # unknown path
+        search(nctx, {"query": {"nested": {"path": "sections",
+               "query": {"match": {"sections.text": "spark"}}}}})
+    with pytest.raises(DslError):  # inner query must be match
+        search(nctx, {"query": {"nested": {"path": "chunks",
+               "query": {"range": {"n_chars": {"gte": 1}}}}}})
+    with pytest.raises(DslError):  # field must be <path>.<text_col>
+        search(nctx, {"query": {"nested": {"path": "chunks",
+               "query": {"match": {"text": "spark"}}}}})
+    with pytest.raises(DslError):  # unsupported score_mode name
+        search(nctx, {"query": {"nested": {"path": "chunks", "score_mode": "none",
+               "query": {"match": {"chunks.text": "spark"}}}}})
+    with pytest.raises(DslError):  # operator=and not supported inside nested
+        search(nctx, {"query": {"nested": {"path": "chunks",
+               "query": {"match": {"chunks.text": {
+                   "query": "spark", "operator": "and"}}}}}})
