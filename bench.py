@@ -178,6 +178,11 @@ def main() -> int:
         lat = {c: r.get("latency_p50_p95")
                for c, r in sc.get("results", {}).items()
                if isinstance(r, dict) and r.get("latency_p50_p95")}
+        # curated shape: pairs.<pair>.query.<level>.latency_p50_p95
+        for pair in sc.get("pairs", {}).values():
+            for lvl, q in (pair.get("query") or {}).items():
+                if isinstance(q, dict) and q.get("latency_p50_p95"):
+                    lat[lvl] = q["latency_p50_p95"]
         if lat:
             side["latency_p50_p95"] = lat
         # surface just the two headline efficiency scalars on stdout

@@ -55,7 +55,8 @@ spark.stop()
 
 def main() -> int:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
-    lo, hi = 8, 32
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     t_lo = run_level(lo, rows)
     t_hi = run_level(hi, rows)
     eff = t_lo / ((hi / lo) * t_hi)

@@ -20,16 +20,22 @@ def _med(xs):
 
 
 def main() -> int:
-    raw = json.load(open(os.path.join(B, "scaling.json")))
     attrib = json.load(open(os.path.join(B, "r5_attrib.json")))
+    q832 = json.load(open(os.path.join(B, "r5_query832.json")))
     pair28 = json.load(open(os.path.join(B, "r5_pair28.json")))
     r4 = json.load(open(os.path.join(B, "scaling_r4.json")))
+    v3_path = os.path.join(B, "r5_pair28_v3.json")
+    pair28_v3 = json.load(open(v3_path)) if os.path.exists(v3_path) else None
 
-    reps832 = attrib["build_reps_8to32"]
+    # the contaminated rep (ran concurrently with an active session —
+    # same run whose query phase was flat) is kept in the raw file but
+    # excluded from the curated medians; see attrib["contamination_note"]
+    reps832 = [r for r in attrib["build_reps_8to32"]
+               if not r.get("contaminated")]
     b8 = _med([r["files_per_sec"] for r in reps832 if r["cpus"] == 8])
     b32 = _med([r["files_per_sec"] for r in reps832 if r["cpus"] == 32])
-    q8 = raw["results"]["8"]["queries_per_sec"]
-    q32 = raw["results"]["32"]["queries_per_sec"]
+    q8 = q832["query"]["8"]["qps"]
+    q32 = q832["query"]["32"]["qps"]
 
     b2 = _med([r["files_per_sec"] for r in pair28["build_reps"] if r["cpus"] == 2])
     b8s = _med([r["files_per_sec"] for r in pair28["build_reps"] if r["cpus"] == 8])
@@ -39,8 +45,15 @@ def main() -> int:
         "format": ("v5 positional postings (per-term PFor-or-varint position "
                    "deltas, whichever is smaller; store_positions=True default; "
                    "v3 positions-off remains the north-star config)"),
-        "protocol": r4["protocol"] + "; round 5 adds per-request latency "
-                    "p50/p95 at 1/8/32 concurrent clients per level",
+        "protocol": r4["protocol"].replace(
+                        "builds repeated 3x via interleaved orchestrator reps "
+                        "(median); raw runs in BENCH/r4_attrib.json",
+                        "builds repeated via interleaved fresh-JVM orchestrator "
+                        "reps (5 per level at 2->8, 4 clean at 8->32; medians); "
+                        "raw runs in BENCH/r5_attrib.json + r5_pair28*.json")
+                    + "; round 5 adds per-request latency p50/p95 at 1/8/32 "
+                      "concurrent clients per level and SAME-DAY control "
+                      "probes for both pairs (BENCH/r5_controls.json)",
         "pairs": {
             "2_to_8": {
                 "n_docs": 1200000,
@@ -52,9 +65,23 @@ def main() -> int:
                           "runs_files_per_sec": [r["files_per_sec"] for r in
                                                  pair28["build_reps"] if r["cpus"] == 8]},
                     "efficiency": round(b8s / (4 * b2), 3),
-                    "note": "v5 positional build, 3 interleaved fresh-JVM reps "
+                    "note": "v5 positional build, interleaved fresh-JVM reps "
                             "per level (BENCH/r5_pair28.json)",
                 },
+                **({"build_v3_positions_off": {
+                    "2": {"files_per_sec_median": round(_med(
+                        [r["files_per_sec"] for r in pair28_v3["build_reps"]
+                         if r["cpus"] == 2]), 1)},
+                    "8": {"files_per_sec_median": round(_med(
+                        [r["files_per_sec"] for r in pair28_v3["build_reps"]
+                         if r["cpus"] == 8]), 1)},
+                    "efficiency": pair28_v3["build_efficiency_2to8_v3"],
+                    "note": "north-star build configuration (positions are "
+                            "per-field optional, Lucene IndexOptions analog); "
+                            "interleaved fresh-JVM reps, same corpus/day as "
+                            "the positional pair (BENCH/r5_pair28_v3.json)",
+                }} if pair28_v3 and "build_efficiency_2to8_v3" in pair28_v3
+                   else {}),
                 "query": {
                     "2": {"qps": pair28["query"]["2"]["qps"],
                           "latency_p50_p95": pair28["query"]["2"].get("latency_p50_p95")},
@@ -77,19 +104,20 @@ def main() -> int:
                            "runs_files_per_sec": [r["files_per_sec"] for r in reps832
                                                   if r["cpus"] == 32]},
                     "efficiency": round(b32 / (4 * b8), 3),
-                    "note": "v5 positional, 3 interleaved fresh-JVM reps "
-                            "(BENCH/r5_attrib.json); v4 was 0.305 — the 9.3% "
-                            "position-byte cut (BENCH/r5_pos_bytes.json) cannot "
-                            "move a metric bound by the box's shared memory-"
-                            "bandwidth ceiling (control probe 0.41-0.43); "
-                            "positions-off v3 remains the north-star config "
-                            "at 0.380",
+                    "note": "v5 positional (varint default), interleaved "
+                            "fresh-JVM reps, contaminated rep excluded "
+                            "(BENCH/r5_attrib.json); v4 was 0.305; the 9.3% "
+                            "PFor position-byte cut (BENCH/r5_pos_bytes.json, "
+                            "opt-in) cannot move a metric bound by the box's "
+                            "shared memory-bandwidth ceiling (control probe "
+                            "0.41-0.43); positions-off v3 remains the "
+                            "north-star config at 0.380",
                 },
                 "query": {
                     "8": {"qps": q8,
-                          "latency_p50_p95": raw["results"]["8"].get("latency_p50_p95")},
+                          "latency_p50_p95": q832["query"]["8"].get("latency_p50_p95")},
                     "32": {"qps": q32,
-                           "latency_p50_p95": raw["results"]["32"].get("latency_p50_p95")},
+                           "latency_p50_p95": q832["query"]["32"].get("latency_p50_p95")},
                     "efficiency": round(q32 / (4 * q8), 3),
                     "note": "single fresh-JVM pair this round (r04 same-protocol "
                             "measured 0.610; both exceed the 0.41-0.43 control-"
@@ -99,13 +127,27 @@ def main() -> int:
             },
         },
         "deterministic": {
-            "postings_bytes_equal_across_levels": True,
-            "positions_bytes_equal_across_levels": True,
-            "bytes_compressed": raw["results"]["8"]["bytes_compressed"],
-            "bytes_positions": raw["results"]["8"]["bytes_positions"],
-            "sha256_mismatches": 0,
+            # per-rep invariants from the clean interleaved builds: the
+            # position-stream byte count is identical across every rep at
+            # BOTH levels (r5_attrib.json), and sha256 mismatches are 0 in
+            # every rep that records them
+            "positions_bytes_equal_across_levels_and_reps": len({
+                r["bytes_positions"] for r in attrib["build_reps_8to32"]
+                if r.get("bytes_positions")}) == 1,
+            "bytes_positions": next(
+                r["bytes_positions"] for r in attrib["build_reps_8to32"]
+                if r.get("bytes_positions")),
+            "bytes_compressed_2_4m": 956565858,
+            "sha256_mismatches": max(
+                r.get("sha256_mismatches", 0)
+                for r in attrib["build_reps_8to32"]),
         },
-        "control_probe": {k: v for k, v in r4.items() if k.startswith("probe_")},
+        # hardware ceiling context: round-5 SAME-DAY probes for both
+        # pairs (BENCH/r5_controls.json) + the round-4 references
+        "control_probe": {
+            **json.load(open(os.path.join(B, "r5_controls.json"))),
+            "round4": r4.get("controls", {}),
+        },
     }
     with open(os.path.join(B, "scaling.json"), "w") as fh:
         json.dump(out, fh, indent=1)

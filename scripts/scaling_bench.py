@@ -128,7 +128,7 @@ via `spark-submit --master local[{{{lo},{hi}}}] --py-files nss_pkg.zip
 scripts/scaling_worker.py` — one fresh JVM per level, same input
 (sandbox proxy for N vs 4N executors per the task instructions).
 
-## Scaling run ({args.n_docs:,} files, {results[lo]['total_tokens']:,} tokens, 64 segments)
+## Scaling run ({args.n_docs:,} files, {results[lo]['total_tokens']:,} tokens, 256 segments)
 
 | metric | local[{lo}] (N) | local[{hi}] (4N) | efficiency (tp@4N / 4·tp@N) |
 |---|---|---|---|
