@@ -440,6 +440,23 @@ def _q_dsl_hybrid_nested(spark, sf_dir):
     })
 
 
+def _q_dsl_dismax_sparse(spark, sf_dir):
+    """Heterogeneous dis_max through the DSL — the reference's own
+    DisMax composition (NeuralSparseTwoPhaseProcessorIT.java:427-430:
+    sparseEncodingQueryBuilder + MatchAllQueryBuilder): Lucene
+    DisjunctionMaxQuery scoring max + tie_breaker * (sum of the rest)
+    over per-sub-query score frames."""
+    from neural_search_spark.query.dsl import SearchContext, search
+
+    ctx = SearchContext(docs=_docs(spark, sf_dir),
+                        sparse_features=_sparse_features(spark, sf_dir))
+    body = {"query": {"dis_max": {"tie_breaker": 0.3, "queries": [
+        {"neural_sparse": {"sparse": {"query_tokens": SPARSE_QUERY}}},
+        {"match_all": {}},
+    ]}}, "size": 10}
+    return search(ctx, body)
+
+
 def _q_bm25_explain(spark, sf_dir):
     """Lucene Explanation analog: per-(top-k doc, term) BM25 factor
     breakdown (tf/df/idf/tf_norm/contribution) — output bounded by
@@ -2026,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_terms_exists_filter": _q_dsl_terms_exists_filter,  # r05 late add
         "dsl_nested_total": _q_dsl_nested_total,      # r05 late add
         "dsl_hybrid_nested": _q_dsl_hybrid_nested,    # r05 late add
+        "dsl_dismax_sparse": _q_dsl_dismax_sparse,    # r05 late add
         "ann_hnsw_layered": _q_ann_hnsw_layered,
         "indexed_hybrid_neural": _q_indexed_hybrid_neural,
         "match_text_topk": _q_match_text_topk,
@@ -2236,6 +2254,9 @@ def oracle_sql() -> dict[str, str]:
             TERMS_OR,
             "lang IN ('en', 'de') AND source IS NOT NULL AND n_chars >= 150",
             k=10,
+        ),
+        "dsl_dismax_sparse": oracle.dismax_sparse_sql(
+            SPARSE_QUERY, tie_breaker=0.3, k=10,
         ),
         "dsl_nested_total": oracle.nested_chunk_topk_sql(
             TERMS_OR, CHUNK_DELIMITER, k=10, score_mode="total",

@@ -441,6 +441,38 @@ ORDER BY scored.score DESC, scored.doc_id ASC
 LIMIT {k}"""
 
 
+def dismax_sparse_sql(
+    query: dict[str, float],
+    tie_breaker: float = 0.3,
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """Oracle for the DSL's heterogeneous dis_max over [neural_sparse,
+    match_all] — the reference's own DisMax composition
+    (NeuralSparseTwoPhaseProcessorIT.java:427-430); Lucene
+    DisjunctionMaxQuery scoring: max + tie_breaker * (sum of the
+    rest)."""
+    return f"""{sparse_features_ctes(table)},
+sub0 AS (
+  SELECT doc_id, sum({_qw_case(query)} * weight) AS score
+  FROM feat WHERE token IN {_terms_list(sorted(query))}
+  GROUP BY doc_id
+),
+allsub AS (
+  SELECT doc_id, score FROM sub0
+  UNION ALL SELECT doc_id, 1.0 FROM {table}
+),
+comb AS (
+  SELECT doc_id,
+         max(score) + {float(tie_breaker)!r} * (sum(score) - max(score)) AS score
+  FROM allsub GROUP BY doc_id
+)
+SELECT doc_id, round(score, {round_to}) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM comb ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def by_field_rerank_sql(
     terms: list[str], target_field: str = "n_chars", k: int = 10, table: str = "documents"
 ) -> str:

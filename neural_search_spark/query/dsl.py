@@ -666,15 +666,32 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
         from .booleans import dis_max_topk
 
         _reject_unknown(spec, {"queries", "tie_breaker"}, "dis_max")
-        groups = []
-        for sq in spec["queries"]:
-            st, ss = _one(sq, "dis_max sub-query")
-            if st != "match":
-                raise DslError("dis_max sub-queries must be match queries")
-            groups.append(_match_terms(ctx, ss, "match"))
-        return dis_max_topk(ctx.docs, groups,
-                            tie_breaker=float(spec.get("tie_breaker", 0.0)),
-                            k=k, id_col=ic, text_col=tc)
+        tb = float(spec.get("tie_breaker", 0.0))
+        if not 0.0 <= tb <= 1.0:
+            raise DslError(f"[dis_max] tie_breaker must be in [0, 1], got {tb}")
+        subs = spec.get("queries")
+        if not isinstance(subs, list) or not subs:
+            raise DslError("[dis_max] needs a non-empty [queries] list")
+        if all(_one(sq, "dis_max sub-query")[0] == "match" for sq in subs):
+            # all-match fast path: every sub-query scores in ONE corpus
+            # traversal (bm25_scores_by_group)
+            groups = [_match_terms(ctx, _one(sq, "dis_max sub-query")[1],
+                                   "match") for sq in subs]
+            return dis_max_topk(ctx.docs, groups, tie_breaker=tb,
+                                k=k, id_col=ic, text_col=tc)
+        # heterogeneous sub-queries — the reference's own two-phase IT
+        # composes DisMax over neural_sparse + match_all
+        # (NeuralSparseTwoPhaseProcessorIT.java:427-430); per-sub score
+        # frames reduce by Lucene's DisjunctionMaxQuery rule:
+        # max + tie_breaker * (sum of the rest)
+        tagged = None
+        for i, sq in enumerate(subs):
+            s = _sub_scores(ctx, sq, i)
+            tagged = s if tagged is None else tagged.unionByName(s)
+        scored = tagged.groupBy("doc_id").agg(
+            (F.max("score")
+             + F.lit(tb) * (F.sum("score") - F.max("score"))).alias("score"))
+        return topk(scored, k=k)
 
     if typ == "neural":
         # the neural query's own k is the ANN candidate pool; the BODY

@@ -970,3 +970,53 @@ def test_nested_rejections(nctx, ctx):
         search(nctx, {"query": {"nested": {"path": "chunks",
                "query": {"match": {"chunks.text": {
                    "query": "spark", "operator": "and"}}}}}})
+
+
+# --- heterogeneous dis_max (round 5: DisjunctionMaxQuery over leaves) ------
+
+
+def test_dismax_heterogeneous(ctx, documents):
+    """dis_max over [term-on-text, range] — Lucene DisjunctionMaxQuery
+    scoring max + tie_breaker * (sum of the rest); the reference's own
+    IT composes DisMax over neural_sparse + match_all
+    (NeuralSparseTwoPhaseProcessorIT.java:427-430)."""
+    from neural_search_spark.query.exhaustive import bm25_scores, topk
+
+    body = {"query": {"dis_max": {"tie_breaker": 0.4, "queries": [
+        {"term": {"text": {"value": "spark"}}},
+        {"range": {"n_chars": {"gte": 200, "lte": 400}}},
+    ]}}, "size": 10}
+    got = search(ctx, body)
+    s0 = bm25_scores(documents, ["spark"], round_to=None).select("doc_id", "score")
+    s1 = documents.where("n_chars >= 200 and n_chars <= 400").select(
+        "doc_id", F.lit(1.0).cast("double").alias("score"))
+    exp = topk(
+        s0.unionByName(s1).groupBy("doc_id").agg(
+            (F.max("score") + F.lit(0.4) * (F.sum("score") - F.max("score"))
+             ).alias("score")),
+        k=10)
+    assert _rows(got) == _rows(exp)
+
+
+def test_dismax_all_match_fast_path_unchanged(ctx, documents):
+    # all-match bodies still hit the one-traversal dis_max_topk kernel
+    from neural_search_spark.query.booleans import dis_max_topk
+
+    body = {"query": {"dis_max": {"tie_breaker": 0.2, "queries": [
+        {"match": {"text": "spark window"}},
+        {"match": {"text": "merge"}},
+    ]}}, "size": 10}
+    exp = dis_max_topk(documents, [["spark", "window"], ["merge"]],
+                       tie_breaker=0.2, k=10)
+    assert _rows(search(ctx, body)) == _rows(exp)
+
+
+def test_dismax_rejections(ctx):
+    with pytest.raises(DslError):  # tie_breaker out of range
+        search(ctx, {"query": {"dis_max": {"tie_breaker": 1.5, "queries": [
+            {"match": {"text": "spark"}}]}}})
+    with pytest.raises(DslError):  # empty queries list
+        search(ctx, {"query": {"dis_max": {"queries": []}}})
+    with pytest.raises(DslError):  # hybrid can't nest inside dis_max
+        search(ctx, {"query": {"dis_max": {"queries": [
+            {"hybrid": {"queries": [{"match": {"text": "spark"}}]}}]}}})
