@@ -162,16 +162,37 @@ def fixed_token_chunk_counts(
 
 def delimiter_chunks_sql(col: str = "text", delimiter: str = "\n\n") -> tuple[str, str]:
     """(spark_expr, duckdb_expr) -> array<string> of delimiter chunks
-    (delimiter kept at end; trailing remainder kept; empty tail dropped)."""
-    d_sql = delimiter.replace("\\", "\\\\").replace("'", "''").replace("\n", "\\n")
+    (delimiter kept at end; trailing remainder kept; empty tail dropped).
+
+    The delimiter is a LITERAL string on both engines (the reference's
+    DelimiterChunker splits on the literal parameter): Spark's
+    ``split`` takes a Java regex, so the pattern side is regex-escaped
+    — without that, a delimiter like ``" | "`` silently becomes
+    alternation on Spark while DuckDB's ``str_split`` stays literal,
+    and the two engines chunk differently."""
+    import re
+
+    if "\\" in delimiter:
+        # Spark SQL string-literal + Java-regex double unescaping makes
+        # backslash delimiters engine-divergent; reject rather than
+        # chunk differently on the two engines
+        raise ValueError("delimiter must not contain a backslash")
+    d_sql = delimiter.replace("'", "''").replace("\n", "\\n")
+    # regex-literal form for the Spark split() pattern argument only
+    # (re.escape's own backslashes then need SQL-literal doubling)
+    d_rx = (re.escape(delimiter).replace("\\", "\\\\").replace("'", "''")
+            .replace("\n", "\\n"))
     # split, re-append delimiter to all but the last, drop empty tail
     spark = (
-        f"filter(transform(split({col}, '{d_sql}', -1), (x, i) -> "
-        f"IF(i < size(split({col}, '{d_sql}', -1)) - 1, concat(x, '{d_sql}'), x)), x -> x <> '')"
+        f"filter(transform(split({col}, '{d_rx}', -1), (x, i) -> "
+        f"IF(i < size(split({col}, '{d_rx}', -1)) - 1, concat(x, '{d_sql}'), x)), x -> x <> '')"
     )
+    # DuckDB plain string literals do NOT interpret \n — use an
+    # E'...' escape string so newline delimiters mean newlines there too
+    d_duck = f"E'{d_sql}'" if "\n" in delimiter else f"'{d_sql}'"
     duck = (
-        f"list_filter(list_transform(str_split({col}, '{d_sql}'), "
-        f"(x, i) -> CASE WHEN i < len(str_split({col}, '{d_sql}')) THEN x || '{d_sql}' ELSE x END), "
+        f"list_filter(list_transform(str_split({col}, {d_duck}), "
+        f"(x, i) -> CASE WHEN i < len(str_split({col}, {d_duck})) THEN x || {d_duck} ELSE x END), "
         f"x -> x <> '')"
     )
     return spark, duck

@@ -60,3 +60,35 @@ def test_fixed_token_chunk_counts_spark(spark):
     df = spark.createDataFrame(texts, ["doc_id", "text"])
     out = {r.doc_id: r.n_chunks for r in fixed_token_chunk_counts(df, 32, 0.25).collect()}
     assert out == {1: 1, 2: 2, 3: 3, 4: 0}
+
+
+def test_delimiter_literal_on_both_engines(spark):
+    """The delimiter is a LITERAL on Spark AND DuckDB (round 5): Spark's
+    split() takes a Java regex, so a metachar delimiter like " | " used
+    to become alternation there while DuckDB stayed literal — the two
+    engines chunked the same text differently. Newline delimiters also
+    need DuckDB E'' escape strings."""
+    import duckdb
+
+    from neural_search_spark.operators.chunkers import delimiter_chunks_sql
+
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+    cases = [
+        (" | ", "q a b c | q q d e", ["q a b c | ", "q q d e"]),
+        (".", "a.b.c", ["a.", "b.", "c"]),
+        ("\n\n", "a b\n\nc d\n\ne", ["a b\n\n", "c d\n\n", "e"]),
+        ("' the '", "x' the 'y", ["x' the '", "y"]),
+    ]
+    for delim, text, want in cases:
+        sp, du = delimiter_chunks_sql("text", delim)
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        got_sp = df.select(F.expr(sp).alias("c")).collect()[0]["c"]
+        got_du = con.execute(
+            f"SELECT {du} AS c FROM (SELECT ? AS text)", [text]).fetchone()[0]
+        assert got_sp == want == got_du, (delim, got_sp, got_du)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):  # backslash delimiters are
+        delimiter_chunks_sql("text", "a\\b")  # engine-divergent: reject

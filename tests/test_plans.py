@@ -92,3 +92,24 @@ def test_sort_body_compiles_to_take_ordered(spark, documents):
     df = search(ctx, {"query": {"match": {"text": "spark window"}}, "size": 5,
                       "sort": [{"n_chars": {"order": "desc"}}]})
     assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_nested_rollup_partial_aggregates(spark, documents):
+    """PLANS.md round-5 addendum: the block-join ScoreMode rollup is a
+    groupBy with MAP-SIDE partial aggregation (partial_sum before its
+    exchange), so the parent shuffle carries per-partition partials of
+    matched chunks, never the chunk corpus."""
+    from neural_search_spark.operators.nested import nested_chunk_scores
+
+    plan = _plan(nested_chunk_scores(documents, ["spark", "window"],
+                                     " the ", score_mode="total"))
+    flat = plan.replace(" ", "")
+    # the rollup keys on floor(chunk_id / BASE) and partial-aggregates
+    # before the exchange that co-locates parents
+    assert "FLOOR(" in plan
+    assert flat.count("partial_sum") >= 2  # chunk score agg AND rollup
+    # the only joins are the BM25 stats broadcasts (1-row stats frame,
+    # per-term df) — the chunk corpus itself is a posexplode, and
+    # nothing falls back to a shuffled sort-merge join
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -193,3 +193,42 @@ def test_v5_position_codec_both_branches(spark):
                 did = dm[(seg << 40) + int(lid)]
                 exp = [j for j, t in enumerate(toks_by_doc[did]) if t == term]
                 assert pos[off[i]:off[i + 1]].tolist() == exp, (term, did)
+
+
+def test_nested_score_modes_hand_computed(spark):
+    """Third-source fixture for the block-join ScoreMode rollup: a
+    4-chunk corpus with EQUAL chunk lengths (dl = avgdl = 4 ⇒ the
+    Lucene norm term is exactly 1.0, so per-chunk BM25 reduces to
+    idf·tf/(tf+k1)) — every rollup value is hand-derivable:
+
+      chunks: d1c1 "q a b c" (tf=1), d1c2 "q q d e" (tf=2),
+              d2c1 "q f g h" (tf=1), d3c1 "x y z w" (no match)
+      N=4, df(q)=3 ⇒ idf = ln(1 + (4-3+0.5)/(3+0.5)) = ln(10/7)
+      tf1 = idf/2.2, tf2 = idf·(2/3.2)
+
+      parent 1: max=tf2, total=tf1+tf2, avg=(tf1+tf2)/2, min=tf1
+      parent 2: every mode = tf1;  parent 3: absent (never 0-scored)
+    """
+    import math
+
+    from neural_search_spark.operators.nested import nested_chunk_scores
+
+    docs = spark.createDataFrame(
+        [(1, "q a b c | q q d e"), (2, "q f g h"), (3, "x y z w")],
+        "doc_id long, text string")
+    idf = math.log(10.0 / 7.0)
+    tf1, tf2 = idf / 2.2, idf * (2.0 / 3.2)
+    want = {
+        "max": {1: tf2, 2: tf1},
+        "total": {1: tf1 + tf2, 2: tf1},
+        "sum": {1: tf1 + tf2, 2: tf1},
+        "avg": {1: (tf1 + tf2) / 2.0, 2: tf1},
+        "min": {1: tf1, 2: tf1},
+    }
+    for mode, exp in want.items():
+        got = {r["doc_id"]: r["score"]
+               for r in nested_chunk_scores(docs, ["q"], " | ",
+                                            score_mode=mode).collect()}
+        assert set(got) == {1, 2}, mode  # parent 3 never appears
+        for d, v in exp.items():
+            assert abs(got[d] - v) < 1e-9, (mode, d, got[d], v)
