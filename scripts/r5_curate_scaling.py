@@ -34,8 +34,10 @@ def main() -> int:
                if not r.get("contaminated")]
     b8 = _med([r["files_per_sec"] for r in reps832 if r["cpus"] == 8])
     b32 = _med([r["files_per_sec"] for r in reps832 if r["cpus"] == 32])
-    q8 = q832["query"]["8"]["qps"]
-    q32 = q832["query"]["32"]["qps"]
+    # median of the clean fresh-JVM query reps (rep2 added late-round)
+    med2 = q832.get("qps_median_of_2")
+    q8 = med2["8"] if med2 else q832["query"]["8"]["qps"]
+    q32 = med2["32"] if med2 else q832["query"]["32"]["qps"]
 
     b2 = _med([r["files_per_sec"] for r in pair28["build_reps"] if r["cpus"] == 2])
     b8s = _med([r["files_per_sec"] for r in pair28["build_reps"] if r["cpus"] == 8])
@@ -119,9 +121,10 @@ def main() -> int:
                     "32": {"qps": q32,
                            "latency_p50_p95": q832["query"]["32"].get("latency_p50_p95")},
                     "efficiency": round(q32 / (4 * q8), 3),
-                    "note": "single fresh-JVM pair this round (r04 same-protocol "
-                            "measured 0.610; both exceed the 0.41-0.43 control-"
-                            "probe ceiling)",
+                    "note": ("median of 2 interleaved fresh-JVM query pairs"
+                             if med2 else "single fresh-JVM pair this round")
+                            + " (r04 same-protocol measured 0.610; the "
+                            "same-day probe ceiling is 0.399-0.43)",
                 },
                 "round4_reference": r4["pairs"]["8_to_32"],
             },
