@@ -440,6 +440,24 @@ def _q_dsl_hybrid_nested(spark, sf_dir):
     })
 
 
+def _q_dsl_nested_neural_sparse(spark, sf_dir):
+    """Nested + NEURAL inner query rolled up by ScoreMode.Total — the
+    exact TextEmbeddingProcessorIT.java:130-135 shape under the repo's
+    deterministic stand-in encoder: ingest encodes each chunk
+    (nested_chunk_encode's top-m length-normalized tf), the inner
+    neural_sparse scores chunks by the linear product, and the
+    block-join Total sums chunk scores to the parent."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"nested": {
+        "path": "chunks",
+        "query": {"neural_sparse": {
+            "chunks.sparse": {"query_tokens": SPARSE_QUERY}}},
+        "score_mode": "total",
+    }}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
 def _q_dsl_dismax_sparse(spark, sf_dir):
     """Heterogeneous dis_max through the DSL — the reference's own
     DisMax composition (NeuralSparseTwoPhaseProcessorIT.java:427-430:
@@ -2044,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_nested_total": _q_dsl_nested_total,      # r05 late add
         "dsl_hybrid_nested": _q_dsl_hybrid_nested,    # r05 late add
         "dsl_dismax_sparse": _q_dsl_dismax_sparse,    # r05 late add
+        "dsl_nested_neural_sparse": _q_dsl_nested_neural_sparse,  # r05 late add
         "ann_hnsw_layered": _q_ann_hnsw_layered,
         "indexed_hybrid_neural": _q_indexed_hybrid_neural,
         "match_text_topk": _q_match_text_topk,
@@ -2254,6 +2273,9 @@ def oracle_sql() -> dict[str, str]:
             TERMS_OR,
             "lang IN ('en', 'de') AND source IS NOT NULL AND n_chars >= 150",
             k=10,
+        ),
+        "dsl_nested_neural_sparse": oracle.nested_sparse_topk_sql(
+            SPARSE_QUERY, CHUNK_DELIMITER, score_mode="total", k=10,
         ),
         "dsl_dismax_sparse": oracle.dismax_sparse_sql(
             SPARSE_QUERY, tie_breaker=0.3, k=10,

@@ -170,6 +170,73 @@ def nested_chunk_scores(
     ).agg(agg("score").alias("score"))
 
 
+def nested_sparse_scores(
+    docs: DataFrame,
+    query: dict[str, float],
+    delimiter: str,
+    score_mode: str = "max",
+    top_m: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weight_round_to: int = 4,
+) -> DataFrame:
+    """Nested + neural inner query, the reference's actual IT shape
+    (TextEmbeddingProcessorIT.java:130-135 wraps a NeuralQueryBuilder
+    in nestedQuery(ScoreMode.Total)): the ingest pipeline encodes each
+    CHUNK (``nested_chunk_encode``'s deterministic stand-in model —
+    per-chunk top-m length-normalized tf, weights rounded exactly as
+    ingest writes them), the inner query scores chunks by the sparse
+    linear product, and the block-join ScoreMode rolls chunk scores up
+    to the parent. Full (doc_id, score) match set, unrounded.
+
+    Plan shape: one posexplode + one (doc, chunk) encode aggregate
+    (map-side partial) + one top-m window bounded per chunk + one
+    parent rollup — nothing keyed on a skewed column."""
+    from ..functions.tokenize import simple_tokens_sql
+
+    if score_mode not in NESTED_SCORE_MODES:
+        raise ValueError(
+            f"score_mode must be one of {sorted(NESTED_SCORE_MODES)}, "
+            f"got [{score_mode}]")
+    if not query:
+        return docs.sparkSession.createDataFrame([], "doc_id long, score double")
+    spark_chunks, _ = delimiter_chunks_sql(text_col, delimiter)
+    chunks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.expr(spark_chunks)).alias("chunk_idx", "chunk"),
+    )
+    spark_toks, _ = simple_tokens_sql("chunk")
+    tf = (
+        chunks.select("doc_id", "chunk_idx", F.expr(spark_toks).alias("toks"))
+        .select("doc_id", "chunk_idx", F.size("toks").alias("dl"),
+                F.explode("toks").alias("token"))
+        .groupBy("doc_id", "chunk_idx", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "chunk_idx").orderBy(
+        (F.col("tf") / F.col("dl")).desc(), F.col("token").asc()
+    )
+    feats = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_m)
+        .select("doc_id", "chunk_idx", "token",
+                F.round(F.col("tf") / F.col("dl"), weight_round_to).alias("weight"))
+    )
+    qdf = F.create_map(
+        *[x for t, v in sorted(query.items()) for x in (F.lit(t), F.lit(float(v)))]
+    )
+    chunk_scores = (
+        feats.where(F.col("token").isin(list(query)))
+        .withColumn("qw", F.element_at(qdf, F.col("token")))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(F.sum(F.col("qw") * F.col("weight")).alias("score"))
+    )
+    agg = NESTED_SCORE_MODES[score_mode]
+    return chunk_scores.groupBy("doc_id").agg(agg("score").alias("score"))
+
+
 def nested_chunk_topk(
     docs: DataFrame,
     terms: list[str],

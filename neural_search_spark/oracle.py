@@ -1215,6 +1215,60 @@ FROM (
 ) WHERE rn <= {top_m}"""
 
 
+def nested_sparse_topk_sql(
+    query: dict[str, float],
+    delimiter: str,
+    score_mode: str = "max",
+    top_m: int = 8,
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """Oracle for operators.nested.nested_sparse_scores + top-k (DSL
+    nested + neural_sparse inner): chunk the text column, sparse-encode
+    each chunk exactly as ingest writes it (top-m length-normalized tf,
+    weights rounded), score chunks by the linear product, roll up by
+    the block-join ScoreMode [TextEmbeddingProcessorIT.java:130-135]."""
+    from .operators.chunkers import delimiter_chunks_sql
+
+    mode_agg = {"max": "max", "sum": "sum", "total": "sum",
+                "avg": "avg", "min": "min"}[score_mode]
+    _, duck_chunks = delimiter_chunks_sql("text", delimiter)
+    _, duck_toks = simple_tokens_sql("chunk")
+    return f"""
+WITH c AS (SELECT doc_id, {duck_chunks} AS chunks FROM {table}),
+chunk_rows AS (
+  SELECT doc_id, CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS chunk_idx,
+         unnest(chunks) AS chunk
+  FROM c
+),
+tf AS (
+  SELECT doc_id, chunk_idx, dl, token, count(*) AS tf
+  FROM (SELECT doc_id, chunk_idx, len({duck_toks}) AS dl, unnest({duck_toks}) AS token
+        FROM chunk_rows)
+  GROUP BY doc_id, chunk_idx, dl, token
+),
+feats AS (
+  SELECT doc_id, chunk_idx, token, round(tf * 1.0 / dl, 4) AS weight
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id, chunk_idx
+                                 ORDER BY tf * 1.0 / dl DESC, token ASC) AS rn
+    FROM tf
+  ) WHERE rn <= {top_m}
+),
+chunk_scores AS (
+  SELECT doc_id, chunk_idx, sum({_qw_case(query)} * weight) AS score
+  FROM feats WHERE token IN {_terms_list(sorted(query))}
+  GROUP BY doc_id, chunk_idx
+),
+rolled AS (
+  SELECT doc_id, {mode_agg}(score) AS score FROM chunk_scores GROUP BY doc_id
+)
+SELECT doc_id, round(score, {round_to}) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM rolled ORDER BY score DESC, doc_id ASC LIMIT {k}"""
+
+
 def msearch_sql(
     query_batch: list[tuple[list[str], str]], k: int = 10, table: str = "documents"
 ) -> str:

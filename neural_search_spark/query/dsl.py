@@ -307,9 +307,34 @@ def _nested_scores(ctx: SearchContext, spec: Any) -> DataFrame:
         raise DslError(f"[nested] score_mode must be one of "
                        f"{sorted(NESTED_SCORE_MODES)}, got [{mode}]")
     ityp, ispec = _one(spec.get("query"), "nested inner query")
+    if ityp == "neural_sparse":
+        # the reference's actual nested IT shape: an ingest-encoded
+        # neural inner query rolled up by ScoreMode
+        # (TextEmbeddingProcessorIT.java:130-135); chunk features are
+        # the deterministic ingest encodings (nested_chunk_encode)
+        from ..operators.nested import nested_sparse_scores
+
+        field, params = _one(ispec, "neural_sparse")
+        expected = f"{ctx.nested_path}.sparse"
+        if field != expected:
+            raise DslError(f"[nested] neural_sparse field [{field}] must "
+                           f"address the nested encoding [{expected}]")
+        params = _params(params, "query_tokens")
+        _reject_unknown(params, {"query_tokens"}, "neural_sparse")
+        qt = params["query_tokens"]
+        if not isinstance(qt, dict) or not qt or not all(
+                isinstance(k, str) and isinstance(v, (int, float))
+                and not isinstance(v, bool) for k, v in qt.items()):
+            raise DslError("[nested] neural_sparse needs a non-empty "
+                           "{token: number} query_tokens object")
+        return nested_sparse_scores(
+            ctx.docs, {k: float(v) for k, v in qt.items()},
+            ctx.nested_delimiter, score_mode=mode,
+            id_col=ctx.id_col, text_col=ctx.text_col,
+        )
     if ityp != "match":
         raise DslError(f"[nested] inner query type [{ityp}] unsupported; "
-                       "supported: match")
+                       "supported: match, neural_sparse")
     field, params = _one(ispec, "match")
     params = _params(params, "query")
     _reject_unknown(params, {"query", "operator"}, "match")

@@ -1020,3 +1020,38 @@ def test_dismax_rejections(ctx):
     with pytest.raises(DslError):  # hybrid can't nest inside dis_max
         search(ctx, {"query": {"dis_max": {"queries": [
             {"hybrid": {"queries": [{"match": {"text": "spark"}}]}}]}}})
+
+
+def test_nested_neural_sparse_inner(nctx, documents):
+    """Nested + neural inner (TextEmbeddingProcessorIT.java:130-135's
+    shape): ingest-encoded chunk features, sparse linear inner score,
+    ScoreMode rollup — DSL body == direct engine frame."""
+    from neural_search_spark.operators.nested import nested_sparse_scores
+    from neural_search_spark.query.exhaustive import topk
+
+    q = {"spark": 2.0, "merge": 1.0}
+    for mode in ("total", "max"):
+        body = {"query": {"nested": {
+            "path": "chunks",
+            "query": {"neural_sparse": {"chunks.sparse": {"query_tokens": q}}},
+            "score_mode": mode,
+        }}, "size": 10}
+        got = search(nctx, body)
+        exp = topk(nested_sparse_scores(documents, q, " the ",
+                                        score_mode=mode), k=10)
+        assert _rows(got) == _rows(exp), mode
+
+
+def test_nested_neural_sparse_rejections(nctx):
+    with pytest.raises(DslError):  # field must be <path>.sparse
+        search(nctx, {"query": {"nested": {"path": "chunks",
+               "query": {"neural_sparse": {"sparse": {
+                   "query_tokens": {"a": 1.0}}}}}}})
+    with pytest.raises(DslError):  # query_tokens must be {str: number}
+        search(nctx, {"query": {"nested": {"path": "chunks",
+               "query": {"neural_sparse": {"chunks.sparse": {
+                   "query_tokens": {"a": "x"}}}}}}})
+    with pytest.raises(DslError):  # empty query_tokens
+        search(nctx, {"query": {"nested": {"path": "chunks",
+               "query": {"neural_sparse": {"chunks.sparse": {
+                   "query_tokens": {}}}}}}})
