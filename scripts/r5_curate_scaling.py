@@ -84,16 +84,20 @@ def main() -> int:
                             "the positional pair (BENCH/r5_pair28_v3.json)",
                 }} if pair28_v3 and "build_efficiency_2to8_v3" in pair28_v3
                    else {}),
-                "query": {
-                    "2": {"qps": pair28["query"]["2"]["qps"],
+                "query": (lambda qmed: {
+                    "2": {"qps": qmed["2"] if qmed else pair28["query"]["2"]["qps"],
                           "latency_p50_p95": pair28["query"]["2"].get("latency_p50_p95")},
-                    "8": {"qps": pair28["query"]["8"]["qps"],
+                    "8": {"qps": qmed["8"] if qmed else pair28["query"]["8"]["qps"],
                           "latency_p50_p95": pair28["query"]["8"].get("latency_p50_p95")},
-                    "efficiency": round(pair28["query"]["8"]["qps"]
-                                        / (4 * pair28["query"]["2"]["qps"]), 3),
+                    "efficiency": (pair28["query_efficiency_2to8_median_of_2"]
+                                   if qmed
+                                   else round(pair28["query"]["8"]["qps"]
+                                              / (4 * pair28["query"]["2"]["qps"]), 3)),
                     "note": "48 DISTINCT queries, msearch batches, median of 3 "
-                            "workload repeats inside the worker, fresh serving JVM",
-                },
+                            "workload repeats inside the worker, fresh serving "
+                            "JVM" + (", median of 2 interleaved pairs"
+                                     if qmed else ""),
+                })(pair28.get("qps_median_of_2")),
                 "round4_reference": r4["pairs"]["2_to_8"],
             },
             "8_to_32": {
