@@ -2007,16 +2007,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_match_phrase_indexed": _q_dsl_match_phrase_indexed,
         "dsl_aggs_indexed": _q_dsl_aggs_indexed,
         "dsl_constant_score": _q_dsl_constant_score,
-        # -- implementation changed in round 5 (re-gate) --
-        "dsl_match": _q_dsl_match,                  # translator rewrite
-        "dsl_bool": _q_dsl_bool,                    # per-clause bool path
-        "dsl_hybrid_neural": _q_dsl_hybrid_neural,  # neural k/size rule
-        "dsl_aggs": _q_dsl_aggs,                    # shared hit-set defn
-        "indexed_bm25_phrase": _q_indexed_bm25_phrase,    # position codec
+        # -- round-5 late adds (terms/exists, nested ScoreMode family,
+        #    heterogeneous dis_max) — every NEW operator gets driver
+        #    evidence in its own round --
+        "dsl_terms_topk": _q_dsl_terms_topk,
+        "dsl_terms_exists_filter": _q_dsl_terms_exists_filter,
+        "dsl_nested_total": _q_dsl_nested_total,
+        "dsl_hybrid_nested": _q_dsl_hybrid_nested,
+        "dsl_dismax_sparse": _q_dsl_dismax_sparse,
+        "dsl_nested_neural_sparse": _q_dsl_nested_neural_sparse,
+        # -- implementation changed in round 5 (re-gate; the rest of the
+        #    changed-path family — dsl_match/dsl_bool/dsl_aggs,
+        #    dsl_hybrid_neural, indexed_bm25_phrase, indexed_phrase_prefix,
+        #    chunk_fixed_standard — is r04-green and its round-5 changes
+        #    are gated by the NEW rows above (dsl_bool_clauses per-clause
+        #    bool, dsl_match_phrase_indexed position kernel via DSL,
+        #    dsl_aggs_indexed hit-set defn) plus pytest (neural k/size
+        #    rule in test_dsl.py; Unicode analyzers in test_round5.py) --
         "indexed_phrase_slop": _q_indexed_phrase_slop,    # position codec
-        "indexed_phrase_prefix": _q_indexed_phrase_prefix,
-        "chunk_fixed_standard": _q_chunk_fixed_standard,  # analyzer work
-        # -- latest driver evidence is ROUND 2 (all 34) --
+        # -- latest driver evidence is ROUND 2 (all 36) --
+        "indexed_msearch": _q_indexed_msearch,
+        "indexed_hybrid_filtered": _q_indexed_hybrid_filtered,
         "chunk_delimiter": _q_chunk_delimiter,
         "hybrid_minmax_arith": _q_hybrid_minmax_arith,
         "hybrid_l2_geometric": _q_hybrid_l2_geometric,
@@ -2050,19 +2061,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_global": _q_hybrid_global,
         "hybrid_bucket_stats": _q_hybrid_bucket_stats,
         "hybrid_bucket_sort": _q_hybrid_bucket_sort,
-        "hybrid_aggs": _q_hybrid_aggs,
         # ===== position >= 50: green driver rows in r03/r04 (union) =======
         # (the whole r04 window — ann_*, dedup_*, events_*, ingest_*,
         # text_*, the indexed term family, bm25_explain — is r04-green
         # and 1 round old; r03-green rows are 2 rounds old, the rotation
         # ceiling. ALL rows run under pytest tests/test_entry.py against
         # their oracles every round.)
-        "dsl_terms_topk": _q_dsl_terms_topk,          # r05 late add: pytest-gated
-        "dsl_terms_exists_filter": _q_dsl_terms_exists_filter,  # r05 late add
-        "dsl_nested_total": _q_dsl_nested_total,      # r05 late add
-        "dsl_hybrid_nested": _q_dsl_hybrid_nested,    # r05 late add
-        "dsl_dismax_sparse": _q_dsl_dismax_sparse,    # r05 late add
-        "dsl_nested_neural_sparse": _q_dsl_nested_neural_sparse,  # r05 late add
+        "hybrid_aggs": _q_hybrid_aggs,                # r04-green
+        "dsl_match": _q_dsl_match,                    # r04-green
+        "dsl_bool": _q_dsl_bool,                      # r04-green
+        "dsl_aggs": _q_dsl_aggs,                      # r04-green
+        "indexed_bm25_phrase": _q_indexed_bm25_phrase,    # r03-green
+        "indexed_phrase_prefix": _q_indexed_phrase_prefix,  # r04-green
         "ann_hnsw_layered": _q_ann_hnsw_layered,
         "indexed_hybrid_neural": _q_indexed_hybrid_neural,
         "match_text_topk": _q_match_text_topk,
@@ -2106,7 +2116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescore_window": _q_rescore_window,
         "text_quality": _q_text_quality,
         "text_token_counts": _q_text_token_counts,
-        "indexed_msearch": _q_indexed_msearch,
+        "dsl_hybrid_neural": _q_dsl_hybrid_neural,        # r04-green
+        "chunk_fixed_standard": _q_chunk_fixed_standard,  # r04-green
         # r03-green core + round-3 additions
         "ann_radial": _q_ann_radial,
         "cross_encoder_rerank": _q_cross_encoder_rerank,
@@ -2145,7 +2156,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_bm25_filtered": _q_indexed_bm25_filtered,
         "indexed_sort_by_field": _q_indexed_sort_by_field,
         "indexed_total_hits_tracked": _q_indexed_total_hits_tracked,
-        "indexed_hybrid_filtered": _q_indexed_hybrid_filtered,
     }
 
 
