@@ -60,6 +60,12 @@ HEADLINE += [
     "rescore_window",
     "events_windowed_agg",
     "ingest_dense_embed",
+    "dsl_dismax_sparse",     # DSL translate + heterogeneous dis_max reduce
+    #                          over neural_sparse+match_all (round-5).
+    #                          dsl_nested_total is NOT benched: its cost is
+    #                          ~90% corpus chunk+encode (ingest, done once
+    #                          in production); the rollup itself rides the
+    #                          same agg machinery as hybrid_aggs.
 ]
 
 
