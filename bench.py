@@ -157,6 +157,8 @@ def main() -> int:
         "sf": _sf_of(sf_dir),
         "n_docs": n_docs,
         "index_build_files_per_sec": round(n_docs / build_s, 1),
+        "scaling_2to8_query": None,
+        "scaling_2to8_build": None,
         "scaling_8to32_query": None,
         "scaling_8to32_build": None,
         "detail": "BENCH/bench_runs_latest.json",
@@ -191,11 +193,13 @@ def main() -> int:
                     lat[lvl] = q["latency_p50_p95"]
         if lat:
             side["latency_p50_p95"] = lat
-        # surface just the two headline efficiency scalars on stdout
+        # surface the four headline efficiency scalars on stdout — the
+        # 2->8 pair is the north rule's N-vs-4N criterion (>=0.8)
         try:
-            pair = sc.get("pairs", {}).get("8_to_32", {})
-            out["scaling_8to32_query"] = pair.get("query", {}).get("efficiency")
-            out["scaling_8to32_build"] = pair.get("build", {}).get("efficiency")
+            for pname, tag28 in (("2_to_8", "2to8"), ("8_to_32", "8to32")):
+                pair = sc.get("pairs", {}).get(pname, {})
+                out[f"scaling_{tag28}_query"] = pair.get("query", {}).get("efficiency")
+                out[f"scaling_{tag28}_build"] = pair.get("build", {}).get("efficiency")
         except Exception:
             pass
     # round number = 1 + highest BENCH_r{N}.json already recorded (the
