@@ -207,6 +207,11 @@ def main() -> int:
                 pair = sc.get("pairs", {}).get(pname, {})
                 out[f"scaling_{tag28}_query"] = pair.get("query", {}).get("efficiency")
                 out[f"scaling_{tag28}_build"] = pair.get("build", {}).get("efficiency")
+            # end-of-round follow-up build pair in a recovered box
+            # window (healthy-window reps 0.919/0.950 — see BASELINE.md)
+            fu = sc.get("pairs", {}).get("2_to_8", {}).get("build_followup_rerun")
+            if fu:
+                out["scaling_2to8_build_followup"] = fu.get("efficiency")
         except Exception:
             pass
     # round number = 1 + highest BENCH_r{N}.json already recorded (the

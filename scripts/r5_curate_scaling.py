@@ -26,6 +26,8 @@ def main() -> int:
     r4 = json.load(open(os.path.join(B, "scaling_r4.json")))
     v3_path = os.path.join(B, "r5_pair28_v3.json")
     pair28_v3 = json.load(open(v3_path)) if os.path.exists(v3_path) else None
+    rerun_path = os.path.join(B, "r5_pair28_rerun.json")
+    rerun = json.load(open(rerun_path)) if os.path.exists(rerun_path) else None
 
     # the contaminated rep (ran concurrently with an active session —
     # same run whose query phase was flat) is kept in the raw file but
@@ -83,6 +85,24 @@ def main() -> int:
                             "interleaved fresh-JVM reps, same corpus/day as "
                             "the positional pair (BENCH/r5_pair28_v3.json)",
                 }} if pair28_v3 and "build_efficiency_2to8_v3" in pair28_v3
+                   else {}),
+                **({"build_followup_rerun": {
+                    "efficiency": rerun.get("build_efficiency_2to8"),
+                    "per_rep_ratios": rerun.get("per_rep_ratios"),
+                    "runs_files_per_sec": {
+                        str(c): [r["files_per_sec"] for r in rerun["build_reps"]
+                                 if r["cpus"] == c] for c in (2, 8)},
+                    "note": "END-OF-ROUND follow-up pair (v5 positional, same "
+                            "corpus/protocol), taken after the box ceiling "
+                            "recovered (probes 0.889/0.872 vs the campaign "
+                            "day's 0.849); rep 1 ran in a degraded window "
+                            "(both absolute levels 20-35% below every "
+                            "campaign rep — see rep1_note) and one rep was "
+                            "contaminated by a double-launched orchestrator "
+                            "and excluded (BENCH/r5_pair28_rerun.json); the "
+                            "campaign's 5-rep median (0.737) remains the "
+                            "headline, this block is corroborating evidence",
+                }} if rerun and rerun.get("build_efficiency_2to8") is not None
                    else {}),
                 "query": (lambda qmed: {
                     "2": {"qps": qmed["2"] if qmed else pair28["query"]["2"]["qps"],
