@@ -181,7 +181,12 @@ def main() -> int:
                 "in the same JVM; <2s is data) — deliberate: constant-"
                 "folded whole-stage-codegen expressions maximize per-row "
                 "throughput at scale, and the compile is per-query, "
-                "amortized over the corpus",
+                "amortized over the corpus. The compile-free alternative "
+                "was MEASURED, not assumed: interpreted higher-order-"
+                "function band keys (aggregate/zip_with, IEEE-identical "
+                "pair set) win at sf0.1 (2.7s vs 4.4s warm) but lose "
+                "2.1x per-row at 512k vectors (7.4s vs 3.4s warm) — "
+                "BENCH/r5_lsh_impl.json",
     }
     scaling_path = os.path.join(bench_dir, "scaling.json")
     if os.path.exists(scaling_path):
