@@ -56,8 +56,10 @@ from ..functions.norms import int_to_byte4
 from ..functions.tokenize import SPLIT_RES, term_freq_frame
 
 SEG_SHIFT = 40  # doc_id = (segment_id << 40) | local_id
-# bump when POSTINGS_SCHEMA changes — cached index dirs embed this so a
-# reader never opens an index written by an incompatible layout
+# bump when POSTINGS_SCHEMA changes — persisted in index_meta.json and
+# enforced by read_meta() (readers, merge, live append, resume), and
+# cached index dirs embed it in their path, so no code path opens or
+# appends into an index written by an incompatible layout
 # v4: per-posting position streams (block_pos_off + positions columns)
 # v5: position codec metadata (pos_pack_bits/block_pos_n/pos_exc_*) —
 #     readers handle per-term PFor-packed OR varint position streams.
@@ -499,6 +501,25 @@ def paths(index_dir: str) -> dict[str, str]:
     }
 
 
+def read_meta(index_dir: str) -> dict:
+    """Load ``index_meta.json``, rejecting layouts this code can't
+    open (Lucene's SegmentInfos version check analog). A meta written
+    before the version was persisted reads as the CURRENT version —
+    every store of that era already has the v5 postings columns — so
+    the guard bites on all future bumps without orphaning existing
+    indexes."""
+    with open(paths(index_dir)["meta"]) as fh:
+        meta = json.load(fh)
+    ver = int(meta.get("format_version", FORMAT_VERSION))
+    if ver != FORMAT_VERSION:
+        raise ValueError(
+            f"index at {index_dir} is format v{ver}; this build reads/writes "
+            f"v{FORMAT_VERSION} — rebuild the index (or open it with the "
+            f"matching release)"
+        )
+    return meta
+
+
 def _segment_expr(key_cols: list[str], num_segments: int):
     key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
     return F.pmod(F.xxhash64(key), F.lit(num_segments)).cast("int")
@@ -627,6 +648,9 @@ def build_index(
     )
     p = paths(index_dir)
     done: set[int] = set()
+    if resume and os.path.exists(p["meta"]):
+        # never append this layout's segments into an older-format dir
+        read_meta(index_dir)
     if resume and os.path.exists(p["manifest"]):
         try:
             done = {int(r.segment_id) for r in spark.read.parquet(p["manifest"]).select("segment_id").collect()}
@@ -686,6 +710,7 @@ def build_index(
     phase_t["manifest_write"] = round(time.time() - t, 2)
 
     meta = {
+        "format_version": FORMAT_VERSION,
         "num_segments": num_segments,
         "range_block": range_block,
         "term_buckets": term_buckets,
@@ -726,8 +751,7 @@ def verify_sha256(spark: SparkSession, corpus: DataFrame, index_dir: str) -> int
     Returns the number of mismatching/missing rows (0 = pass).
     """
     p = paths(index_dir)
-    with open(p["meta"]) as fh:
-        meta = json.load(fh)
+    meta = read_meta(index_dir)
     key_cols, text_col = meta["key_cols"], meta["text_col"]
     src = corpus.select(*key_cols, F.sha2(F.col(text_col), 256).alias("src_sha"))
     dm = spark.read.parquet(p["docmap"]).select(*key_cols, F.col("sha256").alias("idx_sha"))

@@ -46,8 +46,8 @@ def append_segment(
 ) -> None:
     """Build + write one segment from ``batch`` (idempotent per id)."""
     p = paths(index_dir)
-    with open(p["meta"]) as fh:
-        meta = json.load(fh)
+    from .builder import read_meta
+    meta = read_meta(index_dir)  # raises on format mismatch
     key_cols, text_col = meta["key_cols"], meta["text_col"]
     with_seg = batch.withColumn("segment_id", F.lit(segment_id).cast("int"))
     # dynamic partition overwrite scoped to this call: save and restore the
@@ -72,6 +72,7 @@ def _append_segment_writes(spark, with_seg, meta, p, segment_id, key_cols, text_
         meta["tokenizer"], text_col, key_cols, int(meta["range_block"]),
         int(meta.get("term_buckets", 0)), meta.get("codec", "varint"),
         bool(meta.get("store_positions", False)),
+        pos_codec=meta.get("pos_codec", "varint"),
     )
     postings = (
         with_seg.select("segment_id", text_col, *key_cols)

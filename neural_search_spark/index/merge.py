@@ -32,7 +32,8 @@ from .builder import POSTINGS_SCHEMA, SEG_SHIFT, paths
 
 
 def _merge_kernel(range_block: int, shift_of: dict[int, int], factor: int, term_buckets: int,
-                  codec: str = "varint", store_positions: bool = False):
+                  codec: str = "varint", store_positions: bool = False,
+                  pos_codec: str = "varint"):
     """Kernel over one NEW segment's postings rows (one row per old
     (segment, term)): decode each term's blob, re-base doc ids, then
     re-group through the same helper the builder uses — the merged
@@ -87,6 +88,7 @@ def _merge_kernel(range_block: int, shift_of: dict[int, int], factor: int, term_
             term_buckets,
             codec,
             np.concatenate(pos_l) if store_positions else None,
+            pos_codec=pos_codec,
         )
 
     return merge
@@ -98,8 +100,8 @@ def merge_segments(
     """Fold groups of ``factor`` adjacent segments into one; returns
     merge metrics. The merged index is a fully valid index dir."""
     p_in, p_out = paths(index_dir), paths(out_dir)
-    with open(p_in["meta"]) as fh:
-        meta = json.load(fh)
+    from .builder import read_meta
+    meta = read_meta(index_dir)  # raises on format mismatch
     range_block = int(meta["range_block"])
     t0 = time.time()
 
@@ -117,7 +119,8 @@ def merge_segments(
 
     kernel = _merge_kernel(range_block, shift_of, factor, int(meta.get("term_buckets", 0)),
                            meta.get("codec", "varint"),
-                           bool(meta.get("store_positions", False)))
+                           bool(meta.get("store_positions", False)),
+                           pos_codec=meta.get("pos_codec", "varint"))
     merged = (
         spark.read.parquet(p_in["postings"])
         .withColumn("merge_group", (F.col("segment_id") / factor).cast("int"))

@@ -43,28 +43,19 @@ def nested_doc_json(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def nested_chunk_encode(
-    nested: DataFrame,
-    path: str = "$.sec.body",
-    delimiter: str = "\n\n",
-    top_m: int = 8,
-    round_to: int = 4,
+def chunk_sparse_features(
+    chunks: DataFrame, top_m: int = 8, round_to: int = 4
 ) -> DataFrame:
-    """(doc_id, chunk_idx, token, weight): dotted-path extract →
-    delimiter chunk → per-chunk sparse encode, end-to-end JVM-side.
+    """(doc_id, chunk_idx, token, weight) from a (doc_id, chunk_idx,
+    chunk) frame — the per-chunk deterministic stand-in encoder (top-m
+    length-normalized tf, token-asc tiebreak, rounded weights). The ONE
+    encoder that ingest (``nested_chunk_encode``) and query-time inner
+    scoring (``nested_sparse_scores``) share, so the two can never
+    drift on tie rule, top-m cut, or rounding."""
+    from pyspark.sql import Window
 
-    At 100 TB this is one narrow projection + one explode + one
-    groupBy on (doc, chunk) — the encode aggregate partial-combines
-    map-side; no shuffle is keyed on anything skewed."""
     from ..functions.tokenize import simple_tokens_sql
 
-    body = nested.select(
-        "doc_id", F.get_json_object("doc_json", path).alias("text")
-    )
-    spark_chunks, _ = delimiter_chunks_sql("text", delimiter)
-    chunks = body.select(
-        "doc_id", F.posexplode(F.expr(spark_chunks)).alias("chunk_idx", "chunk")
-    )
     spark_toks, _ = simple_tokens_sql("chunk")
     tf = (
         chunks.select(
@@ -78,8 +69,6 @@ def nested_chunk_encode(
         .groupBy("doc_id", "chunk_idx", "dl", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("doc_id", "chunk_idx").orderBy(
         (F.col("tf") / F.col("dl")).desc(), F.col("token").asc()
     )
@@ -93,6 +82,29 @@ def nested_chunk_encode(
             F.round(F.col("tf") / F.col("dl"), round_to).alias("weight"),
         )
     )
+
+
+def nested_chunk_encode(
+    nested: DataFrame,
+    path: str = "$.sec.body",
+    delimiter: str = "\n\n",
+    top_m: int = 8,
+    round_to: int = 4,
+) -> DataFrame:
+    """(doc_id, chunk_idx, token, weight): dotted-path extract →
+    delimiter chunk → per-chunk sparse encode, end-to-end JVM-side.
+
+    At 100 TB this is one narrow projection + one explode + one
+    groupBy on (doc, chunk) — the encode aggregate partial-combines
+    map-side; no shuffle is keyed on anything skewed."""
+    body = nested.select(
+        "doc_id", F.get_json_object("doc_json", path).alias("text")
+    )
+    spark_chunks, _ = delimiter_chunks_sql("text", delimiter)
+    chunks = body.select(
+        "doc_id", F.posexplode(F.expr(spark_chunks)).alias("chunk_idx", "chunk")
+    )
+    return chunk_sparse_features(chunks, top_m=top_m, round_to=round_to)
 
 
 NESTED_CHUNK_ID_BASE = 100_000  # chunk_id = parent * BASE + chunk_idx
@@ -192,8 +204,6 @@ def nested_sparse_scores(
     Plan shape: one posexplode + one (doc, chunk) encode aggregate
     (map-side partial) + one top-m window bounded per chunk + one
     parent rollup — nothing keyed on a skewed column."""
-    from ..functions.tokenize import simple_tokens_sql
-
     if score_mode not in NESTED_SCORE_MODES:
         raise ValueError(
             f"score_mode must be one of {sorted(NESTED_SCORE_MODES)}, "
@@ -205,25 +215,7 @@ def nested_sparse_scores(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.expr(spark_chunks)).alias("chunk_idx", "chunk"),
     )
-    spark_toks, _ = simple_tokens_sql("chunk")
-    tf = (
-        chunks.select("doc_id", "chunk_idx", F.expr(spark_toks).alias("toks"))
-        .select("doc_id", "chunk_idx", F.size("toks").alias("dl"),
-                F.explode("toks").alias("token"))
-        .groupBy("doc_id", "chunk_idx", "dl", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id", "chunk_idx").orderBy(
-        (F.col("tf") / F.col("dl")).desc(), F.col("token").asc()
-    )
-    feats = (
-        tf.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= top_m)
-        .select("doc_id", "chunk_idx", "token",
-                F.round(F.col("tf") / F.col("dl"), weight_round_to).alias("weight"))
-    )
+    feats = chunk_sparse_features(chunks, top_m=top_m, round_to=weight_round_to)
     qdf = F.create_map(
         *[x for t, v in sorted(query.items()) for x in (F.lit(t), F.lit(float(v)))]
     )

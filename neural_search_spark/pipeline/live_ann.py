@@ -91,14 +91,31 @@ def _graph_dir(store_dir: str) -> str | None:
     return None if m is None else os.path.join(store_dir, m["current"])
 
 
+def _on_disk_batches(data_dir: str) -> list[int]:
+    """ingest_batch partition values present on disk (filesystem
+    listing — no Spark job). Used to adopt a legacy store's batches
+    into the commit gate."""
+    out = []
+    if os.path.isdir(data_dir):
+        for name in os.listdir(data_dir):
+            if name.startswith("ingest_batch="):
+                out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
 def _committed(store_dir: str) -> list[int] | None:
     """Batch ids the manifest has committed — the SERVING view filter.
     A crashed batch's vector partition lands before its graph flips;
     gating reads on the manifest's committed list keeps the whole store
     view atomic at the one commit point (kill-tested,
-    tests/test_crash_safety.py)."""
+    tests/test_crash_safety.py). A manifest WITHOUT the key (written
+    before the commit gate existed) means everything on disk was
+    committed — returning [] there would silently hide every prior
+    batch, so legacy manifests map to None (read-everything)."""
     m = _manifest(store_dir)
-    return None if m is None else [int(x) for x in m.get("committed", [])]
+    if m is None or "committed" not in m:
+        return None
+    return [int(x) for x in m["committed"]]
 
 
 def read_live_vectors(
@@ -106,6 +123,10 @@ def read_live_vectors(
 ) -> DataFrame:
     df = spark.read.parquet(_vectors_dir(store_dir))
     committed = _committed(store_dir)
+    if committed is None and _manifest(store_dir) is not None:
+        # legacy store (manifest predates the commit gate): everything
+        # on disk is committed — filtering would hide prior batches
+        return df.drop("ingest_batch")
     if committed is not None or _plus_batch is not None:
         batches = set(committed or [])
         if _plus_batch is not None:
@@ -184,7 +205,12 @@ def append_vector_batch(
         shutil.rmtree(new_dir)  # stale leftover from a crashed attempt
     grown.write.mode("overwrite").parquet(new_dir)
     tmp = _manifest_path(store_dir) + ".tmp"
-    committed = sorted(set(_committed(store_dir) or []) | {int(batch_id)})
+    prior = _committed(store_dir)
+    if prior is None and _manifest(store_dir) is not None:
+        # legacy manifest (predates the commit gate): every on-disk
+        # batch was committed — adopt them or they vanish forever
+        prior = _on_disk_batches(vdir)
+    committed = sorted(set(prior or []) | {int(batch_id)})
     with open(tmp, "w") as fh:
         json.dump({"current": new_name, "committed": committed}, fh)
     os.replace(tmp, _manifest_path(store_dir))

@@ -80,9 +80,35 @@ def _committed(store_dir: str) -> list[int] | None:
     A crashed batch's docid/sketch partitions land before its roots
     flip; gating reads on the manifest\'s committed list keeps the
     whole store view atomic at the one commit point (kill-tested,
-    tests/test_crash_safety.py)."""
+    tests/test_crash_safety.py). A manifest WITHOUT the key (written
+    before the commit gate existed) means everything on disk was
+    committed — returning [] there would silently hide every prior
+    batch, so legacy manifests map to None (read-everything)."""
     m = _manifest(store_dir)
-    return None if m is None else [int(x) for x in m.get("committed", [])]
+    if m is None or "committed" not in m:
+        return None
+    return [int(x) for x in m["committed"]]
+
+
+def _on_disk_batches(data_dir: str) -> list[int]:
+    """ingest_batch partition values present on disk (filesystem
+    listing — no Spark job). Used to adopt a legacy store's batches
+    into the commit gate."""
+    out = []
+    if os.path.isdir(data_dir):
+        for name in os.listdir(data_dir):
+            if name.startswith("ingest_batch="):
+                out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def _committed_or_legacy(store_dir: str, data_dir: str) -> list[int]:
+    """Committed batch ids, adopting every on-disk batch when the
+    manifest predates the commit gate (legacy = all committed)."""
+    committed = _committed(store_dir)
+    if committed is None and _manifest(store_dir) is not None:
+        return _on_disk_batches(data_dir)
+    return committed or []
 
 
 def read_live_roots(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -161,7 +187,9 @@ def append_dedup_batch(
     all_sk = spark.read.parquet(_sketch_dir(store_dir))
     # pair only against COMMITTED batches + this one: sketches from a
     # crashed-and-never-redelivered batch must not contaminate pairs
-    visible = sorted(set(_committed(store_dir) or []) | {int(batch_id)})
+    visible = sorted(
+        set(_committed_or_legacy(store_dir, _sketch_dir(store_dir))) | {int(batch_id)}
+    )
     all_sk = all_sk.where(F.col("ingest_batch").isin(visible))
     left_sk = all_sk.where(F.col("ingest_batch") == int(batch_id)).drop("ingest_batch")
     all_sk = all_sk.drop("ingest_batch")
@@ -184,7 +212,9 @@ def append_dedup_batch(
         shutil.rmtree(new_dir)
     roots.write.mode("overwrite").parquet(new_dir)
     tmp = _manifest_path(store_dir) + ".tmp"
-    committed = sorted(set(_committed(store_dir) or []) | {int(batch_id)})
+    committed = sorted(
+        set(_committed_or_legacy(store_dir, _sketch_dir(store_dir))) | {int(batch_id)}
+    )
     with open(tmp, "w") as fh:
         json.dump({"current": new_name, "committed": committed}, fh)
     os.replace(tmp, _manifest_path(store_dir))

@@ -322,11 +322,10 @@ def bool_clauses_topk_indexed(
     need_should = minimum_should_match if minimum_should_match > 0 else (0 if must else 1)
     if should and need_should > 0:
         tagged = None
-        for i, (terms, op) in enumerate(should):
-            t = (
-                matched_ids_indexed(reader, terms, mode=op)
-                .select("nss_doc_id", F.lit(i).alias("_c"))
-            )
+        for terms, op in should:
+            # one row per (doc, clause): each matched_ids_indexed stream
+            # emits a doc at most once, so counting rows counts clauses
+            t = matched_ids_indexed(reader, terms, mode=op).select("nss_doc_id")
             tagged = t if tagged is None else tagged.unionByName(t)
         ok = (
             tagged.groupBy("nss_doc_id")

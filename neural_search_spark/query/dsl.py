@@ -870,7 +870,8 @@ def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> Data
         else:
             hits = _topk_frame(ctx, q, size)
         return bm25_explain(ctx.docs, terms, k=size,
-                            id_col=ctx.id_col, text_col=ctx.text_col, hits=hits)
+                            id_col=ctx.id_col, text_col=ctx.text_col, hits=hits,
+                            tokenizer=ctx.index_analyzer())
 
     if "highlight" in body:
         from .highlight import highlight_topk
@@ -892,7 +893,7 @@ def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> Data
             hits = _topk_frame(ctx, q, size)
         return highlight_topk(ctx.docs, terms, k=size,
                               id_col=ctx.id_col, text_col=ctx.text_col,
-                              hits=hits, **kw)
+                              hits=hits, tokenizer=ctx.index_analyzer(), **kw)
 
     if "sort" in body and typ != "hybrid":
         # OpenSearch sort semantics: the sort REPLACES relevance
@@ -1065,7 +1066,10 @@ def _clause_matched(ctx: SearchContext, tok, clause: dict) -> DataFrame:
     ct, cs = _one(clause, "bool clause")
     if ct != "match":
         raise DslError("aggs bool clauses must be match queries")
-    terms, op = _match_clause(ctx, cs, "match")
+    # index analyzer: search() dispatches this body to the indexed bool
+    # kernel, so the aggs hit set must analyze the same way or the two
+    # disagree on one body (no reader -> ctx.analyzer, unchanged)
+    terms, op = _match_clause(ctx, cs, "match", analyzer=ctx.index_analyzer())
     m = (
         tok.select(ctx.id_col, F.explode("toks").alias("term"))
         .where(F.col("term").isin(terms))
@@ -1103,9 +1107,13 @@ def _matched_docs(ctx: SearchContext, q: dict) -> DataFrame:
             .select(ctx.id_col)
         )
         return m.join(ctx.docs, ctx.id_col)
-    tok = tokenized(ctx.docs, ctx.id_col, ctx.text_col)
+    # corpus tokens in the FIELD's analyzer (the index's own when a
+    # reader is set — matching the search() dispatch for these bodies)
+    tok = tokenized(ctx.docs, ctx.id_col, ctx.text_col,
+                    tokenizer=ctx.index_analyzer())
     if typ == "match":
-        terms, op = _match_clause(ctx, spec, "match")
+        terms, op = _match_clause(ctx, spec, "match",
+                                  analyzer=ctx.index_analyzer())
         m = (
             tok.select(ctx.id_col, F.explode("toks").alias("term"))
             .where(F.col("term").isin(terms))

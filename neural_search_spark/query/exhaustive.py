@@ -20,12 +20,32 @@ from ..functions.tokenize import simple_tokens_sql
 from .bm25 import B, K1, bm25_sql
 
 
-def tokenized(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, toks array<string>, dl) with the SQL-expressible analyzer."""
-    spark_expr, _ = simple_tokens_sql(text_col)
+def tokenized(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "simple",
+) -> DataFrame:
+    """(doc_id, toks array<string>, dl) with the SQL-expressible
+    analyzer. Any registered analyzer works — the factor/snippet paths
+    pass the INDEX's analyzer so their token stream matches the hits'
+    (Lucene explain/highlight run the field analyzer, not a fixed
+    one)."""
+    if tokenizer == "simple":
+        spark_expr, _ = simple_tokens_sql(text_col)
+        toks = F.expr(spark_expr)
+    else:
+        from ..functions.tokenize import resolve_analyzer
+
+        split_re, _token_re, lower = resolve_analyzer(tokenizer)
+        src = F.lower(F.col(text_col)) if lower else F.col(text_col)
+        # column API: F.split takes the Java regex verbatim, so \p{L}
+        # classes survive (an F.expr string literal would eat the
+        # backslashes)
+        toks = F.filter(F.split(src, split_re), lambda x: x != F.lit(""))
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.expr(spark_expr).alias("toks"),
+        toks.alias("toks"),
     ).withColumn("dl", F.size("toks"))
 
 
@@ -237,6 +257,7 @@ def bm25_explain(
     k1: float = K1,
     b: float = B,
     hits: DataFrame | None = None,
+    tokenizer: str = "simple",
 ) -> DataFrame:
     """Lucene ``Explanation`` analog for the match side: one row per
     (top-k doc, matched term) with the full BM25 factor breakdown —
@@ -250,8 +271,12 @@ def bm25_explain(
     so the explanation output is bounded by k × |terms| rows no matter
     the corpus — explanation is a constant factor over the query
     itself, never a second corpus pass.
+
+    ``tokenizer`` must be the analyzer that produced ``hits`` (the
+    index's own, on the indexed path) — factors computed over a
+    different token stream would not sum to the hit's score.
     """
-    tok = tokenized(docs, id_col, text_col)
+    tok = tokenized(docs, id_col, text_col, tokenizer=tokenizer)
     stats = tok.agg(
         F.count(F.lit(1)).alias("N"),
         (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),

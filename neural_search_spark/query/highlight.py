@@ -31,6 +31,7 @@ def highlight_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     hits: DataFrame | None = None,
+    tokenizer: str = "simple",
 ) -> DataFrame:
     """(doc_id, score, rank, snippet) for the BM25 top-k of an OR
     query — or, with ``hits``, snippets for someone else's top-k frame
@@ -38,7 +39,9 @@ def highlight_topk(
     the first occurrence of any of ``terms``. Ranks cut on the rounded
     score (cross-engine tie rule, same as query/multiterm.py)."""
     uniq = sorted(set(terms))
-    tok = tokenized(docs, id_col, text_col)
+    # tokenizer = the analyzer that produced `hits` (the index's own on
+    # the indexed path) so snippets window the hits' own token stream
+    tok = tokenized(docs, id_col, text_col, tokenizer=tokenizer)
     if hits is not None:
         top = hits.select("doc_id", "score", "rank")
     else:

@@ -76,8 +76,8 @@ class IndexReader:
         self.spark = spark
         self.index_dir = index_dir
         self.p = paths(index_dir)
-        with open(self.p["meta"]) as fh:
-            self.meta = json.load(fh)
+        from ..index.builder import read_meta
+        self.meta = read_meta(index_dir)  # raises on format mismatch
         self._stats: tuple[int, float] | None = None
         self._postings: DataFrame | None = None
         self._postings_pos: DataFrame | None = None

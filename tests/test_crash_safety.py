@@ -134,3 +134,72 @@ def test_live_ann_crash_before_flip_serves_prior_graph(spark, tmp_path):
     b1 = emb.where("vec_id >= 60")
     append_vector_batch(spark, b1, store, batch_id=1)
     assert gset(read_live_graph(spark, store)) == gset(hnsw_build_frame(emb))
+
+
+def _strip_commit_gate(manifest_path):
+    """Rewrite a store manifest to the legacy shape (no 'committed'
+    key) — what stores written before the commit gate look like."""
+    import json
+
+    with open(manifest_path) as fh:
+        m = json.load(fh)
+    m.pop("committed")
+    with open(manifest_path, "w") as fh:
+        json.dump(m, fh)
+
+
+def test_legacy_dedup_manifest_serves_and_adopts_prior_batches(spark, tmp_path):
+    """A manifest without the 'committed' key means everything on disk
+    was committed: serving must NOT hide prior batches, and the next
+    append must adopt them into the gate instead of orphaning them."""
+    import json
+
+    from neural_search_spark.pipeline import live_dedup as mod
+
+    docs = spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet")).where(
+        "doc_id < 120")
+    b0, b1 = docs.where("doc_id < 60"), docs.where("doc_id >= 60")
+
+    store = str(tmp_path / "legacy_dedup")
+    mod.append_dedup_batch(spark, b0, store, batch_id=0)
+    _strip_commit_gate(mod._manifest_path(store))
+
+    # serving still covers every batch-0 doc
+    assert len(mod.live_survivors(spark, store).collect()) == b0.count()
+
+    # the next append folds the legacy batch into the gate
+    mod.append_dedup_batch(spark, b1, store, batch_id=1)
+    with open(mod._manifest_path(store)) as fh:
+        assert json.load(fh)["committed"] == [0, 1]
+
+    ref = str(tmp_path / "ref_dedup")
+    mod.append_dedup_batch(spark, b0, ref, batch_id=0)
+    mod.append_dedup_batch(spark, b1, ref, batch_id=1)
+    key = lambda df: {(r["doc_id"], r["component_id"], r["keep"])
+                      for r in df.collect()}
+    assert key(mod.live_survivors(spark, store)) == key(mod.live_survivors(spark, ref))
+
+
+def test_legacy_ann_manifest_serves_and_adopts_prior_batches(spark, tmp_path):
+    import json
+
+    from neural_search_spark.pipeline import live_ann as mod
+    from neural_search_spark.pipeline.graph_ann import hnsw_build_frame
+
+    emb = spark.read.parquet(os.path.join(SF_SMALL, "embeddings.parquet")).where(
+        "vec_id < 120")
+    b0, b1 = emb.where("vec_id < 60"), emb.where("vec_id >= 60")
+
+    store = str(tmp_path / "legacy_ann")
+    mod.append_vector_batch(spark, b0, store, batch_id=0)
+    _strip_commit_gate(mod._manifest_path(store))
+
+    assert mod.read_live_vectors(spark, store).count() == b0.count()
+
+    mod.append_vector_batch(spark, b1, store, batch_id=1)
+    with open(mod._manifest_path(store)) as fh:
+        assert json.load(fh)["committed"] == [0, 1]
+
+    gset = lambda g: {(r["segment"], r["vec_id"], tuple(r["neighbors"]))
+                      for r in g.select("segment", "vec_id", "neighbors").collect()}
+    assert gset(mod.read_live_graph(spark, store)) == gset(hnsw_build_frame(emb))

@@ -1055,3 +1055,75 @@ def test_nested_neural_sparse_rejections(nctx):
         search(nctx, {"query": {"nested": {"path": "chunks",
                "query": {"neural_sparse": {"chunks.sparse": {
                    "query_tokens": {}}}}}}})
+
+
+def test_explain_and_highlight_use_the_index_analyzer(spark, tmp_path_factory):
+    """An index whose analyzer keeps 'foo_bar' whole (code) must
+    explain/highlight with THAT token stream — factoring the hits
+    through the fixed simple analyzer would drop every underscore term
+    (zero explain rows for real hits) and break the contribution-sum
+    invariant."""
+    import collections
+
+    from neural_search_spark.index.builder import build_index
+    from neural_search_spark.query.wand import IndexReader
+
+    docs = spark.createDataFrame(
+        [(1, "alpha foo_bar beta"), (2, "foo_bar gamma foo_bar"),
+         (3, "plain text only"), (4, "alpha beta gamma")],
+        "doc_id long, text string")
+    d = str(tmp_path_factory.mktemp("code_idx"))
+    build_index(spark, docs, d, key_cols=["doc_id"], text_col="text",
+                tokenizer="code", num_segments=2, range_block=64)
+    rctx = SearchContext(docs=docs, reader=IndexReader(spark, d, cache_hot=True))
+
+    hits = {r["doc_id"]: r["score"]
+            for r in search(rctx, {"query": {"match": {"text": "foo_bar"}},
+                                   "size": 10}).collect()}
+    assert set(hits) == {1, 2}  # the code analyzer kept the token whole
+
+    got = search(rctx, {"query": {"match": {"text": "foo_bar"}}, "size": 10,
+                        "explain": True}).collect()
+    assert {r["doc_id"] for r in got} == set(hits)
+    sums = collections.defaultdict(float)
+    for r in got:
+        assert r["term"] == "foo_bar"
+        sums[r["doc_id"]] += r["contribution"]
+    for doc, s in hits.items():
+        assert abs(sums[doc] - s) < 2e-3  # factors sum to the kernel score
+
+    snip = {r["doc_id"]: r["snippet"]
+            for r in search(rctx, {"query": {"match": {"text": "foo_bar"}},
+                                   "size": 10,
+                                   "highlight": {"fields": {"text": {}},
+                                                 "window": 1}}).collect()}
+    assert set(snip) == set(hits)
+    for doc, s in snip.items():
+        assert "foo_bar" in s, (doc, s)  # snippet windows the code tokens
+
+
+def test_aggs_hit_set_matches_search_on_index_analyzer(spark, tmp_path_factory):
+    """One bool body, reader ctx with a code-analyzer index: search()
+    (indexed kernel) and aggregate() (exhaustive hit set) must agree on
+    which docs match — the aggs side used to re-tokenize with the fixed
+    simple analyzer and split 'foo_bar'."""
+    from neural_search_spark.index.builder import build_index
+    from neural_search_spark.query.dsl import aggregate
+    from neural_search_spark.query.wand import IndexReader
+
+    docs = spark.createDataFrame(
+        [(1, "alpha foo_bar beta"), (2, "foo_bar gamma"),
+         (3, "plain bar text"), (4, "alpha foo beta")],
+        "doc_id long, text string")
+    d = str(tmp_path_factory.mktemp("code_idx2"))
+    build_index(spark, docs, d, key_cols=["doc_id"], text_col="text",
+                tokenizer="code", num_segments=2, range_block=64)
+    rctx = SearchContext(docs=docs, reader=IndexReader(spark, d, cache_hot=True))
+
+    q = {"bool": {"must": [{"match": {"text": "foo_bar"}}]}}
+    hit_ids = {r["doc_id"]
+               for r in search(rctx, {"query": q, "size": 10}).collect()}
+    assert hit_ids == {1, 2}  # code analyzer keeps foo_bar whole
+    agg = aggregate(rctx, {"query": q, "size": 0,
+                           "aggs": {"n": {"value_count": {"field": "doc_id"}}}})
+    assert agg.collect()[0]["n"] == len(hit_ids)

@@ -232,3 +232,101 @@ def test_nested_score_modes_hand_computed(spark):
         assert set(got) == {1, 2}, mode  # parent 3 never appears
         for d, v in exp.items():
             assert abs(got[d] - v) < 1e-9, (mode, d, got[d], v)
+
+
+def test_format_version_guard(spark, tmp_path):
+    """index_meta.json carries format_version and every open/append
+    path rejects a mismatch (SegmentInfos version check analog); a
+    legacy meta WITHOUT the key reads as current — the v5 era wrote
+    v5 postings before persisting the version."""
+    import json
+
+    from neural_search_spark.index.builder import (
+        FORMAT_VERSION, build_index, paths, read_meta,
+    )
+    from neural_search_spark.index.merge import merge_segments
+    from neural_search_spark.query.wand import IndexReader
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(8)], "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    build_index(spark, docs, idx, key_cols=["doc_id"], text_col="text",
+                tokenizer="simple", num_segments=2, range_block=64)
+    mpath = paths(idx)["meta"]
+    with open(mpath) as fh:
+        meta = json.load(fh)
+    assert meta["format_version"] == FORMAT_VERSION
+
+    # legacy meta (no key) still opens
+    legacy = {k: v for k, v in meta.items() if k != "format_version"}
+    with open(mpath, "w") as fh:
+        json.dump(legacy, fh)
+    assert read_meta(idx)["num_segments"] == 2
+    IndexReader(spark, idx)
+
+    # a version this code does not write is rejected everywhere
+    with open(mpath, "w") as fh:
+        json.dump({**meta, "format_version": FORMAT_VERSION - 1}, fh)
+    with pytest.raises(ValueError, match="format"):
+        IndexReader(spark, idx)
+    with pytest.raises(ValueError, match="format"):
+        merge_segments(spark, idx, str(tmp_path / "merged"), factor=2)
+    with pytest.raises(ValueError, match="format"):
+        build_index(spark, docs, idx, key_cols=["doc_id"], text_col="text",
+                    tokenizer="simple", num_segments=2, range_block=64,
+                    resume=True)
+
+
+def test_pos_codec_survives_append_and_merge(spark, tmp_path):
+    """An index built with pos_codec='auto' must keep encoding packed
+    position streams through live appends and segment merges — the
+    stored meta, not the kernel default, decides the codec."""
+    from neural_search_spark.index.builder import build_index
+    from neural_search_spark.index.live import append_segment
+    from neural_search_spark.index.merge import merge_segments
+    from neural_search_spark.query.phrase import bm25_phrase_indexed
+    from neural_search_spark.query.wand import IndexReader
+
+    # 'needle' every other token: many tiny deltas, so packed bits beat
+    # per-position varint bytes — and enough docs that needle clears the
+    # auto probe's >=1024-positions-per-segment floor in the base
+    # segments AND in the appended segment on its own
+    rows = [(i, " ".join("needle" if j % 2 == 0 else f"f{j}_{i % 3}"
+                         for j in range(40)) + " needle tail")
+            for i in range(160)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base, tail = docs.where("doc_id < 100"), docs.where("doc_id >= 100")
+
+    idx = str(tmp_path / "idx_auto")
+    build_index(spark, base, idx, key_cols=["doc_id"], text_col="text",
+                tokenizer="simple", num_segments=2, range_block=64,
+                pos_codec="auto")
+
+    def packed_rows(d, seg=None):
+        df = spark.read.parquet(os.path.join(d, "postings"))
+        if seg is not None:
+            df = df.where(F.col("segment_id") == seg)
+        return df.where(F.col("pos_pack_bits") >= 0).count()
+
+    assert packed_rows(idx) > 0  # the fresh build exercises packed
+
+    append_segment(spark, tail, idx, segment_id=2)
+    assert packed_rows(idx, seg=2) > 0  # append honors stored 'auto'
+
+    merged = str(tmp_path / "idx_merged")
+    merge_segments(spark, idx, merged, factor=4)
+    assert packed_rows(merged) > 0  # merge honors stored 'auto'
+
+    # and the positional queries still agree with a one-shot build
+    ref = str(tmp_path / "idx_ref")
+    build_index(spark, docs, ref, key_cols=["doc_id"], text_col="text",
+                tokenizer="simple", num_segments=2, range_block=64,
+                pos_codec="auto")
+    exp = {(r["doc_id"], round(r["score"], 9))
+           for r in bm25_phrase_indexed(IndexReader(spark, ref),
+                                        ["needle", "tail"]).collect()}
+    for d in (idx, merged):
+        got = {(r["doc_id"], round(r["score"], 9))
+               for r in bm25_phrase_indexed(IndexReader(spark, d),
+                                            ["needle", "tail"]).collect()}
+        assert got == exp, d
