@@ -363,6 +363,31 @@ def _q_dsl_aggs_indexed(spark, sf_dir):
     return search(_dsl_reader_ctx(spark, sf_dir), body)
 
 
+def _q_dsl_explain_indexed(spark, sf_dir):
+    """DSL explain body on the INDEXED path: hits come from the
+    block-max kernel, the BM25 factor table joins to them using the
+    index's OWN analyzer (query/dsl.py search() -> bm25_explain
+    tokenizer=ctx.index_analyzer()). Shares bm25_explain's oracle —
+    the kernel's top-k is rank-exact vs exhaustive, so the factor
+    rows are identical."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"match": {"text": " ".join(TERMS_OR)}}, "size": 10,
+            "explain": True}
+    return search(_dsl_reader_ctx(spark, sf_dir), body)
+
+
+def _q_dsl_highlight_indexed(spark, sf_dir):
+    """DSL highlight body on the INDEXED path: snippets window the
+    index analyzer's token stream around the kernel's top-k hits.
+    Shares bm25_highlight's oracle."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"match": {"text": " ".join(TERMS_OR)}}, "size": 10,
+            "highlight": {"fields": {"text": {}}, "window": HIGHLIGHT_WINDOW}}
+    return search(_dsl_reader_ctx(spark, sf_dir), body)
+
+
 def _q_dsl_constant_score(spark, sf_dir):
     """Top-level constant_score leaf through the DSL: the filter's
     match set at the boost score, ranked by the standard (score desc,
@@ -2156,6 +2181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_bm25_filtered": _q_indexed_bm25_filtered,
         "indexed_sort_by_field": _q_indexed_sort_by_field,
         "indexed_total_hits_tracked": _q_indexed_total_hits_tracked,
+        "dsl_explain_indexed": _q_dsl_explain_indexed,
+        "dsl_highlight_indexed": _q_dsl_highlight_indexed,
     }
 
 
@@ -2267,6 +2294,9 @@ def oracle_sql() -> dict[str, str]:
             + ") ORDER BY score DESC, doc_id ASC LIMIT 10"
         ),
         "dsl_aggs_indexed": oracle.dsl_aggs_sql(TERMS_OR),
+        "dsl_explain_indexed": oracle.bm25_explain_sql(TERMS_OR, k=10),
+        "dsl_highlight_indexed": oracle.highlight_topk_sql(
+            TERMS_OR, k=10, window=HIGHLIGHT_WINDOW),
         "dsl_constant_score": (
             "SELECT doc_id, CAST(2.5 AS DOUBLE) AS score, "
             "CAST(row_number() OVER (ORDER BY doc_id ASC) AS INT) AS rank "
