@@ -1107,6 +1107,53 @@ def _matched_docs(ctx: SearchContext, q: dict) -> DataFrame:
             .select(ctx.id_col)
         )
         return m.join(ctx.docs, ctx.id_col)
+    if typ == "bool" and ctx.reader is not None:
+        # indexed bool hit set: per-clause kernel match streams combined
+        # on nss_doc_id (must = intersection, should = clause count >=
+        # minimum_should_match, must_not = anti-join) — same gate shape
+        # as booleans.bool_clauses_topk_indexed, no corpus re-tokenize
+        from .wand import matched_ids_indexed
+
+        _require_doc_key(ctx)
+        _reject_unknown(spec, {"must", "should", "must_not",
+                               "minimum_should_match"}, "bool")
+
+        def _ids(clause):
+            ct, cs = _one(clause, "bool clause")
+            if ct != "match":
+                raise DslError("aggs bool clauses must be match queries")
+            terms, op = _match_clause(ctx, cs, "match",
+                                      analyzer=ctx.index_analyzer())
+            # one row per matched doc per clause (kernel contract), so
+            # row counts below count CLAUSES
+            return matched_ids_indexed(ctx.reader, terms, mode=op).select(
+                "nss_doc_id")
+
+        must = [_ids(c) for c in spec.get("must") or []]
+        should = [_ids(c) for c in spec.get("should") or []]
+        msm = int(spec.get("minimum_should_match", 0))
+        if not must and not should:
+            raise DslError("bool query needs at least one scoring clause")
+        m = None
+        for f in must:
+            m = f if m is None else m.join(f, "nss_doc_id")
+        if should:
+            tagged = None
+            for f in should:
+                tagged = f if tagged is None else tagged.unionByName(f)
+            counts = tagged.groupBy("nss_doc_id").agg(
+                F.count(F.lit(1)).alias("_ns"))
+            need = msm if msm > 0 else (0 if must else 1)
+            ok = counts.where(F.col("_ns") >= need).select("nss_doc_id")
+            m = ok if m is None else (m.join(ok, "nss_doc_id") if msm > 0 else m)
+        for c in spec.get("must_not") or []:
+            m = m.join(_ids(c), "nss_doc_id", "left_anti")
+        ids = (
+            ctx.reader.docmap()
+            .join(m.select("nss_doc_id"), "nss_doc_id")
+            .select(ctx.id_col)
+        )
+        return ids.join(ctx.docs, ctx.id_col)
     # corpus tokens in the FIELD's analyzer (the index's own when a
     # reader is set — matching the search() dispatch for these bodies)
     tok = tokenized(ctx.docs, ctx.id_col, ctx.text_col,

@@ -1124,6 +1124,23 @@ def test_aggs_hit_set_matches_search_on_index_analyzer(spark, tmp_path_factory):
     hit_ids = {r["doc_id"]
                for r in search(rctx, {"query": q, "size": 10}).collect()}
     assert hit_ids == {1, 2}  # code analyzer keeps foo_bar whole
-    agg = aggregate(rctx, {"query": q, "size": 0,
-                           "aggs": {"n": {"value_count": {"field": "doc_id"}}}})
-    assert agg.collect()[0]["n"] == len(hit_ids)
+    agg_df = aggregate(rctx, {"query": q, "size": 0,
+                              "aggs": {"n": {"value_count": {"field": "doc_id"}}}})
+    assert agg_df.collect()[0]["n"] == len(hit_ids)
+    # the indexed hit set never re-tokenizes the corpus: no split() of
+    # the text column anywhere in the physical plan
+    assert "split(" not in agg_df._jdf.queryExecution().executedPlan().toString()
+
+    # full clause shape: must + counted should + must_not through the
+    # kernel equals the exhaustive no-reader hit set
+    ctx_plain = SearchContext(docs=docs, analyzer="code")
+    q2 = {"bool": {"must": [{"match": {"text": "alpha"}}],
+                   "should": [{"match": {"text": "foo_bar"}},
+                              {"match": {"text": "gamma"}}],
+                   "must_not": [{"match": {"text": "plain"}}],
+                   "minimum_should_match": 1}}
+    body2 = {"query": q2, "size": 0,
+             "aggs": {"n": {"value_count": {"field": "doc_id"}}}}
+    n_idx = aggregate(rctx, body2).collect()[0]["n"]
+    n_ex = aggregate(ctx_plain, body2).collect()[0]["n"]
+    assert n_idx == n_ex == 1  # doc 1 (alpha + foo_bar, no plain)
