@@ -501,17 +501,32 @@ def paths(index_dir: str) -> dict[str, str]:
     }
 
 
+def _postings_have_v5_columns(index_dir: str) -> bool:
+    """Footer-only schema sniff of one postings parquet file — no Spark
+    job, no data read."""
+    import pyarrow.parquet as pq
+
+    pdir = paths(index_dir)["postings"]
+    for root, _dirs, files in os.walk(pdir):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return "pos_pack_bits" in pq.read_schema(os.path.join(root, f)).names
+    return True  # no data files yet — nothing a reader could mis-read
+
+
 def read_meta(index_dir: str) -> dict:
     """Load ``index_meta.json``, rejecting layouts this code can't
     open (Lucene's SegmentInfos version check analog). A meta written
-    before the version was persisted reads as the CURRENT version —
-    every store of that era already has the v5 postings columns — so
-    the guard bites on all future bumps without orphaning existing
-    indexes."""
+    before the version was persisted is classified by the PHYSICAL
+    postings schema (the v5 layout added the position-codec columns)
+    rather than assumed current — a v4-era dir gets this error, not a
+    missing-column crash deep in a kernel."""
     with open(paths(index_dir)["meta"]) as fh:
         meta = json.load(fh)
-    ver = int(meta.get("format_version", FORMAT_VERSION))
-    if ver != FORMAT_VERSION:
+    ver = meta.get("format_version")
+    if ver is None:
+        ver = FORMAT_VERSION if _postings_have_v5_columns(index_dir) else FORMAT_VERSION - 1
+    if int(ver) != FORMAT_VERSION:
         raise ValueError(
             f"index at {index_dir} is format v{ver}; this build reads/writes "
             f"v{FORMAT_VERSION} — rebuild the index (or open it with the "

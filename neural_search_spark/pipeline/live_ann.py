@@ -103,6 +103,18 @@ def _on_disk_batches(data_dir: str) -> list[int]:
     return sorted(out)
 
 
+def adopt_legacy_batches(
+    committed: list[int] | None, manifest: dict | None, data_dir: str
+) -> list[int]:
+    """Committed batch ids, adopting every on-disk batch when the
+    manifest predates the commit gate (legacy = all committed). Shared
+    by the vector and dedup stores so their crash-recovery behavior
+    cannot diverge."""
+    if committed is None and manifest is not None:
+        return _on_disk_batches(data_dir)
+    return committed or []
+
+
 def _committed(store_dir: str) -> list[int] | None:
     """Batch ids the manifest has committed — the SERVING view filter.
     A crashed batch's vector partition lands before its graph flips;
@@ -205,12 +217,8 @@ def append_vector_batch(
         shutil.rmtree(new_dir)  # stale leftover from a crashed attempt
     grown.write.mode("overwrite").parquet(new_dir)
     tmp = _manifest_path(store_dir) + ".tmp"
-    prior = _committed(store_dir)
-    if prior is None and _manifest(store_dir) is not None:
-        # legacy manifest (predates the commit gate): every on-disk
-        # batch was committed — adopt them or they vanish forever
-        prior = _on_disk_batches(vdir)
-    committed = sorted(set(prior or []) | {int(batch_id)})
+    prior = adopt_legacy_batches(_committed(store_dir), _manifest(store_dir), vdir)
+    committed = sorted(set(prior) | {int(batch_id)})
     with open(tmp, "w") as fh:
         json.dump({"current": new_name, "committed": committed}, fh)
     os.replace(tmp, _manifest_path(store_dir))

@@ -38,7 +38,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .live_ann import _gc_stale_versions
+from .live_ann import _gc_stale_versions, _on_disk_batches, adopt_legacy_batches
 
 from .dedup import (
     DEFAULT_BANDS,
@@ -90,25 +90,11 @@ def _committed(store_dir: str) -> list[int] | None:
     return [int(x) for x in m["committed"]]
 
 
-def _on_disk_batches(data_dir: str) -> list[int]:
-    """ingest_batch partition values present on disk (filesystem
-    listing — no Spark job). Used to adopt a legacy store's batches
-    into the commit gate."""
-    out = []
-    if os.path.isdir(data_dir):
-        for name in os.listdir(data_dir):
-            if name.startswith("ingest_batch="):
-                out.append(int(name.split("=", 1)[1]))
-    return sorted(out)
-
-
 def _committed_or_legacy(store_dir: str, data_dir: str) -> list[int]:
     """Committed batch ids, adopting every on-disk batch when the
-    manifest predates the commit gate (legacy = all committed)."""
-    committed = _committed(store_dir)
-    if committed is None and _manifest(store_dir) is not None:
-        return _on_disk_batches(data_dir)
-    return committed or []
+    manifest predates the commit gate (legacy = all committed) —
+    live_ann.adopt_legacy_batches over THIS store's manifest."""
+    return adopt_legacy_batches(_committed(store_dir), _manifest(store_dir), data_dir)
 
 
 def read_live_roots(spark: SparkSession, store_dir: str) -> DataFrame:

@@ -267,6 +267,46 @@ def bool_clauses_topk(
     return topk(agg, k=k, round_to=None)
 
 
+def bool_gate_indexed(
+    reader,
+    must: list[tuple[list[str], str]],
+    should: list[tuple[list[str], str]],
+    must_not: list[tuple[list[str], str]],
+    minimum_should_match: int = 0,
+) -> DataFrame:
+    """(nss_doc_id) frame of docs satisfying the clause gate over
+    per-clause ``matched_ids_indexed`` streams: must = intersection,
+    should = distinct-clause count >= minimum_should_match (default 1
+    when there is no must), must_not = anti-join. The ONE gate builder
+    both the indexed bool top-k and the DSL aggs hit set use, so their
+    match sets cannot drift. Clauses are (analyzed terms, operator)."""
+    from .wand import matched_ids_indexed
+
+    gate = None
+    for terms, op in must:
+        ids = matched_ids_indexed(reader, terms, mode=op).select("nss_doc_id")
+        gate = ids if gate is None else gate.join(ids, "nss_doc_id")
+    need_should = minimum_should_match if minimum_should_match > 0 else (0 if must else 1)
+    if should and need_should > 0:
+        tagged = None
+        for terms, op in should:
+            # one row per (doc, clause): each matched_ids_indexed stream
+            # emits a doc at most once, so counting rows counts clauses
+            t = matched_ids_indexed(reader, terms, mode=op).select("nss_doc_id")
+            tagged = t if tagged is None else tagged.unionByName(t)
+        ok = (
+            tagged.groupBy("nss_doc_id")
+            .agg(F.count(F.lit(1)).alias("_ns"))
+            .where(F.col("_ns") >= need_should)
+            .select("nss_doc_id")
+        )
+        gate = ok if gate is None else gate.join(ok, "nss_doc_id")
+    for terms, op in must_not:
+        excluded = matched_ids_indexed(reader, terms, mode=op).select("nss_doc_id")
+        gate = gate.join(excluded, "nss_doc_id", "left_anti")
+    return gate
+
+
 def bool_clauses_topk_indexed(
     reader,
     must: list[Clause] | None = None,
@@ -292,7 +332,7 @@ def bool_clauses_topk_indexed(
     the kernel cannot mask per-doc terms). AND must-clauses are safe —
     the gate guarantees they matched fully."""
     from .multiterm import rounded_topk_from_kernel
-    from .wand import bm25_topk_indexed, matched_ids_indexed
+    from .wand import bm25_topk_indexed
 
     must = _norm_clauses(must, "must")
     should = _norm_clauses(should, "should")
@@ -315,28 +355,7 @@ def bool_clauses_topk_indexed(
                 f"{sorted(dup)} would double-count — use the exhaustive builder"
             )
         seen |= set(terms)
-    gate = None
-    for terms, op in must:
-        ids = matched_ids_indexed(reader, terms, mode=op).select("nss_doc_id")
-        gate = ids if gate is None else gate.join(ids, "nss_doc_id")
-    need_should = minimum_should_match if minimum_should_match > 0 else (0 if must else 1)
-    if should and need_should > 0:
-        tagged = None
-        for terms, op in should:
-            # one row per (doc, clause): each matched_ids_indexed stream
-            # emits a doc at most once, so counting rows counts clauses
-            t = matched_ids_indexed(reader, terms, mode=op).select("nss_doc_id")
-            tagged = t if tagged is None else tagged.unionByName(t)
-        ok = (
-            tagged.groupBy("nss_doc_id")
-            .agg(F.count(F.lit(1)).alias("_ns"))
-            .where(F.col("_ns") >= need_should)
-            .select("nss_doc_id")
-        )
-        gate = ok if gate is None else gate.join(ok, "nss_doc_id")
-    for terms, op in must_not:
-        excluded = matched_ids_indexed(reader, terms, mode=op).select("nss_doc_id")
-        gate = gate.join(excluded, "nss_doc_id", "left_anti")
+    gate = bool_gate_indexed(reader, must, should, must_not, minimum_should_match)
     scoring = sorted({t for terms, _ in must + should for t in terms})
     return rounded_topk_from_kernel(
         reader.spark,

@@ -1108,56 +1108,46 @@ def _matched_docs(ctx: SearchContext, q: dict) -> DataFrame:
         )
         return m.join(ctx.docs, ctx.id_col)
     if typ == "bool" and ctx.reader is not None:
-        # indexed bool hit set: per-clause kernel match streams combined
-        # on nss_doc_id (must = intersection, should = clause count >=
-        # minimum_should_match, must_not = anti-join) — same gate shape
-        # as booleans.bool_clauses_topk_indexed, no corpus re-tokenize
-        from .wand import matched_ids_indexed
+        # indexed bool hit set: per-clause kernel match streams through
+        # the SHARED gate builder (booleans.bool_gate_indexed — the same
+        # gate the indexed bool top-k uses, so search() and aggregate()
+        # match sets cannot drift), then docmap — no corpus re-tokenize
+        from .booleans import bool_gate_indexed
 
         _require_doc_key(ctx)
         _reject_unknown(spec, {"must", "should", "must_not",
                                "minimum_should_match"}, "bool")
 
-        def _ids(clause):
+        def _clause(clause):
             ct, cs = _one(clause, "bool clause")
             if ct != "match":
                 raise DslError("aggs bool clauses must be match queries")
-            terms, op = _match_clause(ctx, cs, "match",
-                                      analyzer=ctx.index_analyzer())
-            # one row per matched doc per clause (kernel contract), so
-            # row counts below count CLAUSES
-            return matched_ids_indexed(ctx.reader, terms, mode=op).select(
-                "nss_doc_id")
+            return _match_clause(ctx, cs, "match",
+                                 analyzer=ctx.index_analyzer())
 
-        must = [_ids(c) for c in spec.get("must") or []]
-        should = [_ids(c) for c in spec.get("should") or []]
-        msm = int(spec.get("minimum_should_match", 0))
+        must = [_clause(c) for c in spec.get("must") or []]
+        should = [_clause(c) for c in spec.get("should") or []]
+        must_not = [_clause(c) for c in spec.get("must_not") or []]
         if not must and not should:
             raise DslError("bool query needs at least one scoring clause")
-        m = None
-        for f in must:
-            m = f if m is None else m.join(f, "nss_doc_id")
-        if should:
-            tagged = None
-            for f in should:
-                tagged = f if tagged is None else tagged.unionByName(f)
-            counts = tagged.groupBy("nss_doc_id").agg(
-                F.count(F.lit(1)).alias("_ns"))
-            need = msm if msm > 0 else (0 if must else 1)
-            ok = counts.where(F.col("_ns") >= need).select("nss_doc_id")
-            m = ok if m is None else (m.join(ok, "nss_doc_id") if msm > 0 else m)
-        for c in spec.get("must_not") or []:
-            m = m.join(_ids(c), "nss_doc_id", "left_anti")
+        gate = bool_gate_indexed(
+            ctx.reader, must, should, must_not,
+            minimum_should_match=int(spec.get("minimum_should_match", 0)),
+        )
         ids = (
             ctx.reader.docmap()
-            .join(m.select("nss_doc_id"), "nss_doc_id")
+            .join(gate.select("nss_doc_id"), "nss_doc_id")
             .select(ctx.id_col)
         )
         return ids.join(ctx.docs, ctx.id_col)
-    # corpus tokens in the FIELD's analyzer (the index's own when a
-    # reader is set — matching the search() dispatch for these bodies)
+    # corpus tokens: the index's own analyzer when a reader is set
+    # (matching the search() dispatch for these bodies); WITHOUT a
+    # reader the exhaustive scorers are simple-tokenized, so the hit
+    # set must be too — tokenizing with ctx.analyzer here would make
+    # search() and aggregate() disagree on one body
     tok = tokenized(ctx.docs, ctx.id_col, ctx.text_col,
-                    tokenizer=ctx.index_analyzer())
+                    tokenizer=ctx.index_analyzer()
+                    if ctx.reader is not None else "simple")
     if typ == "match":
         terms, op = _match_clause(ctx, spec, "match",
                                   analyzer=ctx.index_analyzer())

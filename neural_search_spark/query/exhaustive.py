@@ -35,8 +35,16 @@ def tokenized(
         spark_expr, _ = simple_tokens_sql(text_col)
         toks = F.expr(spark_expr)
     else:
-        from ..functions.tokenize import resolve_analyzer
+        from ..functions.tokenize import ANALYZERS, resolve_analyzer
 
+        if tokenizer not in ANALYZERS:
+            # a raw split-regex tokenizer is indexed through a
+            # different normalization than a plain split would apply —
+            # refuse rather than factor over a divergent token stream
+            raise ValueError(
+                f"tokenized() supports registered analyzers only "
+                f"({sorted(ANALYZERS)}), got [{tokenizer}]"
+            )
         split_re, _token_re, lower = resolve_analyzer(tokenizer)
         src = F.lower(F.col(text_col)) if lower else F.col(text_col)
         # column API: F.split takes the Java regex verbatim, so \p{L}

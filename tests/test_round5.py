@@ -257,12 +257,29 @@ def test_format_version_guard(spark, tmp_path):
         meta = json.load(fh)
     assert meta["format_version"] == FORMAT_VERSION
 
-    # legacy meta (no key) still opens
+    # legacy meta (no key) still opens — classified CURRENT because the
+    # physical postings schema carries the v5 codec columns
     legacy = {k: v for k, v in meta.items() if k != "format_version"}
     with open(mpath, "w") as fh:
         json.dump(legacy, fh)
     assert read_meta(idx)["num_segments"] == 2
     IndexReader(spark, idx)
+
+    # a version-less meta over a PRE-v5 physical layout (no
+    # pos_pack_bits column) is rejected by the schema sniff, not
+    # admitted to crash later on a missing column
+    import shutil
+
+    old_idx = str(tmp_path / "idx_v4era")
+    shutil.copytree(idx, old_idx)
+    pdir = os.path.join(old_idx, "postings")
+    stripped = spark.read.parquet(pdir).drop(
+        "pos_pack_bits", "block_pos_n", "pos_exc_pos", "pos_exc_high")
+    stripped.write.mode("overwrite").parquet(str(tmp_path / "stripped"))
+    shutil.rmtree(pdir)
+    shutil.copytree(str(tmp_path / "stripped"), pdir)
+    with pytest.raises(ValueError, match="format"):
+        read_meta(old_idx)
 
     # a version this code does not write is rejected everywhere
     with open(mpath, "w") as fh:
