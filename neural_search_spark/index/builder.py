@@ -503,15 +503,23 @@ def paths(index_dir: str) -> dict[str, str]:
 
 def _postings_have_v5_columns(index_dir: str) -> bool:
     """Footer-only schema sniff of one postings parquet file — no Spark
-    job, no data read."""
+    job, no data read. Skips Spark work dirs (``_temporary``/hidden) and
+    any unreadable crash-orphaned file, so a killed write can neither
+    crash the classification nor decide it."""
     import pyarrow.parquet as pq
 
     pdir = paths(index_dir)["postings"]
-    for root, _dirs, files in os.walk(pdir):
+    for root, dirs, files in os.walk(pdir):
+        dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
         for f in sorted(files):
-            if f.endswith(".parquet"):
-                return "pos_pack_bits" in pq.read_schema(os.path.join(root, f)).names
-    return True  # no data files yet — nothing a reader could mis-read
+            if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                continue
+            try:
+                names = pq.read_schema(os.path.join(root, f)).names
+            except Exception:
+                continue  # truncated leftover from a killed write
+            return "pos_pack_bits" in names
+    return True  # no readable data files — nothing a reader could mis-read
 
 
 def read_meta(index_dir: str) -> dict:

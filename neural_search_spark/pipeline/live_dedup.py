@@ -38,7 +38,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .live_ann import _gc_stale_versions, _on_disk_batches, adopt_legacy_batches
+from .live_ann import _gc_stale_versions, adopt_legacy_batches
 
 from .dedup import (
     DEFAULT_BANDS,

@@ -282,6 +282,10 @@ def bool_gate_indexed(
     match sets cannot drift. Clauses are (analyzed terms, operator)."""
     from .wand import matched_ids_indexed
 
+    if minimum_should_match > len(should):
+        # validated HERE so every gate consumer (top-k and aggs hit
+        # set) rejects the same bodies the same way
+        raise ValueError("minimum_should_match exceeds the should-clause count")
     gate = None
     for terms, op in must:
         ids = matched_ids_indexed(reader, terms, mode=op).select("nss_doc_id")
@@ -339,8 +343,8 @@ def bool_clauses_topk_indexed(
     must_not = _norm_clauses(must_not, "must_not")
     if not must and not should:
         raise ValueError("bool query needs at least one scoring clause (must/should)")
-    if minimum_should_match > len(should):
-        raise ValueError("minimum_should_match exceeds the should-clause count")
+    # msm > len(should) is validated inside bool_gate_indexed (shared
+    # with the DSL aggs hit set)
     if any(op == "and" for _, op in should):
         raise ValueError(
             "indexed bool path: should clauses must be operator=or "

@@ -1144,11 +1144,15 @@ def _matched_docs(ctx: SearchContext, q: dict) -> DataFrame:
     # (matching the search() dispatch for these bodies); WITHOUT a
     # reader the exhaustive scorers are simple-tokenized, so the hit
     # set must be too — tokenizing with ctx.analyzer here would make
-    # search() and aggregate() disagree on one body
-    tok = tokenized(ctx.docs, ctx.id_col, ctx.text_col,
-                    tokenizer=ctx.index_analyzer()
-                    if ctx.reader is not None else "simple")
+    # search() and aggregate() disagree on one body. Built lazily:
+    # only the match/bool fallthroughs consume the token stream.
+    def tok_frame():
+        return tokenized(ctx.docs, ctx.id_col, ctx.text_col,
+                         tokenizer=ctx.index_analyzer()
+                         if ctx.reader is not None else "simple")
+
     if typ == "match":
+        tok = tok_frame()
         terms, op = _match_clause(ctx, spec, "match",
                                   analyzer=ctx.index_analyzer())
         m = (
@@ -1165,6 +1169,7 @@ def _matched_docs(ctx: SearchContext, q: dict) -> DataFrame:
         else:
             m = m.select(ctx.id_col).distinct()
     elif typ == "bool":
+        tok = tok_frame()
         _reject_unknown(spec, {"must", "should", "must_not", "minimum_should_match"},
                         "bool")
         must = [_clause_matched(ctx, tok, c) for c in spec.get("must") or []]

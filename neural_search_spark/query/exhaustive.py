@@ -35,22 +35,20 @@ def tokenized(
         spark_expr, _ = simple_tokens_sql(text_col)
         toks = F.expr(spark_expr)
     else:
-        from ..functions.tokenize import ANALYZERS, resolve_analyzer
+        from ..functions.tokenize import resolve_analyzer
 
-        if tokenizer not in ANALYZERS:
-            # a raw split-regex tokenizer is indexed through a
-            # different normalization than a plain split would apply —
-            # refuse rather than factor over a divergent token stream
-            raise ValueError(
-                f"tokenized() supports registered analyzers only "
-                f"({sorted(ANALYZERS)}), got [{tokenizer}]"
-            )
         split_re, _token_re, lower = resolve_analyzer(tokenizer)
         src = F.lower(F.col(text_col)) if lower else F.col(text_col)
-        # column API: F.split takes the Java regex verbatim, so \p{L}
-        # classes survive (an F.expr string literal would eat the
-        # backslashes)
-        toks = F.filter(F.split(src, split_re), lambda x: x != F.lit(""))
+        # mirror the index kernel's normalization EXACTLY (tokenize.
+        # term_freq_frame_positions): replace split-regex matches with a
+        # space, then split on whitespace runs — identical to a plain
+        # split for every registered analyzer (their split classes
+        # cover whitespace) and correct for raw split regexes whose
+        # class does not. Column API: patterns pass verbatim as Java
+        # regexes, so \p{L} classes survive; (?U) makes \s+ match the
+        # same Unicode whitespace Arrow's split_whitespace does.
+        cleaned = F.regexp_replace(src, split_re, " ")
+        toks = F.filter(F.split(cleaned, r"(?U)\s+"), lambda x: x != F.lit(""))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         toks.alias("toks"),

@@ -1150,3 +1150,64 @@ def test_aggs_hit_set_matches_search_on_index_analyzer(spark, tmp_path_factory):
     n_ex = aggregate(ctx_plain, body2).collect()[0]["n"]
     hits_ex = search(ctx_plain, {"query": q2, "size": 10}).collect()
     assert n_ex == len(hits_ex)  # consistent hit sets on one body
+
+
+def test_bool_msm_rejected_identically_on_both_surfaces(spark, tmp_path_factory):
+    """minimum_should_match > should-clause count is validated inside
+    the SHARED gate builder, so search() and aggregate() reject the
+    same body the same way instead of one erroring and one silently
+    returning empty."""
+    from neural_search_spark.index.builder import build_index
+    from neural_search_spark.query.dsl import aggregate
+    from neural_search_spark.query.wand import IndexReader
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string")
+    d = str(tmp_path_factory.mktemp("msm_idx"))
+    build_index(spark, docs, d, key_cols=["doc_id"], text_col="text",
+                tokenizer="simple", num_segments=1, range_block=64)
+    rctx = SearchContext(docs=docs, reader=IndexReader(spark, d, cache_hot=True))
+    bad = {"bool": {"should": [{"match": {"text": "alpha"}}],
+                    "minimum_should_match": 2}}
+    with pytest.raises(ValueError, match="should-clause count"):
+        search(rctx, {"query": bad, "size": 10})
+    with pytest.raises(ValueError, match="should-clause count"):
+        aggregate(rctx, {"query": bad, "size": 0,
+                         "aggs": {"n": {"value_count": {"field": "doc_id"}}}})
+
+
+def test_explain_on_raw_regex_tokenizer_index(spark, tmp_path_factory):
+    """build_index accepts any raw split regex; explain over such an
+    index must factor the SAME token stream the kernel indexed
+    (replace-then-whitespace-split, not a plain split)."""
+    import collections
+
+    from neural_search_spark.index.builder import build_index
+    from neural_search_spark.query.wand import IndexReader
+
+    docs = spark.createDataFrame(
+        [(1, "foo bar1baz"), (2, "baz2qux foo"), (3, "plain words")],
+        "doc_id long, text string")
+    d = str(tmp_path_factory.mktemp("rawre_idx"))
+    build_index(spark, docs, d, key_cols=["doc_id"], text_col="text",
+                tokenizer="[0-9]+", num_segments=1, range_block=64)
+    rctx = SearchContext(docs=docs, reader=IndexReader(spark, d, cache_hot=True))
+
+    hits = {r["doc_id"]: r["score"]
+            for r in search(rctx, {"query": {"match": {"text": "baz"}},
+                                   "size": 10}).collect()}
+    assert set(hits) == {1, 2}  # digit runs split: bar1baz -> bar, baz
+    got = search(rctx, {"query": {"match": {"text": "baz"}}, "size": 10,
+                        "explain": True}).collect()
+    sums = collections.defaultdict(float)
+    for r in got:
+        sums[r["doc_id"]] += r["contribution"]
+    for doc, s in hits.items():
+        assert abs(sums[doc] - s) < 2e-3
+
+    # leaf aggs bodies never build the token stream — no raw-regex trip
+    from neural_search_spark.query.dsl import aggregate
+    n = aggregate(rctx, {"query": {"range": {"doc_id": {"gte": 1, "lte": 2}}},
+                         "size": 0,
+                         "aggs": {"n": {"value_count": {"field": "doc_id"}}}})
+    assert n.collect()[0]["n"] == 2
