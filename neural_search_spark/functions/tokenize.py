@@ -143,10 +143,15 @@ def analyze_query(text: str, tokenizer: str = "simple") -> list[str]:
         return [s[a:b] for a, b in py_token_spans(s, tokenizer)]
     if tokenizer in PY_ANALYZERS:
         split_re, _token_re, lower = PY_ANALYZERS[tokenizer]
-    else:
-        split_re, lower = tokenizer, True  # raw split regex (historical)
-    s = text.lower() if lower else text
-    return [t for t in _re.split(split_re, s) if t]
+        s = text.lower() if lower else text
+        return [t for t in _re.split(split_re, s) if t]
+    # raw split regex: mirror the index kernel's normalization (replace
+    # matches with a space, then split on whitespace) — a plain split
+    # would keep "foo bar" as ONE query term when the regex's class
+    # does not cover whitespace, so the analyzed query could never
+    # match the indexed token stream
+    s = text.lower()
+    return [t for t in _re.sub(tokenizer, " ", s).split() if t]
 
 
 def tokenize_code(texts: pd.Series) -> pd.Series:

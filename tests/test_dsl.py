@@ -1211,3 +1211,26 @@ def test_explain_on_raw_regex_tokenizer_index(spark, tmp_path_factory):
                          "size": 0,
                          "aggs": {"n": {"value_count": {"field": "doc_id"}}}})
     assert n.collect()[0]["n"] == 2
+
+
+def test_raw_regex_query_analysis_matches_kernel(spark, tmp_path_factory):
+    """analyze_query over a raw split regex must normalize like the
+    kernel (replace-then-whitespace-split): a multi-word match query on
+    an index whose raw regex does not cover whitespace must split into
+    per-word terms, not keep "foo baz" as one unmatchable token."""
+    from neural_search_spark.functions.tokenize import analyze_query
+    from neural_search_spark.index.builder import build_index
+    from neural_search_spark.query.wand import IndexReader
+
+    assert analyze_query("Foo bar1Baz", "[0-9]+") == ["foo", "bar", "baz"]
+
+    docs = spark.createDataFrame(
+        [(1, "foo bar1baz"), (2, "baz2qux foo"), (3, "plain words")],
+        "doc_id long, text string")
+    d = str(tmp_path_factory.mktemp("rawre_match"))
+    build_index(spark, docs, d, key_cols=["doc_id"], text_col="text",
+                tokenizer="[0-9]+", num_segments=1, range_block=64)
+    rctx = SearchContext(docs=docs, reader=IndexReader(spark, d, cache_hot=True))
+    hits = search(rctx, {"query": {"match": {"text": "foo baz"}},
+                         "size": 10}).collect()
+    assert {r["doc_id"] for r in hits} == {1, 2}  # both terms hit both docs
