@@ -175,18 +175,15 @@ def main() -> int:
                 "noise — see BENCH/BASELINE.md); sf0.1 is 5k docs — "
                 "build time there is fixed overhead; throughput/scaling "
                 "at 1.2M-2.4M files is in scaling_evidence. "
-                "dedup_embedding_lsh's ~9s is ~70% FIXED Catalyst/Janino "
-                "compile of the 128 inlined sign-hyperplane dot products "
-                "(measured: 22.7s cold at sf0.01 vs 6.4s at 10x the data "
-                "in the same JVM; <2s is data) — deliberate: constant-"
-                "folded whole-stage-codegen expressions maximize per-row "
-                "throughput at scale, and the compile is per-query, "
-                "amortized over the corpus. The compile-free alternative "
-                "was MEASURED, not assumed: interpreted higher-order-"
-                "function band keys (aggregate/zip_with, IEEE-identical "
-                "pair set) win at sf0.1 (2.7s vs 4.4s warm) but lose "
-                "2.1x per-row at 512k vectors (7.4s vs 3.4s warm) — "
-                "BENCH/r5_lsh_impl.json",
+                "dedup_embedding_lsh picks its band-key projection "
+                "adaptively (impl='auto'): a bounded limit-probe selects "
+                "interpreted HOF keys under the measured 256k-row "
+                "crossover (dodges the ~4.5s fixed Janino compile of the "
+                "128 inlined hyperplane dot products — the old ~8s bench "
+                "row was ~70% that compile) and constant-folded whole-"
+                "stage-codegen keys above it (2.1x better per-row at "
+                "512k vectors). Both forms are bit-identical per pair; "
+                "measurements in BENCH/r5_lsh_impl.json",
     }
     scaling_path = os.path.join(bench_dir, "scaling.json")
     if os.path.exists(scaling_path):

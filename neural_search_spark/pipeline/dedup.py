@@ -436,6 +436,45 @@ def rhp_band_key_exprs(
     return keys
 
 
+def rhp_band_key_exprs_hof(
+    vec_col: str, dim: int, bands: int, bits: int
+) -> list[str]:
+    """The same band keys as :func:`rhp_band_key_exprs`, expressed as
+    interpreted higher-order functions over the hyperplane matrix as an
+    array literal — nothing for Janino to compile. Bit-identical to the
+    codegen form: ``zip_with`` + left-fold ``aggregate`` sums the dot
+    product in index order, exactly the left-associated ``v[0]*s0 +
+    v[1]*s1 + …`` of the inline expression, so every IEEE sign decision
+    matches (measured: same pair set, sha-equal, BENCH/r5_lsh_impl.json).
+
+    Trade-off (measured there): no ~4–6 s fixed Janino compile, but
+    ~2.1× worse warm per-row cost at 512k vectors — use below the
+    compile-amortization crossover only."""
+    keys = []
+    for b in range(bands):
+        planes = ", ".join(
+            "array(" + ", ".join(
+                f"CAST({rhp_sign(b, r, d)!r} AS DOUBLE)" for d in range(dim)
+            ) + ")"
+            for r in range(bits)
+        )
+        keys.append(
+            f"aggregate(sequence(0, {bits - 1}), 0L, (acc, r) -> acc + "
+            f"(CASE WHEN aggregate(zip_with({vec_col}, "
+            f"element_at(array({planes}), r + 1), (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (s, x) -> s + x) >= 0 "
+            f"THEN shiftleft(1L, r) ELSE 0L END))"
+        )
+    return keys
+
+
+# Measured compile-vs-per-row crossover (BENCH/r5_lsh_impl.json): the
+# codegen projection pays a ~4.5 s fixed Janino compile; the HOF form
+# pays ~7.8 µs/row extra (dim 16 × 8 bands × 16 bits). Break-even
+# ≈ 575k rows; 256k keeps a 2× safety margin on the fixed-cost side.
+RHP_AUTO_THRESHOLD = 256_000
+
+
 def embedding_lsh_pairs(
     vecs: DataFrame,
     threshold: float = 0.98,
@@ -445,6 +484,7 @@ def embedding_lsh_pairs(
     id_col: str = "doc_id",
     vec_col: str = "v",
     hamming_margin: float = 0.1,
+    impl: str = "auto",
 ) -> DataFrame:
     """(a, b, cos) near-dup pairs via sign-random-projection LSH —
     the scale path for embedding dedup (replaces the all-pairs
@@ -478,17 +518,34 @@ def embedding_lsh_pairs(
     against the exact all-pairs ``embedding_near_dup`` reference set;
     see tests/test_round3.py and the driver-gate query).  Raise
     ``hamming_margin`` (fraction of π added to acos(threshold)) to
-    trade candidate volume for recall."""
+    trade candidate volume for recall.
+
+    ``impl`` picks the band-key projection form — ``codegen`` (inline
+    constants, whole-stage codegen: best per-row cost, ~4.5 s fixed
+    Janino compile), ``hof`` (interpreted higher-order functions:
+    compile-free, ~2.1× per-row), or ``auto`` (default): a bounded
+    ``limit(N+1).count()`` probe — it stops scanning at N+1 rows, so
+    it stays cheap at any corpus size — picks hof under the measured
+    crossover ``RHP_AUTO_THRESHOLD`` and codegen above it. Both forms
+    produce bit-identical keys (BENCH/r5_lsh_impl.json)."""
     import math
     if dim is None:
         raise ValueError("dim is required (vector length)")
+    if impl not in ("auto", "codegen", "hof"):
+        raise ValueError(f"impl must be auto|codegen|hof, got [{impl}]")
     nonzero = "aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x) > 0.0"
     # base feeds banding AND both sides of the verification join —
     # persist so an upstream embedding pipeline computes once, not 3x
     base = vecs.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     ).where(F.expr(nonzero)).persist()
-    keys = rhp_band_key_exprs("v", dim, bands, bits, one_based=False)
+    if impl == "auto":
+        probe = base.limit(RHP_AUTO_THRESHOLD + 1).count()
+        impl = "hof" if probe <= RHP_AUTO_THRESHOLD else "codegen"
+    if impl == "hof":
+        keys = rhp_band_key_exprs_hof("v", dim, bands, bits)
+    else:
+        keys = rhp_band_key_exprs("v", dim, bands, bits, one_based=False)
     # band keys become plain columns BEFORE the explode: the projection
     # is codegen-splittable per expression, while one giant
     # explode(array(struct(<8 × 16-plane dot products>))) exceeds

@@ -347,3 +347,43 @@ def test_pos_codec_survives_append_and_merge(spark, tmp_path):
                for r in bm25_phrase_indexed(IndexReader(spark, d),
                                             ["needle", "tail"]).collect()}
         assert got == exp, d
+
+
+def test_rhp_band_key_impls_bit_identical(spark):
+    """The interpreted-HOF band-key projection must produce the SAME
+    integer bucket keys as the codegen inline form on every vector
+    (same left-fold dot-product order -> same IEEE sign decisions), so
+    impl= only changes the physical plan, never the pair set."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from neural_search_spark.pipeline import dedup
+
+    d, n = 16, 60
+    rows = [(i, [math.sin(0.1 * i * (j + 1)) for j in range(d)]) for i in range(n)]
+    rows += [(n, rows[3][1]), (n + 1, rows[7][1])]  # exact dups -> pairs
+    vecs = spark.createDataFrame(rows, "doc_id long, v array<double>")
+
+    cg = dedup.rhp_band_key_exprs("v", d, dedup.RHP_BANDS, dedup.RHP_BITS,
+                                  one_based=False)
+    hof = dedup.rhp_band_key_exprs_hof("v", d, dedup.RHP_BANDS, dedup.RHP_BITS)
+    both = vecs.select(
+        "doc_id",
+        *[F.expr(k).cast("long").alias(f"c{i}") for i, k in enumerate(cg)],
+        *[F.expr(k).cast("long").alias(f"h{i}") for i, k in enumerate(hof)],
+    ).collect()
+    for r in both:
+        for i in range(dedup.RHP_BANDS):
+            assert r[f"c{i}"] == r[f"h{i}"], (r["doc_id"], i)
+
+    def pairset(impl):
+        return {(r["a"], r["b"], r["cos"]) for r in dedup.embedding_lsh_pairs(
+            vecs, threshold=0.98, dim=d, impl=impl).collect()}
+
+    p_cg, p_hof, p_auto = pairset("codegen"), pairset("hof"), pairset("auto")
+    assert p_cg == p_hof == p_auto
+    assert {(a, b) for a, b, _ in p_cg} >= {(3, n), (7, n + 1)}
+
+    with pytest.raises(ValueError, match="impl"):
+        dedup.embedding_lsh_pairs(vecs, threshold=0.98, dim=d, impl="nope")
