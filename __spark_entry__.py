@@ -500,6 +500,42 @@ def _q_dsl_dismax_sparse(spark, sf_dir):
     return search(ctx, body)
 
 
+def _q_dsl_nested_and(spark, sf_dir):
+    """Nested match with Operator.AND, ScoreMode Total: a chunk scores
+    only if it contains EVERY query term — conjunction is evaluated per
+    nested doc, before the block-join rollup, exactly as
+    MatchQueryBuilder(AND) wrapped in nestedQuery(ScoreMode.Max)
+    evaluates in the reference. (avg is pinned by the hand-computed
+    ScoreMode fixtures; its single-matching-chunk score vocabulary
+    ties exactly at this corpus's k boundary, so the driver row uses
+    the gap-clean max rollup.)"""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"nested": {
+        "path": "chunks",
+        "query": {"match": {"chunks.text": {
+            "query": " ".join(TERMS_OR), "operator": "and"}}},
+        "score_mode": "total",
+    }}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
+def _q_dsl_dismax_and(spark, sf_dir):
+    """dis_max whose first sub-query is a conjunctive match
+    (operator=and) — drops off the all-OR single-traversal fast path
+    onto per-sub score frames (bm25_conjunctive for the AND sub),
+    combined by Lucene's DisjunctionMaxQuery rule
+    max + tie_breaker * (sum of the rest)."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"dis_max": {"tie_breaker": 0.3, "queries": [
+        {"match": {"text": {"query": " ".join(TERMS_OR),
+                            "operator": "and"}}},
+        {"match": {"text": TERMS_OR[0]}},
+    ]}}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
 def _q_bm25_explain(spark, sf_dir):
     """Lucene Explanation analog: per-(top-k doc, term) BM25 factor
     breakdown (tf/df/idf/tf_norm/contribution) — output bounded by
@@ -2183,6 +2219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_total_hits_tracked": _q_indexed_total_hits_tracked,
         "dsl_explain_indexed": _q_dsl_explain_indexed,
         "dsl_highlight_indexed": _q_dsl_highlight_indexed,
+        "dsl_nested_and": _q_dsl_nested_and,
+        "dsl_dismax_and": _q_dsl_dismax_and,
     }
 
 
@@ -2469,4 +2507,12 @@ def oracle_sql() -> dict[str, str]:
         "indexed_sort_after": oracle.sort_after_fields_sql(TERMS_OR, page=2, k=10),
         "multimodal_features": poracle.multimodal_features_sql(),
         "multimodal_joint_embed": oracle.joint_embed_sql(dim=16),
+        "dsl_nested_and": oracle.nested_chunk_topk_sql(
+            TERMS_OR, CHUNK_DELIMITER, k=10, score_mode="total",
+            operator="and",
+        ),
+        "dsl_dismax_and": oracle.dis_max_topk_sql(
+            [TERMS_OR, [TERMS_OR[0]]], tie_breaker=0.3, k=10,
+            operators=["and", "or"],
+        ),
     }

@@ -127,6 +127,7 @@ def nested_chunk_scores(
     score_mode: str = "max",
     id_col: str = "doc_id",
     text_col: str = "text",
+    operator: str = "or",
 ) -> DataFrame:
     """Per-chunk BM25 scoring rolled up per-parent — the
     ToParentBlockJoinQuery(ScoreMode) analog: the reference's nested
@@ -140,13 +141,20 @@ def nested_chunk_scores(
     CHUNK-level, exactly as Lucene computes them over nested docs in the
     same index. One chunk explode feeds tokenize -> score; the rollup is
     one groupBy(parent) agg per ``score_mode``. Returns the FULL parent
-    match set (doc_id, score), unrounded — callers cut/rank."""
-    from ..query.exhaustive import bm25_scores
+    match set (doc_id, score), unrounded — callers cut/rank.
+
+    ``operator="and"`` scores a CHUNK only if it contains every term
+    (MatchQueryBuilder's Operator.AND applied to the inner query —
+    conjunction is per nested doc, not per parent, exactly as Lucene
+    evaluates the child query before the block-join rollup)."""
+    from ..query.exhaustive import bm25_conjunctive, bm25_scores
 
     if score_mode not in NESTED_SCORE_MODES:
         raise ValueError(
             f"score_mode must be one of {sorted(NESTED_SCORE_MODES)}, "
             f"got [{score_mode}]")
+    if operator not in ("or", "and"):
+        raise ValueError(f"operator must be or|and, got [{operator}]")
 
     spark_chunks, _ = delimiter_chunks_sql(text_col, delimiter)
     chunks = docs.select(
@@ -174,8 +182,9 @@ def nested_chunk_scores(
         .alias("chunk_id"),
         "chunk_text",
     )
-    scored = bm25_scores(chunks, sorted(set(terms)), id_col="chunk_id",
-                         text_col="chunk_text", round_to=None)
+    score_fn = bm25_conjunctive if operator == "and" else bm25_scores
+    scored = score_fn(chunks, sorted(set(terms)), id_col="chunk_id",
+                      text_col="chunk_text", round_to=None)
     agg = NESTED_SCORE_MODES[score_mode]
     return scored.groupBy(
         F.floor(F.col("doc_id") / NESTED_CHUNK_ID_BASE).cast("long").alias("doc_id")

@@ -1529,13 +1529,16 @@ def nested_chunk_scores_sql(
     delimiter: str,
     score_mode: str = "max",
     table: str = "documents",
+    operator: str = "or",
 ) -> str:
     """Oracle for operators.nested.nested_chunk_scores: chunk-level
     BM25 (chunks ARE the scored corpus — N/avgdl/df over chunks),
     per-parent rollup by ``score_mode`` (Lucene block-join ScoreMode:
     max / sum aka total / avg-over-matching-children / min). Full
     (doc_id, score) match set, unrounded — standalone WITH query, so
-    it composes as a parenthesized subquery inside hybrid oracles."""
+    it composes as a parenthesized subquery inside hybrid oracles.
+    ``operator="and"`` keeps only chunks containing every term
+    (per-nested-doc conjunction, before the rollup)."""
     from .operators.chunkers import delimiter_chunks_sql
 
     mode_agg = {"max": "max", "sum": "sum", "total": "sum",
@@ -1547,6 +1550,9 @@ def nested_chunk_scores_sql(
     dl_expr = quantized_dl_sql("dl")
     contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
     uniq = sorted(set(terms))
+    if operator not in ("or", "and"):
+        raise ValueError(f"operator must be or|and, got [{operator}]")
+    chunk_gate = f"WHERE nt = {len(uniq)}" if operator == "and" else ""
     return f"""
 WITH c0 AS (
   SELECT doc_id AS parent_id,
@@ -1568,14 +1574,15 @@ tf AS (
 ),
 dfreq AS (SELECT term, count(DISTINCT chunk_id) AS df FROM tf GROUP BY term),
 scored AS (
-  SELECT tf.chunk_id, sum({contrib}) AS score
+  SELECT tf.chunk_id, sum({contrib}) AS score,
+         count(DISTINCT tf.term) AS nt
   FROM tf JOIN dfreq USING (term), stats
   GROUP BY tf.chunk_id
 ),
 rolled AS (
   SELECT CAST(floor(chunk_id / {base}) AS BIGINT) AS doc_id,
          {mode_agg}(score) AS score
-  FROM scored GROUP BY 1
+  FROM scored {chunk_gate} GROUP BY 1
 )
 SELECT doc_id, score FROM rolled"""
 
@@ -1587,10 +1594,12 @@ def nested_chunk_topk_sql(
     table: str = "documents",
     round_to: int = 4,
     score_mode: str = "max",
+    operator: str = "or",
 ) -> str:
     """Deterministic top-k over ``nested_chunk_scores_sql`` (oracle for
     operators.nested.nested_chunk_topk and the DSL ``nested`` query)."""
-    inner = nested_chunk_scores_sql(terms, delimiter, score_mode, table)
+    inner = nested_chunk_scores_sql(terms, delimiter, score_mode, table,
+                                    operator=operator)
     return f"""
 SELECT doc_id, round(score, {round_to}) AS score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
@@ -1975,24 +1984,40 @@ def dis_max_topk_sql(
     k: int = 10,
     table: str = "documents",
     round_to: int = 4,
+    operators: list[str] | None = None,
 ) -> str:
     """``dis_max`` oracle (query/booleans.dis_max_topk): per-group BM25
     OR scores from one shared tf frame, combined as
-    best + tie_breaker * (total - best) per doc."""
+    best + tie_breaker * (total - best) per doc. ``operators`` (one
+    of or|and per group, default all-or) gates an AND group on docs
+    matching every one of its terms — the DSL's per-sub-query
+    MatchQueryBuilder Operator.AND."""
+    if operators is None:
+        operators = ["or"] * len(term_groups)
+    if len(operators) != len(term_groups) or any(
+            op not in ("or", "and") for op in operators):
+        raise ValueError(f"operators must be or|and per group, got {operators}")
     all_terms = sorted({t for g in term_groups for t in g})
     member_rows = ", ".join(
         f"({i}, '" + t.replace("'", "''") + "')"
         for i, g in enumerate(term_groups)
         for t in sorted(set(g))
     )
+    need_rows = ", ".join(
+        f"({i}, {len(set(g)) if op == 'and' else 1})"
+        for i, (g, op) in enumerate(zip(term_groups, operators))
+    )
     dl_expr = quantized_dl_sql("dl")
     contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
     return f"""{bm25_base_ctes(all_terms, table)},
 member (idx, term) AS (VALUES {member_rows}),
+need (idx, need_nt) AS (VALUES {need_rows}),
 scoredg AS (
   SELECT m.idx AS idx, tf.doc_id AS doc_id, sum({contrib}) AS score
-  FROM tf JOIN dfreq USING (term) JOIN member m ON m.term = tf.term, stats
-  GROUP BY m.idx, tf.doc_id
+  FROM tf JOIN dfreq USING (term) JOIN member m ON m.term = tf.term
+       JOIN need n ON n.idx = m.idx, stats
+  GROUP BY m.idx, tf.doc_id, n.need_nt
+  HAVING count(DISTINCT tf.term) >= n.need_nt
 ),
 comb AS (
   SELECT doc_id,

@@ -342,9 +342,9 @@ def _nested_scores(ctx: SearchContext, spec: Any) -> DataFrame:
     if field != expected:
         raise DslError(f"[nested] match field [{field}] must address the "
                        f"nested text field [{expected}]")
-    if params.get("operator", "or") != "or":
-        raise DslError("[nested] match operator=and is not supported "
-                       "inside nested")
+    op = params.get("operator", "or")
+    if op not in ("or", "and"):
+        raise DslError(f"[nested] match operator must be or|and, got [{op}]")
     text = params["query"]
     if not isinstance(text, str) or not text.strip():
         raise DslError("[nested] match needs a non-empty query string")
@@ -353,7 +353,7 @@ def _nested_scores(ctx: SearchContext, spec: Any) -> DataFrame:
         raise DslError("[nested] match query analyzed to zero tokens")
     return nested_chunk_scores(
         ctx.docs, terms, ctx.nested_delimiter, score_mode=mode,
-        id_col=ctx.id_col, text_col=ctx.text_col,
+        id_col=ctx.id_col, text_col=ctx.text_col, operator=op,
     )
 
 
@@ -532,15 +532,12 @@ def _indexed_topk(ctx: SearchContext, typ: str, spec: Any, k: int) -> DataFrame 
             f2, p2 = _one(scoring["must"][0], "bool.must")
             if f2 != "match":
                 raise DslError("bool [must] clauses must be match queries")
-            mf, mp = _one(p2, "match")
-            mp = _params(mp, "query")
-            if mf != ctx.text_col:
-                raise DslError(f"[match] field [{mf}] is not [{ctx.text_col}]")
-            terms = sorted(set(analyze_query(mp["query"], ctx.index_analyzer())))
+            terms, op = _match_clause(ctx, p2, "match",
+                                      analyzer=ctx.index_analyzer())
             allowed = (
                 r.docmap().join(ctx.docs.where(pred), ctx.id_col).select("nss_doc_id")
             )
-            return _ranked(bm25_topk_indexed(r, terms, k=k, mode="or", allowed=allowed))
+            return _ranked(bm25_topk_indexed(r, terms, k=k, mode=op, allowed=allowed))
         # per-CLAUSE semantics (a multi-term must clause with the
         # default operator=or requires ONE of its terms, and
         # minimum_should_match counts clauses — BooleanQuery semantics,
@@ -655,12 +652,13 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
             preds = [_predicate_sql(c) for c in spec["filter"]]
             pred = F.expr(" AND ".join(f"({p})" for p in preds))
             if set(scoring) == {"must"} and len(scoring["must"]) == 1:
-                from .exhaustive import bm25_scores
+                from .exhaustive import bm25_conjunctive, bm25_scores
 
-                terms = _match_terms(ctx, _one(scoring["must"][0], "bool.must")[1],
-                                     "match")
-                scores = bm25_scores(ctx.docs, terms, id_col=ic, text_col=tc,
-                                     round_to=None)
+                terms, op = _match_clause(
+                    ctx, _one(scoring["must"][0], "bool.must")[1], "match")
+                fn = bm25_conjunctive if op == "and" else bm25_scores
+                scores = fn(ctx.docs, terms, id_col=ic, text_col=tc,
+                            round_to=None)
                 return topk(filtered_scores(scores, ctx.docs, pred), k=k)
             raise DslError("[bool] filter context supports a single must "
                            "match clause (the FILTER-occur shape)")
@@ -698,12 +696,16 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
         if not isinstance(subs, list) or not subs:
             raise DslError("[dis_max] needs a non-empty [queries] list")
         if all(_one(sq, "dis_max sub-query")[0] == "match" for sq in subs):
-            # all-match fast path: every sub-query scores in ONE corpus
-            # traversal (bm25_scores_by_group)
-            groups = [_match_terms(ctx, _one(sq, "dis_max sub-query")[1],
-                                   "match") for sq in subs]
-            return dis_max_topk(ctx.docs, groups, tie_breaker=tb,
-                                k=k, id_col=ic, text_col=tc)
+            # all-match sub-queries: operator=or only on the fast path
+            # (one corpus traversal, bm25_scores_by_group); any
+            # operator=and sub drops to the per-sub frames below, where
+            # _sub_scores dispatches it onto bm25_conjunctive
+            clauses = [_match_clause(ctx, _one(sq, "dis_max sub-query")[1],
+                                     "match") for sq in subs]
+            if all(op == "or" for _, op in clauses):
+                groups = [terms for terms, _ in clauses]
+                return dis_max_topk(ctx.docs, groups, tie_breaker=tb,
+                                    k=k, id_col=ic, text_col=tc)
         # heterogeneous sub-queries — the reference's own two-phase IT
         # composes DisMax over neural_sparse + match_all
         # (NeuralSparseTwoPhaseProcessorIT.java:427-430); per-sub score

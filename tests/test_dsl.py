@@ -403,6 +403,21 @@ def test_bool_filter_context(ctx, documents):
     exp = topk(filtered_scores(scores, documents, pred), k=10)
     assert _rows(got) == _rows(exp)
 
+    # FILTER occur with a conjunctive must clause: operator=and gates
+    # the match set on all-terms docs, the filter stays non-scoring
+    from neural_search_spark.query.exhaustive import bm25_conjunctive
+
+    body_and = {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark window",
+                                     "operator": "and"}}}],
+        "filter": [{"term": {"lang": "en"}}],
+    }}, "size": 10}
+    got_and = search(ctx, body_and)
+    sc_and = bm25_conjunctive(documents, ["spark", "window"], round_to=None)
+    exp_and = topk(filtered_scores(sc_and, documents, F.expr("lang = 'en'")),
+                   k=10)
+    assert _rows(got_and) == _rows(exp_and)
+
     with pytest.raises(DslError):
         search(ctx, {"query": {"bool": {
             "should": [{"match": {"text": "x"}}],
@@ -424,6 +439,21 @@ def test_bool_filter_context_indexed(reader_ctx, documents):
     scores = bm25_scores(documents, ["merge", "spark", "window"], round_to=None)
     exp = topk(filtered_scores(scores, documents, pred), k=10)
     assert _rows(got) == _rows(exp)
+
+    # operator=and flows through to the kernel's conjunctive mode (it
+    # was previously ignored here — the silent-OR trap)
+    from neural_search_spark.query.exhaustive import bm25_conjunctive
+
+    body_and = {"query": {"bool": {
+        "must": [{"match": {"text": {"query": "spark window",
+                                     "operator": "and"}}}],
+        "filter": [{"term": {"lang": "en"}}],
+    }}, "size": 10}
+    got_and = search(reader_ctx, body_and)
+    sc_and = bm25_conjunctive(documents, ["spark", "window"], round_to=None)
+    exp_and = topk(filtered_scores(sc_and, documents, F.expr("lang = 'en'")),
+                   k=10)
+    assert _rows(got_and) == _rows(exp_and)
 
 
 def test_rescore_body(ctx, documents):
@@ -561,13 +591,29 @@ def test_hybrid_subquery_honors_operator(ctx, documents):
     assert _rows(got) == _rows(exp)
 
 
-def test_operator_rejected_where_or_only(ctx):
-    # dis_max sub-queries score OR-only: operator=and must raise, not
-    # silently score with OR semantics
-    with pytest.raises(DslError):
-        search(ctx, {"query": {"dis_max": {"queries": [
-            {"match": {"text": {"query": "spark window", "operator": "and"}}},
-        ]}}, "size": 10})
+def test_dismax_operator_and(ctx, documents):
+    """An operator=and sub-query drops off the all-OR fast path onto
+    per-sub score frames (bm25_conjunctive for the AND sub), combined
+    by Lucene's DisjunctionMaxQuery rule max + tb * (sum - max)."""
+    from neural_search_spark.query.exhaustive import (
+        bm25_conjunctive,
+        bm25_scores,
+        topk,
+    )
+
+    body = {"query": {"dis_max": {"tie_breaker": 0.4, "queries": [
+        {"match": {"text": {"query": "spark window", "operator": "and"}}},
+        {"match": {"text": "merge"}},
+    ]}}, "size": 10}
+    got = search(ctx, body)
+    s0 = bm25_conjunctive(documents, ["spark", "window"],
+                          round_to=None).select("doc_id", "score")
+    s1 = bm25_scores(documents, ["merge"], round_to=None).select(
+        "doc_id", "score")
+    comb = s0.unionByName(s1).groupBy("doc_id").agg(
+        (F.max("score")
+         + F.lit(0.4) * (F.sum("score") - F.max("score"))).alias("score"))
+    assert _rows(got) == _rows(topk(comb, k=10))
 
 
 def test_aggs_and_search_agree_on_bool(ctx, documents):
@@ -966,10 +1012,49 @@ def test_nested_rejections(nctx, ctx):
     with pytest.raises(DslError):  # unsupported score_mode name
         search(nctx, {"query": {"nested": {"path": "chunks", "score_mode": "none",
                "query": {"match": {"chunks.text": "spark"}}}}})
-    with pytest.raises(DslError):  # operator=and not supported inside nested
+    with pytest.raises(DslError):  # unknown operator name
         search(nctx, {"query": {"nested": {"path": "chunks",
                "query": {"match": {"chunks.text": {
-                   "query": "spark", "operator": "and"}}}}}})
+                   "query": "spark", "operator": "nand"}}}}}})
+
+
+def test_nested_operator_and(nctx, documents):
+    """Nested match Operator.AND: conjunction gates each CHUNK (the
+    nested doc) before the block-join rollup — a parent scores iff one
+    of its chunks contains every term."""
+    from neural_search_spark.operators.nested import nested_chunk_scores
+    from neural_search_spark.query.exhaustive import topk
+
+    body = {"query": {"nested": {
+        "path": "chunks",
+        "query": {"match": {"chunks.text": {
+            "query": "spark window", "operator": "and"}}},
+        "score_mode": "total",
+    }}, "size": 10}
+    got = search(nctx, body)
+    exp = topk(nested_chunk_scores(documents, ["spark", "window"], " the ",
+                                   score_mode="total", operator="and"), k=10)
+    assert _rows(got) == _rows(exp)
+
+    # the AND match set is the subset of OR parents with an all-terms
+    # chunk — and on a single-term query the two operators coincide
+    and_ids = {r["doc_id"] for r in nested_chunk_scores(
+        documents, ["spark", "window"], " the ",
+        operator="and").select("doc_id").collect()}
+    or_ids = {r["doc_id"] for r in nested_chunk_scores(
+        documents, ["spark", "window"], " the ").select("doc_id").collect()}
+    assert and_ids and and_ids < or_ids
+    one_and = nested_chunk_scores(documents, ["spark"], " the ",
+                                  score_mode="total", operator="and")
+    one_or = nested_chunk_scores(documents, ["spark"], " the ",
+                                 score_mode="total")
+    assert _rows(topk(one_and, k=50)) == _rows(topk(one_or, k=50))
+
+    # aggregate() computes the SAME hit set for the nested-and body
+    n_hits = search(nctx, {"query": body["query"], "size": 5000}).count()
+    agg = search(nctx, {"query": body["query"], "size": 0,
+                        "aggs": {"n": {"value_count": {"field": "doc_id"}}}})
+    assert agg.collect()[0]["n"] == n_hits == len(and_ids)
 
 
 # --- heterogeneous dis_max (round 5: DisjunctionMaxQuery over leaves) ------
