@@ -520,6 +520,27 @@ def _q_dsl_nested_and(spark, sf_dir):
     return search(_dsl_ctx(spark, sf_dir), body)
 
 
+def _q_dsl_msearch_mixed(spark, sf_dir):
+    """Generalized ``_msearch``: a mixed batch of match (or),
+    match_phrase, match (operator=and) and a constant-score range
+    body. The match bodies compile into ONE multi-query kernel pass;
+    the phrase body dispatches onto the positional index kernel and
+    the range body onto the leaf filter frame — each tagged with its
+    batch position, bit-identical per body to the individual search
+    (pytest-pinned)."""
+    from neural_search_spark.query.dsl import msearch
+
+    bodies = [
+        {"query": {"match": {"text": " ".join(TERMS_OR)}}, "size": 10},
+        {"query": {"match_phrase": {"text": " ".join(PHRASE)}}, "size": 10},
+        {"query": {"match": {"text": {"query": " ".join(TERMS_AND),
+                                      "operator": "and"}}}, "size": 10},
+        {"query": {"range": {"n_chars": {"gte": 200, "lte": 260}}},
+         "size": 10},
+    ]
+    return msearch(_dsl_reader_ctx(spark, sf_dir), bodies)
+
+
 def _q_dsl_dismax_and(spark, sf_dir):
     """dis_max whose first sub-query is a conjunctive match
     (operator=and) — drops off the all-OR single-traversal fast path
@@ -2221,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_highlight_indexed": _q_dsl_highlight_indexed,
         "dsl_nested_and": _q_dsl_nested_and,
         "dsl_dismax_and": _q_dsl_dismax_and,
+        "dsl_msearch_mixed": _q_dsl_msearch_mixed,
     }
 
 
@@ -2514,5 +2536,8 @@ def oracle_sql() -> dict[str, str]:
         "dsl_dismax_and": oracle.dis_max_topk_sql(
             [TERMS_OR, [TERMS_OR[0]]], tie_breaker=0.3, k=10,
             operators=["and", "or"],
+        ),
+        "dsl_msearch_mixed": oracle.dsl_msearch_mixed_sql(
+            TERMS_OR, PHRASE, TERMS_AND, 200, 260, k=10,
         ),
     }

@@ -1288,6 +1288,46 @@ def msearch_sql(
     return "\nUNION ALL\n".join(branches)
 
 
+def dsl_msearch_mixed_sql(
+    terms_or: list[str],
+    phrase: list[str],
+    terms_and: list[str],
+    lo: int,
+    hi: int,
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """Oracle for the generalized DSL ``_msearch``: a mixed batch —
+    match (or), match_phrase, match (operator=and) and a constant-score
+    range body — per-body top-k subqueries, UNION ALL with the body's
+    batch position (query/dsl.msearch: match bodies ride the multi
+    kernel, the rest dispatch through search())."""
+    rank = ("CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) "
+            "AS INT) AS rank")
+    phrase_top = (f"SELECT doc_id, score, {rank} FROM "
+                  f"({bm25_phrase_sql(phrase, table=table)}) "
+                  f"ORDER BY score DESC, doc_id ASC LIMIT {k}")
+    and_top = (f"SELECT doc_id, score, {rank} FROM "
+               f"({bm25_conjunctive_sql(terms_and, table=table)}) "
+               f"ORDER BY score DESC, doc_id ASC LIMIT {k}")
+    range_top = (f"SELECT doc_id, CAST(1.0 AS DOUBLE) AS score, "
+                 f"CAST(row_number() OVER (ORDER BY doc_id ASC) AS INT) "
+                 f"AS rank FROM {table} "
+                 f"WHERE n_chars >= {float(lo)} AND n_chars <= {float(hi)} "
+                 f"ORDER BY doc_id ASC LIMIT {k}")
+    branches = [
+        f"SELECT CAST(0 AS INT) AS query_idx, doc_id, score, rank "
+        f"FROM ({bm25_topk_sql(terms_or, k=k, table=table)})",
+        f"SELECT CAST(1 AS INT) AS query_idx, doc_id, score, rank "
+        f"FROM ({phrase_top})",
+        f"SELECT CAST(2 AS INT) AS query_idx, doc_id, score, rank "
+        f"FROM ({and_top})",
+        f"SELECT CAST(3 AS INT) AS query_idx, doc_id, score, rank "
+        f"FROM ({range_top})",
+    ]
+    return "\nUNION ALL\n".join(branches)
+
+
 def joint_embed_sql(dim: int = 16, table: str = "documents", round_to: int = 4) -> str:
     """Oracle twin of pipeline/multimodal.joint_embed: text tokens ∪
     image pseudo-tokens (md5-of-payload 4-hex grams, "img:" prefix) →

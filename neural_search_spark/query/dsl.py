@@ -1287,41 +1287,60 @@ def search_with_aggs(
 
 def msearch(ctx: SearchContext, bodies: list[dict]) -> DataFrame:
     """Batch API (the reference's ``_msearch``): a list of search
-    bodies executed together. With ``ctx.reader``, a batch of plain
-    match bodies compiles into ONE multi-query kernel pass + ONE docmap
-    join (``bm25_topk_indexed_multi`` — 2 Spark jobs for the whole
-    batch, bit-identical per query to individual execution); anything
-    else is rejected by name. Returns (query_idx, doc_id, score, rank)
-    — query_idx = the body's position in the batch."""
+    bodies executed together. With ``ctx.reader``, the plain match
+    bodies of the batch compile into ONE multi-query kernel pass + ONE
+    docmap join per shared size (``bm25_topk_indexed_multi`` — 2 Spark
+    jobs for the whole group, bit-identical per query to individual
+    execution); every other hit-returning body (match_phrase, bool,
+    dis_max, prefix/wildcard/fuzzy, nested, the constant-score leaf
+    family, ...) dispatches through ``search()`` — its own indexed
+    branches included — with the body's batch position tagged. Bodies
+    whose result is not a (doc_id, score, rank) hit list (aggs, sort,
+    explain, ...) are rejected by the ``{query, size}`` key gate, as
+    in the single-body translator. Returns (query_idx, doc_id, score,
+    rank) — query_idx = the body's position in the batch."""
     if ctx.reader is None:
         raise DslError("msearch needs ctx.reader (the batch kernel is the "
                        "indexed path); issue individual search() calls otherwise")
     _require_doc_key(ctx)
     from .wand import bm25_topk_indexed_multi
 
-    queries = []
-    k = None
     analyzer = ctx.index_analyzer()
-    for body in bodies:
+    match_bodies: list[tuple[int, tuple[list[str], str], int]] = []
+    other_bodies: list[tuple[int, dict]] = []
+    for i, body in enumerate(bodies):
         _reject_unknown(body, {"query", "size"}, "msearch body")
         typ, spec = _one(body.get("query"), "query")
-        if typ != "match":
-            raise DslError("msearch batches support match bodies only; "
-                           f"got [{typ}]")
-        field, params = _one(spec, "match")
-        params = _params(params, "query")
-        _reject_unknown(params, {"query", "operator"}, "match")
-        if field != ctx.text_col:
-            raise DslError(f"[match] field [{field}] is not [{ctx.text_col}]")
-        op = params.get("operator", "or")
-        if op not in ("or", "and"):
-            raise DslError(f"[match] operator must be or|and, got [{op}]")
-        bk = int(body.get("size", 10))
-        if k is not None and bk != k:
-            raise DslError("msearch bodies must share one size (the batch "
-                           "kernel cuts one top-k per query)")
-        k = bk
-        queries.append((sorted(set(analyze_query(params["query"], analyzer))), op))
-    out = bm25_topk_indexed_multi(ctx.reader, queries, k=k or 10)
-    return out.select("query_idx", ctx.id_col,
-                      F.round("score", 4).alias("score"), "rank")
+        if typ == "match":
+            q = _match_clause(ctx, spec, "match", analyzer=analyzer)
+            match_bodies.append((i, q, int(body.get("size", 10))))
+        else:
+            other_bodies.append((i, body))
+    if not match_bodies and not other_bodies:
+        raise DslError("msearch needs at least one body")
+
+    frames = []
+    by_size: dict[int, list[tuple[int, tuple[list[str], str]]]] = {}
+    for i, q, s in match_bodies:
+        by_size.setdefault(s, []).append((i, q))
+    for s, grp in sorted(by_size.items()):
+        out = bm25_topk_indexed_multi(ctx.reader, [q for _, q in grp], k=s)
+        # kernel query_idx is the group-local position — map it back to
+        # the body's position in the batch (bounded literal map)
+        remap = F.create_map(
+            *[F.lit(x) for j, (i, _) in enumerate(grp) for x in (j, i)])
+        frames.append(out.select(
+            remap[F.col("query_idx")].cast("int").alias("query_idx"),
+            ctx.id_col, F.round("score", 4).alias("score"), "rank"))
+    for i, body in other_bodies:
+        hits = search(ctx, body)
+        if set(hits.columns) != {"doc_id", "score", "rank"}:
+            raise DslError(  # pragma: no cover - the key gate rejects these
+                f"msearch body {i} did not produce a hit list")
+        frames.append(hits.select(
+            F.lit(i).cast("int").alias("query_idx"),
+            F.col("doc_id").alias(ctx.id_col), "score", "rank"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

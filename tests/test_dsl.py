@@ -381,11 +381,34 @@ def test_msearch_batch(reader_ctx):
     ).select("query_idx", "doc_id", F.round("score", 4).alias("score"), "rank")
     assert _rows(got) == _rows(exp)
 
-    with pytest.raises(DslError):
-        msearch(reader_ctx, [{"query": {"prefix": {"text": "sp"}}}])
     ctx_no_reader = SearchContext(docs=reader_ctx.docs)
     with pytest.raises(DslError):
         msearch(ctx_no_reader, bodies)
+    with pytest.raises(DslError):  # non-hit bodies stay rejected
+        msearch(reader_ctx, [{"query": {"match": {"text": "spark"}},
+                              "sort": ["doc_id"]}])
+
+
+def test_msearch_mixed_bodies(reader_ctx):
+    """A mixed batch: match bodies ride the one-pass multi kernel,
+    every other hit-returning body dispatches through search() (its
+    indexed branches included) tagged with its batch position — each
+    row set bit-identical to the individual search."""
+    from neural_search_spark.query.dsl import msearch
+
+    bodies = [
+        {"query": {"match": {"text": "spark window merge"}}, "size": 10},
+        {"query": {"match_phrase": {"text": "spark window"}}, "size": 10},
+        {"query": {"prefix": {"text": "sp"}}, "size": 10},
+        {"query": {"match": {"text": {"query": "spark window",
+                                      "operator": "and"}}}, "size": 5},
+        {"query": {"range": {"n_chars": {"gte": 200, "lte": 260}}}, "size": 10},
+    ]
+    got = msearch(reader_ctx, bodies)
+    for i, body in enumerate(bodies):
+        part = got.where(F.col("query_idx") == i).drop("query_idx")
+        single = search(reader_ctx, body)
+        assert _rows(part) == _rows(single), f"body {i} diverged"
 
 
 def test_bool_filter_context(ctx, documents):
