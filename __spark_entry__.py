@@ -520,6 +520,24 @@ def _q_dsl_nested_and(spark, sf_dir):
     return search(_dsl_ctx(spark, sf_dir), body)
 
 
+def _q_dsl_hybrid_phrase(spark, sf_dir):
+    """Hybrid of match + match_phrase through the DSL — PhraseQuery is
+    a standard Lucene sub-query of the reference's HybridQueryBuilder;
+    the phrase sub scores its FULL match set (positions gate matching,
+    term statistics drive scoring), min_max + weighted arithmetic mean
+    over the two sub-score lists."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"hybrid": {"queries": [
+        {"match": {"text": " ".join(TERMS_OR)}},
+        {"match_phrase": {"text": " ".join(PHRASE)}},
+    ]}}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body, pipeline={
+        "normalization": "min_max", "combination": "arithmetic_mean",
+        "weights": [0.6, 0.4],
+    })
+
+
 def _q_dsl_msearch_mixed(spark, sf_dir):
     """Generalized ``_msearch``: a mixed batch of match (or),
     match_phrase, match (operator=and) and a constant-score range
@@ -2243,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_nested_and": _q_dsl_nested_and,
         "dsl_dismax_and": _q_dsl_dismax_and,
         "dsl_msearch_mixed": _q_dsl_msearch_mixed,
+        "dsl_hybrid_phrase": _q_dsl_hybrid_phrase,
     }
 
 
@@ -2539,5 +2558,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsl_msearch_mixed": oracle.dsl_msearch_mixed_sql(
             TERMS_OR, PHRASE, TERMS_AND, 200, 260, k=10,
+        ),
+        "dsl_hybrid_phrase": (
+            "SELECT doc_id, score, CAST(row_number() OVER "
+            "(ORDER BY score DESC, doc_id ASC) AS INT) AS rank FROM ("
+            + oracle.hybrid_phrase_match_sql(TERMS_OR, PHRASE, [0.6, 0.4])
+            + ") ORDER BY score DESC, doc_id ASC LIMIT 10"
         ),
     }

@@ -1503,22 +1503,26 @@ FROM combined ORDER BY round(combined.score, {round_to}) DESC, doc_id ASC LIMIT 
 
 
 def bm25_phrase_sql(
-    phrase_terms: list[str], table: str = "documents", round_to: int = 4
+    phrase_terms: list[str], table: str = "documents",
+    round_to: int | None = 4,
 ) -> str:
     """Oracle for match_phrase: contiguous token subsequence gate +
-    BM25 over the phrase terms."""
+    BM25 over the phrase terms. ``round_to=None`` keeps the raw score
+    (for composition inside hybrid normalization)."""
     _, duck_toks = simple_tokens_sql("text")
     uniq = sorted(set(phrase_terms))
     needle = " " + " ".join(phrase_terms) + " "
     needle_sql = needle.replace("'", "''")
     dl_expr = quantized_dl_sql("dl")
     contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    score_expr = (f"round(sum({contrib}), {round_to})"
+                  if round_to is not None else f"sum({contrib})")
     return f"""{bm25_base_ctes(uniq, table)},
 phr AS (
   SELECT doc_id FROM {table}
   WHERE position('{needle_sql}' IN ' ' || array_to_string({duck_toks}, ' ') || ' ') > 0
 )
-SELECT tf.doc_id AS doc_id, round(sum({contrib}), {round_to}) AS score
+SELECT tf.doc_id AS doc_id, {score_expr} AS score
 FROM tf JOIN dfreq USING (term), stats
 WHERE tf.doc_id IN (SELECT doc_id FROM phr)
 GROUP BY tf.doc_id"""
@@ -1673,6 +1677,47 @@ sub0 AS (
   FROM tf JOIN dfreq USING (term), stats GROUP BY doc_id
 ),
 sub1 AS (SELECT doc_id, score FROM ({nested_inner})),
+allsub AS (
+  SELECT 0 AS subquery_idx, doc_id, score FROM sub0
+  UNION ALL SELECT 1, doc_id, score FROM sub1
+),
+nstats AS (
+  SELECT subquery_idx, min(score) AS mn, max(score) AS mx FROM allsub GROUP BY subquery_idx
+),
+normed AS (
+  SELECT a.doc_id, a.subquery_idx,
+         CASE WHEN mx = mn THEN 1.0
+              WHEN (a.score - mn) / (mx - mn) = 0.0 THEN 0.001
+              ELSE (a.score - mn) / (mx - mn) END AS nscore
+  FROM allsub a JOIN nstats USING (subquery_idx)
+)
+SELECT doc_id, round(sum({wexpr} * nscore) / {float(sum(weights))!r}, {round_to}) AS score
+FROM normed WHERE nscore >= 0.0 GROUP BY doc_id"""
+
+
+def hybrid_phrase_match_sql(
+    match_terms: list[str],
+    phrase_terms: list[str],
+    weights: list[float],
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """Oracle for hybrid over [match (BM25 OR), match_phrase] —
+    min_max + weighted arithmetic mean (query/dsl._sub_scores phrase
+    branch: the phrase sub-query scores its FULL match set, raw, so
+    the normalization statistics see every phrase hit). The phrase
+    sub-query composes as a parenthesized WITH subquery whose CTE
+    names shadow the outer match-level ones."""
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    wexpr = _weight_case(weights)
+    phrase_inner = bm25_phrase_sql(phrase_terms, table, round_to=None)
+    return f"""{bm25_base_ctes(sorted(set(match_terms)), table)},
+sub0 AS (
+  SELECT doc_id, sum({contrib}) AS score
+  FROM tf JOIN dfreq USING (term), stats GROUP BY doc_id
+),
+sub1 AS (SELECT doc_id, score FROM ({phrase_inner})),
 allsub AS (
   SELECT 0 AS subquery_idx, doc_id, score FROM sub0
   UNION ALL SELECT 1, doc_id, score FROM sub1

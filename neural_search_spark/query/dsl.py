@@ -366,6 +366,29 @@ def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
         fn = bm25_conjunctive if op == "and" else bm25_scores
         s = fn(ctx.docs, terms,
                id_col=ctx.id_col, text_col=ctx.text_col, round_to=None)
+    elif typ == "match_phrase":
+        # phrase sub-queries score their FULL match set, raw — the
+        # normalization statistics then see every phrase hit, exactly
+        # like the other full-frame sub-queries
+        from .exhaustive import bm25_phrase, bm25_phrase_sloppy
+
+        field, params = _one(spec, "match_phrase")
+        params = _params(params, "query")
+        _reject_unknown(params, {"query", "slop"}, "match_phrase")
+        if field != ctx.text_col:
+            raise DslError(f"[match_phrase] field [{field}] is not "
+                           f"[{ctx.text_col}]")
+        toks = analyze_query(params["query"], ctx.analyzer)  # order matters
+        if not toks:
+            raise DslError("[match_phrase] query analyzed to zero tokens")
+        slop = int(params.get("slop", 0))
+        s = (
+            bm25_phrase_sloppy(ctx.docs, toks, slop=slop, id_col=ctx.id_col,
+                               text_col=ctx.text_col, round_to=None)
+            if slop
+            else bm25_phrase(ctx.docs, toks, id_col=ctx.id_col,
+                             text_col=ctx.text_col, round_to=None)
+        ).select("doc_id", "score")
     elif typ == "neural":
         s = _neural_topk(ctx, spec).select(
             F.col("vec_id").alias("doc_id"), F.col("cos").alias("score")
@@ -400,9 +423,9 @@ def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
         s = _leaf_scores(ctx, typ, spec)
         if s is None:
             raise DslError(f"hybrid sub-query type [{typ}] unsupported; "
-                           "supported: match, neural, neural_sparse, nested, "
-                           "term, terms, range, exists, match_all, "
-                           "constant_score")
+                           "supported: match, match_phrase, neural, "
+                           "neural_sparse, nested, term, terms, range, "
+                           "exists, match_all, constant_score")
     return s.select(F.lit(idx).alias("subquery_idx"), "doc_id", "score")
 
 

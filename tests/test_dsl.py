@@ -540,6 +540,36 @@ def test_hybrid_rrf_pipeline_and_post_stages(ctx, documents, embeddings):
     assert rows and all(r["doc_id"] < 300 for r in rows)
 
 
+def test_hybrid_phrase_subquery(ctx, documents):
+    """match_phrase as a hybrid sub-query: the phrase scores its FULL
+    match set (raw), min_max + weighted arithmetic mean — equal to the
+    manual normalize/combine composition, slop included."""
+    from neural_search_spark.query.exhaustive import (
+        bm25_phrase_sloppy,
+        bm25_scores,
+        topk,
+    )
+    from neural_search_spark.query.hybrid import combine, normalize
+
+    body = {"query": {"hybrid": {"queries": [
+        {"match": {"text": "spark window merge"}},
+        {"match_phrase": {"text": {"query": "spark window", "slop": 1}}},
+    ]}}, "size": 10}
+    got = search(ctx, body, pipeline={"normalization": "min_max",
+                                      "combination": "arithmetic_mean",
+                                      "weights": [0.6, 0.4]})
+    s0 = bm25_scores(documents, ["merge", "spark", "window"],
+                     round_to=None).select(
+        F.lit(0).alias("subquery_idx"), "doc_id", "score")
+    s1 = bm25_phrase_sloppy(documents, ["spark", "window"], slop=1,
+                            round_to=None).select(
+        F.lit(1).alias("subquery_idx"), "doc_id", "score")
+    exp = topk(combine(normalize(s0.unionByName(s1), "min_max"),
+                       "arithmetic_mean", [0.6, 0.4], 2)
+               .withColumn("score", F.round("score", 4)), k=10, round_to=None)
+    assert _rows(got) == _rows(exp)
+
+
 # --- per-clause bool semantics (round 5) -----------------------------------
 
 
