@@ -234,6 +234,45 @@ def test_nested_score_modes_hand_computed(spark):
             assert abs(got[d] - v) < 1e-9, (mode, d, got[d], v)
 
 
+def test_nested_conjunctive_hand_computed(spark):
+    """Third-source fixture for nested match Operator.AND: conjunction
+    gates each CHUNK before the rollup. Equal chunk lengths (dl =
+    avgdl = 4 ⇒ Lucene norm term exactly 1.0, per-chunk BM25 =
+    idf·tf/(tf+k1)):
+
+      chunks: d1c1 "q r a b" (both terms, tf=1 each),
+              d1c2 "q c d e" (q only — NEVER qualifies under AND),
+              d2c1 "q q r r" (both, tf=2 each), d3c1 "r f g h" (r only)
+      N=4 chunks, df(q)=df(r)=3 ⇒ idf = ln(10/7) for both terms
+
+      AND: parent 1 = 2·idf/2.2 (d1c1 alone), parent 2 = 2·idf·(2/3.2),
+           parent 3 absent
+      OR (same corpus): parent 1 totals the q-only chunk too, parent 3
+           appears — the sets the conjunction must exclude
+    """
+    import math
+
+    from neural_search_spark.operators.nested import nested_chunk_scores
+
+    docs = spark.createDataFrame(
+        [(1, "q r a b | q c d e"), (2, "q q r r"), (3, "r f g h")],
+        "doc_id long, text string")
+    idf = math.log(10.0 / 7.0)
+    c11 = 2.0 * idf / 2.2
+    c21 = 2.0 * idf * (2.0 / 3.2)
+    for mode in ("total", "max"):
+        got = {r["doc_id"]: r["score"] for r in nested_chunk_scores(
+            docs, ["q", "r"], " | ", score_mode=mode,
+            operator="and").collect()}
+        assert set(got) == {1, 2}, mode
+        assert abs(got[1] - c11) < 1e-9 and abs(got[2] - c21) < 1e-9, mode
+    got_or = {r["doc_id"]: r["score"] for r in nested_chunk_scores(
+        docs, ["q", "r"], " | ", score_mode="total").collect()}
+    assert set(got_or) == {1, 2, 3}
+    assert abs(got_or[1] - (c11 + idf / 2.2)) < 1e-9  # + the q-only chunk
+    assert abs(got_or[3] - idf / 2.2) < 1e-9
+
+
 def test_format_version_guard(spark, tmp_path):
     """index_meta.json carries format_version and every open/append
     path rejects a mismatch (SegmentInfos version check analog); a
