@@ -2554,7 +2554,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsl_dismax_and": oracle.dis_max_topk_sql(
             [TERMS_OR, [TERMS_OR[0]]], tie_breaker=0.3, k=10,
-            operators=["and", "or"],
+            operators=["and", "or"], round_before_rank=False,
         ),
         "dsl_msearch_mixed": oracle.dsl_msearch_mixed_sql(
             TERMS_OR, PHRASE, TERMS_AND, 200, 260, k=10,

@@ -1302,14 +1302,16 @@ def dsl_msearch_mixed_sql(
     range body — per-body top-k subqueries, UNION ALL with the body's
     batch position (query/dsl.msearch: match bodies ride the multi
     kernel, the rest dispatch through search())."""
-    rank = ("CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) "
-            "AS INT) AS rank")
-    phrase_top = (f"SELECT doc_id, score, {rank} FROM "
-                  f"({bm25_phrase_sql(phrase, table=table)}) "
-                  f"ORDER BY score DESC, doc_id ASC LIMIT {k}")
-    and_top = (f"SELECT doc_id, score, {rank} FROM "
-               f"({bm25_conjunctive_sql(terms_and, table=table)}) "
-               f"ORDER BY score DESC, doc_id ASC LIMIT {k}")
+    # every branch ranks the RAW score and rounds for display — the
+    # engine convention (the multi kernel and search()'s topk both
+    # rank unrounded)
+    phrase_top = (
+        f"SELECT p.doc_id AS doc_id, round(p.score, 4) AS score, "
+        f"CAST(row_number() OVER (ORDER BY p.score DESC, p.doc_id ASC) "
+        f"AS INT) AS rank FROM "
+        f"({bm25_phrase_sql(phrase, table=table, round_to=None)}) p "
+        f"ORDER BY p.score DESC, p.doc_id ASC LIMIT {k}")
+    and_top = bm25_and_topk_sql(terms_and, k=k, table=table)
     range_top = (f"SELECT doc_id, CAST(1.0 AS DOUBLE) AS score, "
                  f"CAST(row_number() OVER (ORDER BY doc_id ASC) AS INT) "
                  f"AS rank FROM {table} "
@@ -2070,13 +2072,18 @@ def dis_max_topk_sql(
     table: str = "documents",
     round_to: int = 4,
     operators: list[str] | None = None,
+    round_before_rank: bool = True,
 ) -> str:
     """``dis_max`` oracle (query/booleans.dis_max_topk): per-group BM25
     OR scores from one shared tf frame, combined as
     best + tie_breaker * (total - best) per doc. ``operators`` (one
     of or|and per group, default all-or) gates an AND group on docs
     matching every one of its terms — the DSL's per-sub-query
-    MatchQueryBuilder Operator.AND."""
+    MatchQueryBuilder Operator.AND. ``round_before_rank`` matches the
+    engine path: the all-OR fast path (booleans.dis_max_topk) rounds
+    the combined score to 4dp BEFORE the rank cut; the per-sub-frame
+    path (any AND sub, heterogeneous) ranks the RAW combination and
+    rounds for display (query/dsl topk)."""
     if operators is None:
         operators = ["or"] * len(term_groups)
     if len(operators) != len(term_groups) or any(
@@ -2094,6 +2101,11 @@ def dis_max_topk_sql(
     )
     dl_expr = quantized_dl_sql("dl")
     contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    raw_comb = f"max(score) + {tie_breaker} * (sum(score) - max(score))"
+    comb_expr = (f"round({raw_comb}, {round_to})"
+                 if round_before_rank else raw_comb)
+    out_expr = ("comb.score" if round_before_rank
+                else f"round(comb.score, {round_to})")
     return f"""{bm25_base_ctes(all_terms, table)},
 member (idx, term) AS (VALUES {member_rows}),
 need (idx, need_nt) AS (VALUES {need_rows}),
@@ -2106,10 +2118,10 @@ scoredg AS (
 ),
 comb AS (
   SELECT doc_id,
-         round(max(score) + {tie_breaker} * (sum(score) - max(score)), {round_to}) AS score
+         {comb_expr} AS score
   FROM scoredg GROUP BY doc_id
 )
-SELECT doc_id, comb.score AS score,
+SELECT doc_id, {out_expr} AS score,
        CAST(row_number() OVER (ORDER BY comb.score DESC, comb.doc_id ASC) AS INT) AS rank
 FROM comb
 ORDER BY comb.score DESC, comb.doc_id ASC

@@ -357,6 +357,33 @@ def _nested_scores(ctx: SearchContext, spec: Any) -> DataFrame:
     )
 
 
+def _phrase_scores(ctx: SearchContext, spec: Any) -> DataFrame:
+    """Full-frame raw scores for one ``match_phrase`` spec (slop
+    included) — shared by the exhaustive top-level body and hybrid
+    sub-queries (PhraseQuery scores by term statistics; positions only
+    gate matching)."""
+    from .exhaustive import bm25_phrase, bm25_phrase_sloppy
+
+    field, params = _one(spec, "match_phrase")
+    params = _params(params, "query")
+    _reject_unknown(params, {"query", "slop"}, "match_phrase")
+    if field != ctx.text_col:
+        raise DslError(f"[match_phrase] field [{field}] is not "
+                       f"[{ctx.text_col}]")
+    toks = analyze_query(params["query"], ctx.analyzer)  # order matters
+    if not toks:
+        raise DslError("[match_phrase] query analyzed to zero tokens")
+    slop = int(params.get("slop", 0))
+    s = (
+        bm25_phrase_sloppy(ctx.docs, toks, slop=slop, id_col=ctx.id_col,
+                           text_col=ctx.text_col, round_to=None)
+        if slop
+        else bm25_phrase(ctx.docs, toks, id_col=ctx.id_col,
+                         text_col=ctx.text_col, round_to=None)
+    )
+    return s.select("doc_id", "score")
+
+
 def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
     typ, spec = _one(q, "hybrid sub-query")
     if typ == "match":
@@ -370,25 +397,7 @@ def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
         # phrase sub-queries score their FULL match set, raw — the
         # normalization statistics then see every phrase hit, exactly
         # like the other full-frame sub-queries
-        from .exhaustive import bm25_phrase, bm25_phrase_sloppy
-
-        field, params = _one(spec, "match_phrase")
-        params = _params(params, "query")
-        _reject_unknown(params, {"query", "slop"}, "match_phrase")
-        if field != ctx.text_col:
-            raise DslError(f"[match_phrase] field [{field}] is not "
-                           f"[{ctx.text_col}]")
-        toks = analyze_query(params["query"], ctx.analyzer)  # order matters
-        if not toks:
-            raise DslError("[match_phrase] query analyzed to zero tokens")
-        slop = int(params.get("slop", 0))
-        s = (
-            bm25_phrase_sloppy(ctx.docs, toks, slop=slop, id_col=ctx.id_col,
-                               text_col=ctx.text_col, round_to=None)
-            if slop
-            else bm25_phrase(ctx.docs, toks, id_col=ctx.id_col,
-                             text_col=ctx.text_col, round_to=None)
-        ).select("doc_id", "score")
+        s = _phrase_scores(ctx, spec)
     elif typ == "neural":
         s = _neural_topk(ctx, spec).select(
             F.col("vec_id").alias("doc_id"), F.col("cos").alias("score")
@@ -613,24 +622,7 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
         return topk(_nested_scores(ctx, spec), k=k)
 
     if typ == "match_phrase":
-        from .exhaustive import bm25_phrase, bm25_phrase_sloppy
-
-        field, params = _one(spec, "match_phrase")
-        params = _params(params, "query")
-        _reject_unknown(params, {"query", "slop"}, "match_phrase")
-        if field != tc:
-            raise DslError(f"[match_phrase] field [{field}] is not [{tc}]")
-        terms = analyze_query(params["query"], ctx.analyzer)  # order matters
-        if not terms:
-            raise DslError("[match_phrase] query analyzed to zero tokens")
-        slop = int(params.get("slop", 0))
-        scores = (
-            bm25_phrase_sloppy(ctx.docs, terms, slop=slop, id_col=ic,
-                               text_col=tc, round_to=None)
-            if slop
-            else bm25_phrase(ctx.docs, terms, id_col=ic, text_col=tc, round_to=None)
-        )
-        return topk(scores, k=k)
+        return topk(_phrase_scores(ctx, spec), k=k)
 
     if typ == "match_phrase_prefix":
         from .multiterm import phrase_prefix_topk
@@ -718,26 +710,36 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
         subs = spec.get("queries")
         if not isinstance(subs, list) or not subs:
             raise DslError("[dis_max] needs a non-empty [queries] list")
-        if all(_one(sq, "dis_max sub-query")[0] == "match" for sq in subs):
-            # all-match sub-queries: operator=or only on the fast path
-            # (one corpus traversal, bm25_scores_by_group); any
-            # operator=and sub drops to the per-sub frames below, where
-            # _sub_scores dispatches it onto bm25_conjunctive
-            clauses = [_match_clause(ctx, _one(sq, "dis_max sub-query")[1],
-                                     "match") for sq in subs]
+        parsed = [_one(sq, "dis_max sub-query") for sq in subs]
+        if all(t == "match" for t, _ in parsed):
+            clauses = [_match_clause(ctx, s, "match") for _, s in parsed]
             if all(op == "or" for _, op in clauses):
+                # all-OR fast path: every sub-query scores in ONE
+                # corpus traversal (bm25_scores_by_group)
                 groups = [terms for terms, _ in clauses]
                 return dis_max_topk(ctx.docs, groups, tie_breaker=tb,
                                     k=k, id_col=ic, text_col=tc)
-        # heterogeneous sub-queries — the reference's own two-phase IT
-        # composes DisMax over neural_sparse + match_all
-        # (NeuralSparseTwoPhaseProcessorIT.java:427-430); per-sub score
-        # frames reduce by Lucene's DisjunctionMaxQuery rule:
-        # max + tie_breaker * (sum of the rest)
-        tagged = None
-        for i, sq in enumerate(subs):
-            s = _sub_scores(ctx, sq, i)
-            tagged = s if tagged is None else tagged.unionByName(s)
+            # all-match with an AND sub: per-sub frames straight from
+            # the already-parsed clauses (bm25_conjunctive for AND)
+            from .exhaustive import bm25_conjunctive, bm25_scores
+
+            tagged = None
+            for i, (terms, op) in enumerate(clauses):
+                fn = bm25_conjunctive if op == "and" else bm25_scores
+                s = fn(ctx.docs, terms, id_col=ic, text_col=tc,
+                       round_to=None).select(
+                    F.lit(i).alias("subquery_idx"), "doc_id", "score")
+                tagged = s if tagged is None else tagged.unionByName(s)
+        else:
+            # heterogeneous sub-queries — the reference's own two-phase
+            # IT composes DisMax over neural_sparse + match_all
+            # (NeuralSparseTwoPhaseProcessorIT.java:427-430); per-sub
+            # score frames reduce by Lucene's DisjunctionMaxQuery rule:
+            # max + tie_breaker * (sum of the rest)
+            tagged = None
+            for i, sq in enumerate(subs):
+                s = _sub_scores(ctx, sq, i)
+                tagged = s if tagged is None else tagged.unionByName(s)
         scored = tagged.groupBy("doc_id").agg(
             (F.max("score")
              + F.lit(tb) * (F.sum("score") - F.max("score"))).alias("score"))
