@@ -538,6 +538,23 @@ def _q_dsl_hybrid_phrase(spark, sf_dir):
     })
 
 
+def _q_dsl_hybrid_explain(spark, sf_dir):
+    """explain: true on a hybrid DSL body — the plugin's explanation
+    response processor shape: per (doc, sub-query) raw score,
+    normalized score, applied weight and final combined score over the
+    FULL match set. Shares hybrid_explain's oracle (the body's three
+    single-term match sub-queries are exactly HYBRID_GROUPS)."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"hybrid": {"queries": [
+        {"match": {"text": g[0]}} for g in HYBRID_GROUPS
+    ]}}, "explain": True}
+    return search(_dsl_ctx(spark, sf_dir), body, pipeline={
+        "normalization": "min_max", "combination": "arithmetic_mean",
+        "weights": HYBRID_WEIGHTS,
+    })
+
+
 def _q_dsl_msearch_mixed(spark, sf_dir):
     """Generalized ``_msearch``: a mixed batch of match (or),
     match_phrase, match (operator=and) and a constant-score range
@@ -2262,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_dismax_and": _q_dsl_dismax_and,
         "dsl_msearch_mixed": _q_dsl_msearch_mixed,
         "dsl_hybrid_phrase": _q_dsl_hybrid_phrase,
+        "dsl_hybrid_explain": _q_dsl_hybrid_explain,
     }
 
 
@@ -2565,4 +2583,6 @@ def oracle_sql() -> dict[str, str]:
             + oracle.hybrid_phrase_match_sql(TERMS_OR, PHRASE, [0.6, 0.4])
             + ") ORDER BY score DESC, doc_id ASC LIMIT 10"
         ),
+        "dsl_hybrid_explain": oracle.hybrid_explain_sql(
+            HYBRID_GROUPS, HYBRID_WEIGHTS),
     }

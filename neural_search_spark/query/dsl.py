@@ -891,6 +891,44 @@ def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> Data
 
         if from_ != 0 or set(body) - {"query", "size", "explain"}:
             raise DslError("[explain] bodies support query + size only")
+        if typ == "hybrid":
+            # hybrid bodies explain through the NORMALIZATION provenance
+            # processor (the plugin's explanation response processor
+            # documents raw/normalized/weight/combined per sub-query),
+            # not the per-term BM25 factor table
+            from .hybrid import explain_scores
+
+            if int(body.get("size", 0)) != 0:
+                raise DslError("[explain] hybrid provenance covers the "
+                               "FULL match set; use size: 0")
+            _reject_unknown(spec, {"queries"}, "hybrid")
+            subs = spec["queries"]
+            p = dict(pipeline or {})
+            _reject_unknown(p, {"normalization", "combination", "weights"},
+                            "pipeline")
+            hs = HybridSpec(
+                n_subqueries=len(subs),
+                normalization=p.get("normalization", "min_max"),
+                combination=p.get("combination", "arithmetic_mean"),
+                weights=p.get("weights"), k=10, from_=0,
+            ).validate()
+            if hs.normalization == "rrf":
+                raise DslError("[explain] rrf is rank-based — it has no "
+                               "normalization provenance to explain")
+            tagged = None
+            for i, sq in enumerate(subs):
+                s = _sub_scores(ctx, sq, i)
+                tagged = s if tagged is None else tagged.unionByName(s)
+            out = explain_scores(tagged, hs.normalization, hs.combination,
+                                 hs.weights, len(subs))
+            return out.select(
+                "doc_id",
+                F.col("subquery_idx").cast("int").alias("subquery_idx"),
+                F.round("raw_score", 4).alias("raw_score"),
+                F.round("norm_score", 4).alias("norm_score"),
+                "weight",
+                F.round("combined_score", 4).alias("combined_score"),
+            )
         terms = _explainable_terms(ctx, typ, spec)
         if _plain_or_match(ctx, typ, spec):
             hits = None  # the scorer's own top-k IS the hit list

@@ -540,6 +540,41 @@ def test_hybrid_rrf_pipeline_and_post_stages(ctx, documents, embeddings):
     assert rows and all(r["doc_id"] < 300 for r in rows)
 
 
+def test_hybrid_explain_body(ctx, documents):
+    """explain: true on a hybrid body returns the normalization
+    provenance frame (raw/norm/weight/combined per sub-query) — the
+    plugin's explanation response processor, not the BM25 factor
+    table."""
+    from neural_search_spark.query.exhaustive import bm25_scores
+    from neural_search_spark.query.hybrid import explain_scores
+
+    body = {"query": {"hybrid": {"queries": [
+        {"match": {"text": "spark"}},
+        {"match": {"text": "window"}},
+    ]}}, "explain": True}
+    got = search(ctx, body, pipeline={"normalization": "min_max",
+                                      "combination": "arithmetic_mean",
+                                      "weights": [0.7, 0.3]})
+    tagged = None
+    for i, terms in enumerate((["spark"], ["window"])):
+        s = bm25_scores(documents, terms, round_to=None).select(
+            F.lit(i).alias("subquery_idx"), "doc_id", "score")
+        tagged = s if tagged is None else tagged.unionByName(s)
+    exp = explain_scores(tagged, "min_max", "arithmetic_mean",
+                         [0.7, 0.3], 2).select(
+        "doc_id", F.col("subquery_idx").cast("int").alias("subquery_idx"),
+        F.round("raw_score", 4).alias("raw_score"),
+        F.round("norm_score", 4).alias("norm_score"),
+        "weight", F.round("combined_score", 4).alias("combined_score"))
+    assert _rows(got) == _rows(exp)
+
+    with pytest.raises(DslError):  # provenance is full-match-set only
+        search(ctx, {"query": body["query"], "explain": True, "size": 5})
+    with pytest.raises(DslError):  # rrf has no normalization provenance
+        search(ctx, {"query": body["query"], "explain": True},
+               pipeline={"normalization": "rrf", "combination": "rrf"})
+
+
 def test_hybrid_phrase_subquery(ctx, documents):
     """match_phrase as a hybrid sub-query: the phrase scores its FULL
     match set (raw), min_max + weighted arithmetic mean — equal to the
