@@ -547,7 +547,7 @@ def _q_dsl_hybrid_explain(spark, sf_dir):
     from neural_search_spark.query.dsl import search
 
     body = {"query": {"hybrid": {"queries": [
-        {"match": {"text": g[0]}} for g in HYBRID_GROUPS
+        {"match": {"text": " ".join(g)}} for g in HYBRID_GROUPS
     ]}}, "explain": True}
     return search(_dsl_ctx(spark, sf_dir), body, pipeline={
         "normalization": "min_max", "combination": "arithmetic_mean",

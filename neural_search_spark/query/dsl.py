@@ -357,6 +357,31 @@ def _nested_scores(ctx: SearchContext, spec: Any) -> DataFrame:
     )
 
 
+def _hybrid_tagged(ctx: SearchContext, spec: Any, pipeline: dict | None,
+                   k: int, from_: int) -> tuple[HybridSpec, DataFrame]:
+    """Validate one hybrid spec + pipeline config and score every
+    sub-query into one tagged (subquery_idx, doc_id, score) frame —
+    shared by the top-k and explain hybrid branches (one parse, one
+    dispatch; malformed bodies raise DslError, never KeyError)."""
+    _reject_unknown(spec, {"queries"}, "hybrid")
+    subs = spec.get("queries")
+    if not isinstance(subs, list) or not subs:
+        raise DslError("[hybrid] needs a non-empty [queries] list")
+    p = dict(pipeline or {})
+    _reject_unknown(p, {"normalization", "combination", "weights"}, "pipeline")
+    hs = HybridSpec(
+        n_subqueries=len(subs),
+        normalization=p.get("normalization", "min_max"),
+        combination=p.get("combination", "arithmetic_mean"),
+        weights=p.get("weights"), k=k, from_=from_,
+    ).validate()
+    tagged = None
+    for i, sq in enumerate(subs):
+        s = _sub_scores(ctx, sq, i)
+        tagged = s if tagged is None else tagged.unionByName(s)
+    return hs, tagged
+
+
 def _phrase_scores(ctx: SearchContext, spec: Any) -> DataFrame:
     """Full-frame raw scores for one ``match_phrase`` spec (slop
     included) — shared by the exhaustive top-level body and hybrid
@@ -901,26 +926,12 @@ def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> Data
             if int(body.get("size", 0)) != 0:
                 raise DslError("[explain] hybrid provenance covers the "
                                "FULL match set; use size: 0")
-            _reject_unknown(spec, {"queries"}, "hybrid")
-            subs = spec["queries"]
-            p = dict(pipeline or {})
-            _reject_unknown(p, {"normalization", "combination", "weights"},
-                            "pipeline")
-            hs = HybridSpec(
-                n_subqueries=len(subs),
-                normalization=p.get("normalization", "min_max"),
-                combination=p.get("combination", "arithmetic_mean"),
-                weights=p.get("weights"), k=10, from_=0,
-            ).validate()
+            hs, tagged = _hybrid_tagged(ctx, spec, pipeline, 10, 0)
             if hs.normalization == "rrf":
                 raise DslError("[explain] rrf is rank-based — it has no "
                                "normalization provenance to explain")
-            tagged = None
-            for i, sq in enumerate(subs):
-                s = _sub_scores(ctx, sq, i)
-                tagged = s if tagged is None else tagged.unionByName(s)
             out = explain_scores(tagged, hs.normalization, hs.combination,
-                                 hs.weights, len(subs))
+                                 hs.weights, hs.n_subqueries)
             return out.select(
                 "doc_id",
                 F.col("subquery_idx").cast("int").alias("subquery_idx"),
@@ -996,25 +1007,13 @@ def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> Data
         # query scores child docs, never another compound)
         _reject_unknown(body, {"query", "size", "from", "post_filter",
                                "sort", "collapse"}, "hybrid body")
-        _reject_unknown(spec, {"queries"}, "hybrid")
-        subs = spec["queries"]
-        p = dict(pipeline or {})
-        _reject_unknown(p, {"normalization", "combination", "weights"}, "pipeline")
-        hs = HybridSpec(
-            n_subqueries=len(subs),
-            normalization=p.get("normalization", "min_max"),
-            combination=p.get("combination", "arithmetic_mean"),
-            weights=p.get("weights"), k=size, from_=from_,
-        ).validate()
-        tagged = None
-        for i, sq in enumerate(subs):
-            s = _sub_scores(ctx, sq, i)
-            tagged = s if tagged is None else tagged.unionByName(s)
+        hs, tagged = _hybrid_tagged(ctx, spec, pipeline, size, from_)
+        n = hs.n_subqueries
         if hs.normalization == "rrf":
-            out = rrf_combine(tagged, weights=hs.weights, n_subqueries=len(subs))
+            out = rrf_combine(tagged, weights=hs.weights, n_subqueries=n)
         else:
             out = combine(normalize(tagged, hs.normalization), hs.combination,
-                          hs.weights or [1.0 / len(subs)] * len(subs), len(subs),
+                          hs.weights or [1.0 / n] * n, n,
                           keep_negative=hs.normalization == "z_score")
         out = out.withColumn("score", F.round("score", 4))
         from .exhaustive import topk
@@ -1271,8 +1270,11 @@ def _matched_docs(ctx: SearchContext, q: dict) -> DataFrame:
         # (HybridQueryScorer iterates all sub-scorers; totalHits counts
         # any-match docs) — aggs then run over every matched doc
         _reject_unknown(spec, {"queries"}, "hybrid")
+        hsubs = spec.get("queries")
+        if not isinstance(hsubs, list) or not hsubs:
+            raise DslError("[hybrid] needs a non-empty [queries] list")
         m = None
-        for i, sq in enumerate(spec["queries"]):
+        for i, sq in enumerate(hsubs):
             ids = _sub_scores(ctx, sq, i).select("doc_id")
             m = ids if m is None else m.unionByName(ids)
         m = m.distinct().select(F.col("doc_id").alias(ctx.id_col))

@@ -573,6 +573,17 @@ def test_hybrid_explain_body(ctx, documents):
     with pytest.raises(DslError):  # rrf has no normalization provenance
         search(ctx, {"query": body["query"], "explain": True},
                pipeline={"normalization": "rrf", "combination": "rrf"})
+    # malformed hybrid bodies raise DslError, never KeyError — on the
+    # top-k, explain and aggs hit-set branches alike
+    for bad in ({"hybrid": {}}, {"hybrid": {"queries": []}},
+                {"hybrid": {"queries": {"match": {"text": "x"}}}}):
+        with pytest.raises(DslError):
+            search(ctx, {"query": bad, "size": 10})
+        with pytest.raises(DslError):
+            search(ctx, {"query": bad, "explain": True})
+        with pytest.raises(DslError):
+            search(ctx, {"query": bad, "size": 0,
+                         "aggs": {"n": {"value_count": {"field": "doc_id"}}}})
 
 
 def test_hybrid_phrase_subquery(ctx, documents):
