@@ -59,8 +59,26 @@ ANALYZERS: dict[str, tuple[str, str, bool]] = {
     "standard": ("[^\\p{L}\\p{N}_]+", "[\\p{L}\\p{N}_]+", False),
     "letter": ("[^\\p{L}]+", "\\p{L}+", False),
     "lowercase": ("[^\\p{L}]+", "\\p{L}+", True),
-    "whitespace": ("[\\s]+", "[^\\s]+", False),
+    "whitespace": None,  # filled below — explicit Java-isWhitespace class
 }
+
+# Lucene's WhitespaceTokenizer splits on Java Character.isWhitespace:
+# \t-\r, \x1C-\x1F, and the Zs/Zl/Zp space separators MINUS the
+# non-breaking ones ( ,  ,  ). Spelled as an explicit
+# code-point class so RE2 (Arrow kernel, DuckDB) and Java regex (Spark
+# SQL) read the IDENTICAL set — the shorthand \s is ASCII-only in both
+# and they even disagree with each other on \x0B; Python gets the same
+# set as a character predicate below.
+_WS_CLASS = ("\\x{09}-\\x{0D}\\x{1C}-\\x{1F}\\x{20}\\x{1680}"
+             "\\x{2000}-\\x{2006}\\x{2008}-\\x{200A}"
+             "\\x{2028}\\x{2029}\\x{205F}\\x{3000}")
+ANALYZERS["whitespace"] = (f"[{_WS_CLASS}]+", f"[^{_WS_CLASS}]+", False)
+
+_WS_CHARS = frozenset(map(chr, [
+    *range(0x09, 0x0E), *range(0x1C, 0x21), 0x1680,
+    *range(0x2000, 0x2007), *range(0x2008, 0x200B),
+    0x2028, 0x2029, 0x205F, 0x3000,
+]))
 
 # Python-side dialect. stdlib `re` has no \p{} classes, and its
 # approximations diverge (\d is Nd only, so \W misses No/Nl
@@ -74,7 +92,6 @@ ANALYZERS: dict[str, tuple[str, str, bool]] = {
 PY_ANALYZERS: dict[str, tuple[str, str, bool]] = {
     "code": (CODE_SPLIT_RE, "[a-z0-9_]+", True),
     "simple": (SIMPLE_SPLIT_RE, "[a-z0-9]+", True),
-    "whitespace": ("[\\s]+", "[^\\s]+", False),
 }
 
 # analyzer name -> (is-token-char predicate, lowercase)
@@ -82,6 +99,9 @@ PY_TOKEN_PREDICATES: dict[str, tuple] = {
     "standard": (lambda ch: ch.isalnum() or ch == "_", False),
     "letter": (str.isalpha, False),
     "lowercase": (str.isalpha, True),
+    # Java isWhitespace as a set — Python's own \s / str.isspace()
+    # includes \x85 and \xA0, which Java (and so Lucene) does not
+    "whitespace": (lambda ch: ch not in _WS_CHARS, False),
 }
 
 

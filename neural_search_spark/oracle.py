@@ -637,7 +637,7 @@ def fixed_token_chunk_counts_sql(
 
     from .functions.tokenize import ANALYZERS
 
-    token_re = "[^\\s]+" if tokenizer == "whitespace" else ANALYZERS[tokenizer][1]
+    token_re = ANALYZERS[tokenizer][1]
     step = token_limit - math.floor(token_limit * overlap_rate)
     n = f"len(regexp_extract_all(text, '{token_re}'))"
     return f"""

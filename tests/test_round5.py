@@ -25,10 +25,16 @@ MIXED = [
     "Grüße ÅNGSTRÖM Ωmega ζήτα λ_calculus x²+y² Ⅷ time",
     "mixed ASCII and Ünïcödé wörds_123",
     "__edge__ _ 42 ¼cup preṃchand",
+    # whitespace-analyzer boundary: \x0B (RE2 \s and Java \s disagree
+    # on it — the explicit class does not), \x1f (Java isWhitespace,
+    # Python \s, NOT RE2 \s), \xa0 +   (non-breaking: NOT
+    # whitespace in Java/Lucene),  /　 (Zl/ideographic space)
+    "a\x0bb\x1fc\xa0d e f　g  h",
 ]
 
 
-@pytest.mark.parametrize("name", ["standard", "letter", "lowercase"])
+@pytest.mark.parametrize("name", ["standard", "letter", "lowercase",
+                                  "whitespace"])
 def test_analyzer_four_engine_parity(spark, duck, name):
     from neural_search_spark.functions.tokenize import ANALYZERS, py_token_spans
 
@@ -56,6 +62,54 @@ def test_analyzer_four_engine_parity(spark, duck, name):
             .select(F.split("t", split_re)).collect()[0][0] if x
         ]
         assert py == got_spark, (name, s, py, got_spark)
+
+
+def test_analyzer_parity_random_unicode(duck):
+    """Generative extension of the four-engine parity: on ARBITRARY
+    unicode text (hypothesis), the Python span scanner, DuckDB's RE2
+    split and Arrow's RE2 replace-then-split must agree token-for-token
+    for every analyzer. (The Spark/Java engine is pinned by the fixed
+    mixed-script corpus above — per-example Spark jobs would dominate
+    the suite.)"""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neural_search_spark.functions.tokenize import ANALYZERS, py_token_spans
+
+    # version-stable alphabet: the four engines ship DIFFERENT Unicode
+    # table versions (CPython 3.11 = 14.0, RE2 builds vary, Java 17 =
+    # 13.0), so code points assigned between versions legitimately
+    # classify differently (\p{L} vs isalpha) — e.g. U+31350 (CJK ext H,
+    # Unicode 15). Generate from blocks stable for a decade+: Latin
+    # through Greek/Cyrillic/punct/space blocks, CJK punct + kana, and
+    # the original unified-ideograph block.
+    stable = st.characters(
+        max_codepoint=0x2FFF,
+        exclude_categories=("Cs",),
+    ) | st.characters(min_codepoint=0x3000, max_codepoint=0x30FF) | (
+        st.characters(min_codepoint=0x4E00, max_codepoint=0x9F00))
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.text(alphabet=stable, max_size=60))
+    def run(s):
+        for name in ("standard", "letter", "lowercase", "whitespace"):
+            split_re, _token_re, lower = ANALYZERS[name]
+            t = s.lower() if lower else s
+            py = [t[a:b] for a, b in py_token_spans(t, name)]
+            got_duck = duck.execute(
+                "SELECT list_filter(regexp_split_to_array(?, ?), x -> x <> '')",
+                [t, split_re],
+            ).fetchone()[0]
+            assert py == got_duck, (name, s, py, got_duck)
+            cleaned = pc.replace_substring_regex(
+                pa.array([t]), pattern=split_re, replacement=" "
+            )
+            got_arrow = [x for x in cleaned[0].as_py().split(" ") if x]
+            assert py == got_arrow, (name, s, py, got_arrow)
+
+    run()
 
 
 def test_standard_joins_underscore_like_uax29(spark):
