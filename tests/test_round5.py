@@ -94,7 +94,8 @@ def test_analyzer_parity_random_unicode(duck):
     @settings(max_examples=120, deadline=None)
     @given(st.text(alphabet=stable, max_size=60))
     def run(s):
-        for name in ("standard", "letter", "lowercase", "whitespace"):
+        for name in ("standard", "letter", "lowercase", "whitespace",
+                     "code", "simple"):
             split_re, _token_re, lower = ANALYZERS[name]
             t = s.lower() if lower else s
             py = [t[a:b] for a, b in py_token_spans(t, name)]
