@@ -592,6 +592,62 @@ def _q_dsl_dismax_and(spark, sf_dir):
     return search(_dsl_ctx(spark, sf_dir), body)
 
 
+def _q_dsl_multi_match(spark, sf_dir):
+    """multi_match on the corpus's ONE analyzed text field — reduces to
+    match x field boost (best_fields/most_fields coincide over a single
+    field query); this body exercises the boost (^2.0) + operator=and
+    path (MultiMatchQueryBuilder -> QueryBuilder.createBooleanQuery +
+    BoostQuery in the reference's Lucene layer)."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"multi_match": {
+        "query": " ".join(TERMS_OR), "fields": ["text^2.0"],
+        "type": "most_fields", "operator": "and"}}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
+def _q_dsl_boosting(spark, sf_dir):
+    """boosting query: positive match's hits, DEMOTED by negative_boost
+    where the negative query (a keyword term) also matches — Lucene
+    FunctionScoreQuery.boostByQuery under BoostingQueryBuilder; the
+    negative score itself is never used."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"boosting": {
+        "positive": {"match": {"text": " ".join(TERMS_OR)}},
+        "negative": {"term": {"lang": {"value": "es"}}},
+        "negative_boost": 0.4}}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
+def _q_dsl_function_score(spark, sf_dir):
+    """function_score with field_value_factor: per-doc factor
+    log1p(n_chars * 0.5) multiplied into the match BM25 (the reference
+    translates FunctionScoreQueryBuilder onto Lucene
+    FunctionScoreQuery; modifier log1p = log10(1 + x))."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": " ".join(TERMS_OR)}},
+        "field_value_factor": {"field": "n_chars", "factor": 0.5,
+                               "modifier": "log1p"},
+        "boost_mode": "multiply"}}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
+def _q_dsl_simple_query_string(spark, sf_dir):
+    """simple_query_string (Lucene SimpleQueryParser syntax): four
+    OR-joined clauses — two terms, a quoted phrase and a trailing-*
+    prefix (constant-score 1.0). Matched clauses sum per doc; all term
+    chunks batch into ONE bm25_scores_by_group corpus traversal."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"simple_query_string": {
+        "query": 'spark | window | "table scan" | merg*',
+        "fields": ["text"]}}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
 def _q_bm25_explain(spark, sf_dir):
     """Lucene Explanation analog: per-(top-k doc, term) BM25 factor
     breakdown (tf/df/idf/tf_norm/contribution) — output bounded by
@@ -2280,6 +2336,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_msearch_mixed": _q_dsl_msearch_mixed,
         "dsl_hybrid_phrase": _q_dsl_hybrid_phrase,
         "dsl_hybrid_explain": _q_dsl_hybrid_explain,
+        "dsl_multi_match": _q_dsl_multi_match,
+        "dsl_boosting": _q_dsl_boosting,
+        "dsl_function_score": _q_dsl_function_score,
+        "dsl_simple_query_string": _q_dsl_simple_query_string,
     }
 
 
@@ -2585,4 +2645,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsl_hybrid_explain": oracle.hybrid_explain_sql(
             HYBRID_GROUPS, HYBRID_WEIGHTS),
+        "dsl_multi_match": oracle.multi_match_topk_sql(
+            TERMS_OR, boost=2.0, operator="and", k=10),
+        "dsl_boosting": oracle.boosting_topk_sql(
+            TERMS_OR, "lang = 'es'", 0.4, k=10),
+        "dsl_function_score": oracle.function_score_topk_sql(
+            TERMS_OR, "log10(1.0 + n_chars * 0.5)", k=10),
+        "dsl_simple_query_string": oracle.simple_query_string_sql(
+            [("chunk", ["spark"], False), ("chunk", ["window"], False),
+             ("phrase", ["table", "scan"], False),
+             ("prefix", "merg", False)], mode="or", k=10),
     }

@@ -2229,3 +2229,190 @@ SELECT doc_id,
        round(sum((CASE WHEN subquery_idx = 0 THEN {w0!r} ELSE {w1!r} END)
                  / ({rank_constant} + r)), {round_to}) AS score
 FROM ranked GROUP BY doc_id"""
+
+
+def multi_match_topk_sql(
+    terms: list[str],
+    boost: float = 1.0,
+    operator: str = "or",
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """``multi_match`` oracle (query/dsl._multi_match_spec): the
+    single-text-field corpus reduces it to match x field boost — BM25
+    sum (nt-gated for operator=and) scaled by the boost, ranked RAW
+    (the engine scales before topk's cut, order-preserving)."""
+    uniq = sorted(set(terms))
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    gate = f"WHERE nt = {len(uniq)}" if operator == "and" else ""
+    return f"""{bm25_base_ctes(uniq, table)},
+scored AS (
+  SELECT tf.doc_id AS doc_id, sum({contrib}) * {float(boost)!r} AS score,
+         count(DISTINCT tf.term) AS nt
+  FROM tf JOIN dfreq USING (term), stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(scored.score, {round_to}) AS score,
+       CAST(row_number() OVER (ORDER BY scored.score DESC, scored.doc_id ASC) AS INT) AS rank
+FROM scored {gate}
+ORDER BY scored.score DESC, scored.doc_id ASC
+LIMIT {k}"""
+
+
+def boosting_topk_sql(
+    pos_terms: list[str],
+    neg_pred: str,
+    negative_boost: float,
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """``boosting`` oracle (query/dsl boosting branch): hits = the
+    positive match-OR set; docs satisfying ``neg_pred`` (a corpus
+    predicate — the demoting query's match set) keep their positive
+    BM25 DEMOTED by negative_boost; ranked raw after demotion."""
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    return f"""{bm25_base_ctes(sorted(set(pos_terms)), table)},
+scored AS (
+  SELECT tf.doc_id AS doc_id, sum({contrib}) AS score
+  FROM tf JOIN dfreq USING (term), stats
+  GROUP BY tf.doc_id
+),
+neg AS (SELECT doc_id FROM {table} WHERE {neg_pred}),
+demoted AS (
+  SELECT s.doc_id AS doc_id,
+         CASE WHEN n.doc_id IS NOT NULL
+              THEN s.score * {float(negative_boost)!r}
+              ELSE s.score END AS score
+  FROM scored s LEFT JOIN neg n ON s.doc_id = n.doc_id
+)
+SELECT doc_id, round(demoted.score, {round_to}) AS score,
+       CAST(row_number() OVER (ORDER BY demoted.score DESC, demoted.doc_id ASC) AS INT) AS rank
+FROM demoted
+ORDER BY demoted.score DESC, demoted.doc_id ASC
+LIMIT {k}"""
+
+
+def function_score_topk_sql(
+    terms: list[str],
+    factor_sql: str,
+    boost_mode: str = "multiply",
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """``function_score`` oracle (field_value_factor over a match
+    query): per-doc factor = ``factor_sql`` (a corpus-column
+    expression, e.g. ``log10(1.0 + n_chars * 0.5)``), combined with the
+    BM25 sum by boost_mode, ranked raw."""
+    combine = {
+        "multiply": "s.score * f.fval",
+        "sum": "s.score + f.fval",
+        "replace": "f.fval",
+    }[boost_mode]
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    return f"""{bm25_base_ctes(sorted(set(terms)), table)},
+scored AS (
+  SELECT tf.doc_id AS doc_id, sum({contrib}) AS score
+  FROM tf JOIN dfreq USING (term), stats
+  GROUP BY tf.doc_id
+),
+fv AS (SELECT doc_id, {factor_sql} AS fval FROM {table}),
+combined AS (
+  SELECT s.doc_id AS doc_id, {combine} AS score
+  FROM scored s JOIN fv f ON s.doc_id = f.doc_id
+  WHERE f.fval IS NOT NULL
+)
+SELECT doc_id, round(combined.score, {round_to}) AS score,
+       CAST(row_number() OVER (ORDER BY combined.score DESC, combined.doc_id ASC) AS INT) AS rank
+FROM combined
+ORDER BY combined.score DESC, combined.doc_id ASC
+LIMIT {k}"""
+
+
+def _like_prefix(prefix: str) -> str:
+    """LIKE pattern matching tokens that start with ``prefix`` VERBATIM
+    (the engine's Column.startswith has no wildcards)."""
+    esc = (prefix.replace("\\", "\\\\").replace("%", "\\%")
+           .replace("_", "\\_").replace("'", "''"))
+    return f"'{esc}%' ESCAPE '\\'"
+
+
+def simple_query_string_sql(
+    clauses: list[tuple],
+    mode: str = "or",
+    minimum_should_match: int = 0,
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """``simple_query_string`` oracle (query/dsl._simple_query_scores).
+    ``clauses``: (kind, payload, negated) with kind ``chunk`` (OR over
+    its analyzed terms), ``chunk_and`` (all terms), ``phrase`` (ordered
+    contiguous tokens) or ``prefix`` (payload str; constant score 1.0).
+    Matched scoring clauses sum per doc; AND mode gates on every
+    positive clause, OR mode on max(minimum_should_match, 1); negated
+    clauses exclude their match set. Ranked raw."""
+    term_clauses = [c for c in clauses if c[0] in ("chunk", "chunk_and", "phrase")]
+    all_terms = sorted({t for _, payload, _ in term_clauses for t in payload})
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    _, duck_toks = simple_tokens_sql("text")
+    parts, pos_sel, neg_sel = [], [], []
+    n_pos = 0
+    for ci, (kind, payload, negated) in enumerate(clauses):
+        if kind in ("chunk", "chunk_and"):
+            uniq = sorted(set(payload))
+            having = (f"HAVING count(DISTINCT tf.term) = {len(uniq)}"
+                      if kind == "chunk_and" else "")
+            parts.append(f"""c{ci} AS (
+  SELECT tf.doc_id AS doc_id, sum({contrib}) AS score
+  FROM tf JOIN dfreq USING (term), stats
+  WHERE tf.term IN {_terms_list(uniq)}
+  GROUP BY tf.doc_id {having}
+)""")
+        elif kind == "phrase":
+            uniq = sorted(set(payload))
+            needle = (" " + " ".join(payload) + " ").replace("'", "''")
+            parts.append(f"""c{ci} AS (
+  SELECT tf.doc_id AS doc_id, sum({contrib}) AS score
+  FROM tf JOIN dfreq USING (term), stats
+  WHERE tf.term IN {_terms_list(uniq)}
+    AND tf.doc_id IN (
+      SELECT doc_id FROM {table}
+      WHERE position('{needle}' IN ' ' || array_to_string({duck_toks}, ' ') || ' ') > 0)
+  GROUP BY tf.doc_id
+)""")
+        elif kind == "prefix":
+            parts.append(f"""c{ci} AS (
+  SELECT doc_id, 1.0 AS score FROM tok
+  WHERE len(list_filter(toks, t -> t LIKE {_like_prefix(payload)})) > 0
+)""")
+        else:
+            raise ValueError(f"unknown clause kind {kind!r}")
+        if negated:
+            neg_sel.append(f"SELECT doc_id FROM c{ci}")
+        else:
+            pos_sel.append(f"SELECT {ci} AS cid, doc_id, score FROM c{ci}")
+            n_pos += 1
+    need = n_pos if mode == "and" else max(minimum_should_match, 1)
+    neg_clause = (f"AND agg.doc_id NOT IN ({' UNION '.join(neg_sel)})"
+                  if neg_sel else "")
+    joined_parts = ",\n".join(parts)
+    return f"""{bm25_base_ctes(all_terms, table)},
+{joined_parts},
+pos AS ({" UNION ALL ".join(pos_sel)}),
+agg AS (
+  SELECT doc_id, sum(score) AS score, count(DISTINCT cid) AS n
+  FROM pos GROUP BY doc_id
+)
+SELECT doc_id, round(agg.score, {round_to}) AS score,
+       CAST(row_number() OVER (ORDER BY agg.score DESC, agg.doc_id ASC) AS INT) AS rank
+FROM agg
+WHERE n >= {need} {neg_clause}
+ORDER BY agg.score DESC, agg.doc_id ASC
+LIMIT {k}"""

@@ -97,7 +97,8 @@ _BODY_KEYS = {"query", "size", "from", "post_filter", "sort", "collapse",
 _QUERY_TYPES = (
     "match match_phrase match_phrase_prefix prefix wildcard fuzzy "
     "bool dis_max hybrid neural neural_sparse nested "
-    "term terms range exists match_all constant_score"
+    "term terms range exists match_all constant_score "
+    "multi_match boosting function_score simple_query_string"
 ).split()
 
 
@@ -279,6 +280,63 @@ def _leaf_scores(ctx: SearchContext, typ: str, spec: Any) -> DataFrame | None:
     return None
 
 
+def _multi_match_spec(ctx: SearchContext, spec: Any) -> tuple[dict, float]:
+    """``multi_match`` → the single-field ``match`` it reduces to, plus
+    the field boost. The corpus maps ONE analyzed text field, so
+    ``best_fields`` and ``most_fields`` coincide (MultiMatchQuery's
+    DisMax / sum over a single field query is the identity) — the
+    translator accepts exactly that shape and rejects multi-field lists
+    instead of silently scoring fields the corpus does not map. A
+    ``field^boost`` suffix scales the field's scores (Lucene
+    BoostQuery), order-preserving at top level but visible inside
+    dis_max / pre-normalization hybrid composition."""
+    _reject_unknown(spec, {"query", "fields", "type", "operator"}, "multi_match")
+    mm_type = spec.get("type", "best_fields")
+    if mm_type not in ("best_fields", "most_fields"):
+        raise DslError(f"[multi_match] type must be best_fields|most_fields "
+                       f"(single-text-field corpus), got [{mm_type}]")
+    fields = spec.get("fields")
+    if not isinstance(fields, list) or not fields:
+        raise DslError("[multi_match] needs a non-empty [fields] list")
+    if len(fields) != 1:
+        raise DslError(f"[multi_match] this corpus maps a single analyzed "
+                       f"text field [{ctx.text_col}]; got {fields!r}")
+    fspec = fields[0]
+    boost = 1.0
+    if isinstance(fspec, str) and "^" in fspec:
+        fspec, _, braw = fspec.partition("^")
+        try:
+            boost = float(braw)
+        except ValueError:
+            raise DslError(f"[multi_match] bad field boost {braw!r}") from None
+        if not boost > 0:
+            raise DslError(f"[multi_match] field boost must be > 0, got {boost}")
+    if fspec != ctx.text_col:
+        raise DslError(f"[multi_match] field [{fspec}] is not [{ctx.text_col}]")
+    params: dict = {"query": spec.get("query")}
+    if "operator" in spec:
+        params["operator"] = spec["operator"]
+    return {ctx.text_col: params}, boost
+
+
+def _boosted(s: DataFrame, boost: float) -> DataFrame:
+    if boost == 1.0:
+        return s
+    return s.select("doc_id", (F.col("score") * F.lit(boost)).alias("score"))
+
+
+def _scores_frame(ctx: SearchContext, q: Any, what: str) -> DataFrame:
+    """Full raw (doc_id, score) frame for one scoring query — the
+    compound wrappers (``boosting``, ``function_score``) compose over
+    exactly the sub-query family the hybrid translator scores."""
+    if not isinstance(q, dict):
+        raise DslError(f"[{what}] expects a query object, got {q!r}")
+    try:
+        return _sub_scores(ctx, q, 0).drop("subquery_idx")
+    except DslError as e:
+        raise DslError(f"[{what}] {e}") from e
+
+
 # --- sub-query scorers (hybrid) ------------------------------------------
 
 
@@ -409,6 +467,109 @@ def _phrase_scores(ctx: SearchContext, spec: Any) -> DataFrame:
     return s.select("doc_id", "score")
 
 
+def _prefix_const_frame(ctx: SearchContext, prefix: str) -> DataFrame:
+    """Constant-score prefix clause: docs with ≥1 analyzed token
+    starting with the normalized prefix score 1.0 — Lucene PrefixQuery
+    under SimpleQueryParser's constant-score rewrite."""
+    from .exhaustive import tokenized
+
+    toks = tokenized(ctx.docs, ctx.id_col, ctx.text_col)
+    return toks.where(
+        F.exists(F.col("toks"), lambda t: t.startswith(prefix))
+    ).select("doc_id", F.lit(1.0).cast("double").alias("score"))
+
+
+def _simple_query_scores(ctx: SearchContext, spec: Any) -> DataFrame:
+    """``simple_query_string`` body → full raw (doc_id, score) frame.
+    The parsed clauses score like BooleanQuery: each matched scoring
+    clause contributes its BM25 (phrases their phrase-gated BM25,
+    prefixes constant 1.0), summed per doc; AND mode gates on every
+    clause, OR mode on max(minimum_should_match, 1) clauses; ``-``
+    clauses exclude their match set. All positive term chunks batch
+    into ONE corpus traversal (bm25_scores_by_group — the msearch
+    membership-table shape), so clause count never multiplies corpus
+    passes; phrase / prefix / negated / conjunctive-chunk clauses get
+    one frame each. ``minimum_should_match`` is ignored in AND mode
+    (every clause is already MUST — the reference's msm applies to
+    optional clauses only)."""
+    from ..functions.tokenize import resolve_analyzer
+    from .exhaustive import (bm25_conjunctive, bm25_phrase, bm25_scores,
+                             bm25_scores_by_group)
+    from .simpleq import parse_simple_query
+
+    if not isinstance(spec, dict):
+        raise DslError(f"[simple_query_string] expects an object, got {spec!r}")
+    _reject_unknown(spec, {"query", "fields", "default_operator",
+                           "minimum_should_match"}, "simple_query_string")
+    fields = spec.get("fields", [ctx.text_col])
+    if fields != [ctx.text_col]:
+        raise DslError(
+            f"[simple_query_string] fields must be [{ctx.text_col!r}] — the "
+            f"corpus's one analyzed text field — got {fields!r}")
+    default_op = spec.get("default_operator", "or")
+    mode, leaves = parse_simple_query(spec.get("query"), default_op)
+    analyzer = ctx.analyzer
+    lower = resolve_analyzer(analyzer)[2]
+
+    or_groups: list[list[str]] = []
+    frames: list[DataFrame] = []
+    neg: list[DataFrame] = []
+    n_pos = 0
+    for leaf in leaves:
+        if leaf.kind == "chunk":
+            terms = analyze_query(leaf.text, analyzer)
+            if not terms:
+                continue  # an all-delimiter chunk analyzes away (Lucene drops it)
+            conj = default_op == "and" and len(terms) > 1
+            if not leaf.negated and not conj:
+                or_groups.append(terms)
+                n_pos += 1
+                continue
+            fn = bm25_conjunctive if conj else bm25_scores
+            frame = fn(ctx.docs, terms, id_col=ctx.id_col,
+                       text_col=ctx.text_col, round_to=None)
+        elif leaf.kind == "phrase":
+            toks = analyze_query(leaf.text, analyzer)
+            if not toks:
+                continue
+            frame = bm25_phrase(ctx.docs, toks, id_col=ctx.id_col,
+                                text_col=ctx.text_col,
+                                round_to=None).select("doc_id", "score")
+        else:  # prefix
+            pfx = leaf.text.lower() if lower else leaf.text
+            frame = _prefix_const_frame(ctx, pfx)
+        if leaf.negated:
+            neg.append(frame.select("doc_id"))
+        else:
+            frames.append(frame)
+            n_pos += 1
+    if n_pos == 0:
+        raise DslError("[simple_query_string] needs at least one positive "
+                       "clause (all clauses were negated or analyzed away)")
+    msm = int(spec.get("minimum_should_match", 0))
+    need = n_pos if mode == "and" else max(msm, 1)
+    if need > n_pos:
+        raise DslError(f"[simple_query_string] minimum_should_match={msm} "
+                       f"exceeds the {n_pos} positive clauses")
+    tagged = None
+    if or_groups:
+        tagged = bm25_scores_by_group(
+            ctx.docs, or_groups, id_col=ctx.id_col, text_col=ctx.text_col
+        ).withColumnRenamed("subquery_idx", "cid")
+    for j, frame in enumerate(frames):
+        t = frame.select(F.lit(len(or_groups) + j).alias("cid"),
+                         "doc_id", "score")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    agg = tagged.groupBy("doc_id").agg(
+        F.sum("score").alias("score"),
+        F.countDistinct("cid").alias("nss_n"),
+    )
+    out = agg.where(F.col("nss_n") >= F.lit(need)).select("doc_id", "score")
+    for nf in neg:
+        out = out.join(nf.distinct(), "doc_id", "left_anti")
+    return out
+
+
 def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
     typ, spec = _one(q, "hybrid sub-query")
     if typ == "match":
@@ -418,6 +579,17 @@ def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
         fn = bm25_conjunctive if op == "and" else bm25_scores
         s = fn(ctx.docs, terms,
                id_col=ctx.id_col, text_col=ctx.text_col, round_to=None)
+    elif typ == "multi_match":
+        from .exhaustive import bm25_conjunctive, bm25_scores
+
+        mspec, boost = _multi_match_spec(ctx, spec)
+        terms, op = _match_clause(ctx, mspec, "multi_match")
+        fn = bm25_conjunctive if op == "and" else bm25_scores
+        s = _boosted(
+            fn(ctx.docs, terms, id_col=ctx.id_col, text_col=ctx.text_col,
+               round_to=None),
+            boost,
+        )
     elif typ == "match_phrase":
         # phrase sub-queries score their FULL match set, raw — the
         # normalization statistics then see every phrase hit, exactly
@@ -457,9 +629,9 @@ def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
         s = _leaf_scores(ctx, typ, spec)
         if s is None:
             raise DslError(f"hybrid sub-query type [{typ}] unsupported; "
-                           "supported: match, match_phrase, neural, "
-                           "neural_sparse, nested, term, terms, range, "
-                           "exists, match_all, constant_score")
+                           "supported: match, multi_match, match_phrase, "
+                           "neural, neural_sparse, nested, term, terms, "
+                           "range, exists, match_all, constant_score")
     return s.select(F.lit(idx).alias("subquery_idx"), "doc_id", "score")
 
 
@@ -629,6 +801,30 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
     if typ not in _QUERY_TYPES:
         raise DslError(f"unknown query type [{typ}]; supported: {_QUERY_TYPES}")
     tc, ic = ctx.text_col, ctx.id_col
+    if typ == "multi_match":
+        mspec, boost = _multi_match_spec(ctx, spec)
+        if boost == 1.0:
+            # boost-free multi_match IS the match query (single mapped
+            # text field) — reuse every match path, indexed included
+            return _topk_frame(ctx, {"match": mspec}, k)
+        if ctx.reader is not None:
+            from .wand import match_text_topk
+
+            _require_doc_key(ctx)
+            _f, params = _one(mspec, "match")
+            params = _params(params, "query")
+            op = params.get("operator", "or")
+            if op not in ("or", "and"):
+                raise DslError(f"[multi_match] operator must be or|and, got [{op}]")
+            top = match_text_topk(ctx.reader, params["query"], k=k, mode=op)
+            return _ranked(_boosted(top, boost))
+        from .exhaustive import bm25_conjunctive, bm25_scores
+
+        terms, op = _match_clause(ctx, mspec, "multi_match")
+        fn = bm25_conjunctive if op == "and" else bm25_scores
+        s = fn(ctx.docs, terms, id_col=ic, text_col=tc, round_to=None)
+        return topk(_boosted(s, boost), k=k)
+
     indexed = _indexed_topk(ctx, typ, spec, k)
     if indexed is not None:
         return indexed
@@ -645,6 +841,92 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
 
     if typ == "nested":
         return topk(_nested_scores(ctx, spec), k=k)
+
+    if typ == "simple_query_string":
+        return topk(_simple_query_scores(ctx, spec), k=k)
+
+    if typ == "boosting":
+        # BoostingQueryBuilder: hits = the positive query's match set;
+        # docs also matched by the negative query keep their positive
+        # score DEMOTED by negative_boost (the negative score itself is
+        # never used — Lucene FunctionScoreQuery.boostByQuery)
+        _reject_unknown(spec, {"positive", "negative", "negative_boost"},
+                        "boosting")
+        for req in ("positive", "negative", "negative_boost"):
+            if req not in spec:
+                raise DslError(f"[boosting] needs [{req}]")
+        nb = spec["negative_boost"]
+        if (not isinstance(nb, (int, float)) or isinstance(nb, bool)
+                or not 0.0 <= float(nb) <= 1.0):
+            raise DslError(f"[boosting] negative_boost must be a float in "
+                           f"[0, 1], got {nb!r}")
+        pos = _scores_frame(ctx, spec["positive"], "boosting.positive")
+        neg = (_scores_frame(ctx, spec["negative"], "boosting.negative")
+               .select("doc_id").distinct().withColumn("nss_neg", F.lit(True)))
+        demoted = pos.join(neg, "doc_id", "left").select(
+            "doc_id",
+            F.when(F.col("nss_neg"),
+                   F.col("score") * F.lit(float(nb)))
+            .otherwise(F.col("score")).alias("score"),
+        )
+        return topk(demoted, k=k)
+
+    if typ == "function_score":
+        # FunctionScoreQueryBuilder with ONE field_value_factor
+        # function: match set = the wrapped query's (default match_all);
+        # per-doc factor = modifier(factor * field_value), combined by
+        # boost_mode. Without [missing], docs whose field is NULL drop
+        # from the result (the reference errors per-doc there — the
+        # translator's documented boundary keeps the pipeline total).
+        _reject_unknown(spec, {"query", "field_value_factor", "boost_mode"},
+                        "function_score")
+        if "field_value_factor" not in spec:
+            raise DslError("[function_score] supports exactly one "
+                           "[field_value_factor] function")
+        fvf = spec["field_value_factor"]
+        if not isinstance(fvf, dict) or "field" not in fvf:
+            raise DslError("[field_value_factor] needs a [field]")
+        _reject_unknown(fvf, {"field", "factor", "modifier", "missing"},
+                        "field_value_factor")
+        fld = _col_name(fvf["field"])
+        if fld == tc:
+            raise DslError(f"[field_value_factor] field [{fld}] is the "
+                           "analyzed text column; it needs a numeric field")
+        factor = float(fvf.get("factor", 1.0))
+        modifier = fvf.get("modifier", "none")
+        mods = {
+            "none": lambda c: c,
+            "log1p": lambda c: F.log10(c + F.lit(1.0)),
+            "log2p": lambda c: F.log10(c + F.lit(2.0)),
+            "ln1p": lambda c: F.log(c + F.lit(1.0)),
+            "ln2p": lambda c: F.log(c + F.lit(2.0)),
+            "sqrt": F.sqrt,
+            "square": lambda c: c * c,
+            "reciprocal": lambda c: F.lit(1.0) / c,
+        }
+        if modifier not in mods:
+            raise DslError(f"[field_value_factor] modifier must be one of "
+                           f"{sorted(mods)}, got [{modifier}]")
+        boost_mode = spec.get("boost_mode", "multiply")
+        if boost_mode not in ("multiply", "sum", "replace"):
+            raise DslError(f"[function_score] boost_mode must be "
+                           f"multiply|sum|replace, got [{boost_mode}]")
+        base = spec.get("query", {"match_all": {}})
+        s = _scores_frame(ctx, base, "function_score.query")
+        val = F.col(fld).cast("double")
+        if "missing" in fvf:
+            val = F.coalesce(val, F.lit(float(fvf["missing"])))
+        fval = mods[modifier](val * F.lit(factor))
+        joined = s.join(
+            ctx.docs.select(F.col(ic).alias("doc_id"), fval.alias("nss_f")),
+            "doc_id",
+        ).where(F.col("nss_f").isNotNull())
+        combined = {
+            "multiply": F.col("score") * F.col("nss_f"),
+            "sum": F.col("score") + F.col("nss_f"),
+            "replace": F.col("nss_f"),
+        }[boost_mode]
+        return topk(joined.select("doc_id", combined.alias("score")), k=k)
 
     if typ == "match_phrase":
         return topk(_phrase_scores(ctx, spec), k=k)

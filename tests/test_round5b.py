@@ -1,0 +1,272 @@
+"""Round-5 session-5 additions: the DSL's remaining common-query
+surface — multi_match, boosting, function_score and
+simple_query_string (Lucene SimpleQueryParser syntax). The registry
+rows gate each against a DuckDB oracle at sf0.01 (test_entry); these
+tests pin the parser and the semantics third-party-free on
+hand-computed corpora, plus every documented rejection."""
+
+import math
+
+import pytest
+
+from neural_search_spark.query.dsl import DslError, SearchContext, search
+from neural_search_spark.query.simpleq import parse_simple_query
+
+
+# --- simple_query_string parser (pure string work) -------------------------
+
+
+def test_sqs_parser_shapes():
+    mode, leaves = parse_simple_query('spark | window | "table scan" | merg*')
+    assert mode == "or"
+    assert [(l.kind, l.text, l.negated) for l in leaves] == [
+        ("chunk", "spark", False), ("chunk", "window", False),
+        ("phrase", "table scan", False), ("prefix", "merg", False)]
+
+    mode, leaves = parse_simple_query("a + b + -c")
+    assert mode == "and"
+    assert [(l.text, l.negated) for l in leaves] == [
+        ("a", False), ("b", False), ("c", True)]
+
+    # whitespace separators take default_operator; negation sticks to
+    # its leaf; a chunk-internal dash is TEXT, not an operator
+    mode, leaves = parse_simple_query('-"bad phrase" foo-bar x',
+                                      default_operator="and")
+    assert mode == "and"
+    assert [(l.kind, l.text, l.negated) for l in leaves] == [
+        ("phrase", "bad phrase", True), ("chunk", "foo-bar", False),
+        ("chunk", "x", False)]
+
+    # single leaf: mode is the default operator, no separators consulted
+    assert parse_simple_query("solo")[0] == "or"
+    # operators bind without surrounding spaces (Lucene treats + and |
+    # as operators anywhere outside quotes)
+    mode, leaves = parse_simple_query("a+b")
+    assert mode == "and" and [l.text for l in leaves] == ["a", "b"]
+    # a mid-chunk * is TEXT for the analyzer (Lucene only treats the
+    # trailing * as the prefix operator), not a syntax error
+    assert [(l.kind, l.text) for l in parse_simple_query("fo*o")[1]] == [
+        ("chunk", "fo*o")]
+
+
+@pytest.mark.parametrize("bad", [
+    "a + b | c",          # mixed operators need precedence
+    "(a b)",              # grouping unsupported
+    "a~2",                # fuzzy/slop suffix unsupported
+    "back\\slash",        # escapes unsupported
+    '"unterminated',
+    '""',                 # empty phrase
+    "+ a",                # operator with no left clause
+    "a +",                # trailing operator
+    "a --b",              # double negation
+    "-",                  # bare negation
+    "*",                  # bare star
+    "- | a",              # negation followed by operator
+    "",                   # empty
+    "   ",
+])
+def test_sqs_parser_rejections(bad):
+    with pytest.raises(DslError):
+        parse_simple_query(bad)
+
+
+def test_sqs_parser_bad_default_operator():
+    with pytest.raises(DslError):
+        parse_simple_query("a b", default_operator="xor")
+
+
+# --- hand-computed semantics on a tiny corpus ------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_ctx(spark):
+    rows = [
+        (0, "alpha beta gamma", "en", 10),
+        (1, "alpha alpha delta", "en", 20),
+        (2, "beta gamma delta", "es", 30),
+        (3, "gamma delta epsilon", "es", 40),
+        (4, "zeta eta theta", "en", 50),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"])
+    return SearchContext(docs=docs)
+
+
+def _hits(ctx, body):
+    return {r["doc_id"]: r["score"] for r in search(ctx, body).collect()}
+
+
+def test_sqs_prefix_constant_score(tiny_ctx):
+    # a pure prefix clause scores EVERY matching doc exactly 1.0
+    # (PrefixQuery under SimpleQueryParser's constant-score rewrite)
+    got = _hits(tiny_ctx, {"query": {"simple_query_string":
+                                     {"query": "alph*"}}, "size": 10})
+    assert got == {0: 1.0, 1: 1.0}
+
+
+def test_sqs_phrase_gates_and_scores(tiny_ctx):
+    # "beta gamma" is contiguous in docs 0 and 2 only; doc 3 has gamma
+    # but not the phrase
+    got = _hits(tiny_ctx, {"query": {"simple_query_string":
+                                     {"query": '"beta gamma"'}}, "size": 10})
+    assert set(got) == {0, 2}
+
+
+def test_sqs_and_mode_and_negation(tiny_ctx):
+    # gamma AND delta -> docs 2, 3; -epsilon removes doc 3
+    got = _hits(tiny_ctx, {"query": {"simple_query_string":
+                                     {"query": "gamma delta -epsilon",
+                                      "default_operator": "and"}},
+                           "size": 10})
+    assert set(got) == {2}
+
+
+def test_sqs_minimum_should_match_counts_clauses(tiny_ctx):
+    body = {"query": {"simple_query_string":
+                      {"query": "alpha | beta | delta",
+                       "minimum_should_match": 2}}, "size": 10}
+    # doc 0: alpha+beta (2 clauses), doc 1: alpha+delta, doc 2:
+    # beta+delta, doc 3: delta only -> excluded, doc 4: none
+    assert set(_hits(tiny_ctx, body)) == {0, 1, 2}
+    with pytest.raises(DslError):
+        search(tiny_ctx, {"query": {"simple_query_string":
+                                    {"query": "alpha",
+                                     "minimum_should_match": 3}}, "size": 5})
+
+
+def test_sqs_or_score_is_sum_of_matched_clauses(tiny_ctx):
+    # per-clause scores assemble additively: score(a | b) on a doc
+    # matching both == score(a) + score(b) (BooleanQuery sum)
+    a = _hits(tiny_ctx, {"query": {"simple_query_string":
+                                   {"query": "alpha"}}, "size": 10})
+    b = _hits(tiny_ctx, {"query": {"simple_query_string":
+                                   {"query": "beta"}}, "size": 10})
+    both = _hits(tiny_ctx, {"query": {"simple_query_string":
+                                      {"query": "alpha | beta"}}, "size": 10})
+    assert both[0] == pytest.approx(a[0] + b[0], abs=2e-4)
+    assert both[1] == pytest.approx(a[1], abs=1e-9)  # beta absent in doc 1
+
+
+def test_sqs_fields_boundary(tiny_ctx):
+    with pytest.raises(DslError):
+        search(tiny_ctx, {"query": {"simple_query_string":
+                                    {"query": "alpha",
+                                     "fields": ["lang"]}}, "size": 5})
+
+
+# --- boosting ---------------------------------------------------------------
+
+
+def test_boosting_demotes_only_negative_matches(tiny_ctx):
+    plain = _hits(tiny_ctx, {"query": {"match": {"text": "gamma"}},
+                             "size": 10})
+    demoted = _hits(tiny_ctx, {"query": {"boosting": {
+        "positive": {"match": {"text": "gamma"}},
+        "negative": {"term": {"lang": {"value": "es"}}},
+        "negative_boost": 0.5}}, "size": 10})
+    assert set(demoted) == set(plain)  # match set unchanged
+    for d in plain:
+        factor = 0.5 if d in (2, 3) else 1.0
+        assert demoted[d] == pytest.approx(plain[d] * factor, abs=2e-4)
+
+
+@pytest.mark.parametrize("body", [
+    {"positive": {"match": {"text": "gamma"}}, "negative_boost": 0.5},
+    {"positive": {"match": {"text": "gamma"}},
+     "negative": {"term": {"lang": {"value": "es"}}}},
+    {"positive": {"match": {"text": "gamma"}},
+     "negative": {"term": {"lang": {"value": "es"}}}, "negative_boost": 1.5},
+    {"positive": {"match": {"text": "gamma"}},
+     "negative": {"term": {"lang": {"value": "es"}}}, "negative_boost": "x"},
+])
+def test_boosting_rejections(tiny_ctx, body):
+    with pytest.raises(DslError):
+        search(tiny_ctx, {"query": {"boosting": body}, "size": 5})
+
+
+# --- function_score ---------------------------------------------------------
+
+
+def test_function_score_modes_hand_computed(tiny_ctx):
+    base = _hits(tiny_ctx, {"query": {"match": {"text": "gamma"}},
+                            "size": 10})
+
+    def fs(boost_mode, modifier="none", factor=1.0):
+        return _hits(tiny_ctx, {"query": {"function_score": {
+            "query": {"match": {"text": "gamma"}},
+            "field_value_factor": {"field": "n_chars", "factor": factor,
+                                   "modifier": modifier},
+            "boost_mode": boost_mode}}, "size": 10})
+
+    n_chars = {0: 10, 1: 20, 2: 30, 3: 40, 4: 50}
+    mult = fs("multiply", "log1p", 0.5)
+    for d, s in base.items():
+        assert mult[d] == pytest.approx(
+            s * math.log10(1.0 + n_chars[d] * 0.5), abs=2e-4)
+    repl = fs("replace", "sqrt")
+    for d in base:
+        assert repl[d] == pytest.approx(math.sqrt(n_chars[d]), abs=2e-4)
+    added = fs("sum", "reciprocal", 2.0)
+    for d, s in base.items():
+        assert added[d] == pytest.approx(s + 1.0 / (2.0 * n_chars[d]),
+                                         abs=2e-4)
+
+
+def test_function_score_default_query_is_match_all(tiny_ctx):
+    got = _hits(tiny_ctx, {"query": {"function_score": {
+        "field_value_factor": {"field": "n_chars"},
+        "boost_mode": "replace"}}, "size": 10})
+    assert got == {0: 10.0, 1: 20.0, 2: 30.0, 3: 40.0, 4: 50.0}
+
+
+@pytest.mark.parametrize("spec", [
+    {"field_value_factor": {"field": "text"}},
+    {"field_value_factor": {"field": "n_chars", "modifier": "cbrt"}},
+    {"field_value_factor": {"field": "n_chars"}, "boost_mode": "avg"},
+    {"query": {"match": {"text": "gamma"}}},
+    {"field_value_factor": {"field": "no such col"}},
+])
+def test_function_score_rejections(tiny_ctx, spec):
+    with pytest.raises(DslError):
+        search(tiny_ctx, {"query": {"function_score": spec}, "size": 5})
+
+
+# --- multi_match ------------------------------------------------------------
+
+
+def test_multi_match_equals_boosted_match(tiny_ctx):
+    m = _hits(tiny_ctx, {"query": {"match": {"text": "alpha beta"}},
+                         "size": 10})
+    mm = _hits(tiny_ctx, {"query": {"multi_match": {
+        "query": "alpha beta", "fields": ["text^3.0"]}}, "size": 10})
+    assert set(mm) == set(m)
+    for d in m:
+        assert mm[d] == pytest.approx(3.0 * m[d], abs=2e-4)
+    # boost-free multi_match IS the match query, bit-identical
+    assert _hits(tiny_ctx, {"query": {"multi_match": {
+        "query": "alpha beta", "fields": ["text"],
+        "type": "most_fields"}}, "size": 10}) == m
+
+
+def test_multi_match_in_dis_max(tiny_ctx):
+    # multi_match composes as a dis_max sub-query; with boost 1.0 it
+    # scores exactly like the equivalent match sub-query
+    via_mm = _hits(tiny_ctx, {"query": {"dis_max": {"queries": [
+        {"multi_match": {"query": "alpha", "fields": ["text"]}},
+        {"match": {"text": "delta"}}], "tie_breaker": 0.4}}, "size": 10})
+    via_match = _hits(tiny_ctx, {"query": {"dis_max": {"queries": [
+        {"match": {"text": "alpha"}},
+        {"match": {"text": "delta"}}], "tie_breaker": 0.4}}, "size": 10})
+    assert via_mm == via_match
+
+
+@pytest.mark.parametrize("spec", [
+    {"query": "a", "fields": ["text", "lang"]},
+    {"query": "a", "fields": []},
+    {"query": "a", "fields": ["lang"]},
+    {"query": "a", "fields": ["text^0"]},
+    {"query": "a", "fields": ["text^oops"]},
+    {"query": "a", "fields": ["text"], "type": "cross_fields"},
+])
+def test_multi_match_rejections(tiny_ctx, spec):
+    with pytest.raises(DslError):
+        search(tiny_ctx, {"query": {"multi_match": spec}, "size": 5})
