@@ -648,6 +648,36 @@ def _q_dsl_simple_query_string(spark, sf_dir):
     return search(_dsl_ctx(spark, sf_dir), body)
 
 
+REGEXP_PATTERN = "s[cpt].*|merge"  # {scan, spark, stream, ...} + merge
+
+
+def _q_dsl_regexp_indexed(spark, sf_dir):
+    """regexp query over the INDEX via the DSL (Lucene RegexpQuery:
+    whole-term match, top-terms scoring-boolean rewrite): the pattern
+    expands against the postings dictionary with the SAME shared-SQL
+    matcher the DuckDB oracle embeds (regexp_replace full-match trick —
+    see query/multiterm.regexp_matcher), then rides the block-max OR
+    kernel like prefix/wildcard/fuzzy."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"regexp": {"text": {"value": REGEXP_PATTERN}}},
+            "size": 10}
+    return search(_dsl_reader_ctx(spark, sf_dir), body)
+
+
+IDS_VALUES = [3, 7, 11, 19, 42]
+
+
+def _q_dsl_ids(spark, sf_dir):
+    """ids query through the DSL: constant-score 1.0 over the listed
+    doc ids (IdsQueryBuilder -> ConstantScore TermInSetQuery on _id),
+    ranked by the standard (score desc, doc_id asc) tie rule."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"ids": {"values": IDS_VALUES}}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
 def _q_bm25_explain(spark, sf_dir):
     """Lucene Explanation analog: per-(top-k doc, term) BM25 factor
     breakdown (tf/df/idf/tf_norm/contribution) — output bounded by
@@ -2205,6 +2235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_boosting": _q_dsl_boosting,
         "dsl_function_score": _q_dsl_function_score,
         "dsl_simple_query_string": _q_dsl_simple_query_string,
+        "dsl_regexp_indexed": _q_dsl_regexp_indexed,
+        "dsl_ids": _q_dsl_ids,
         # -- implementation changed in round 5 (re-gate; the rest of the
         #    changed-path family — dsl_match/dsl_bool/dsl_aggs,
         #    dsl_hybrid_neural, indexed_bm25_phrase, indexed_phrase_prefix,
@@ -2235,8 +2267,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_total_hits": _q_hybrid_total_hits,
         "hybrid_extended_stats": _q_hybrid_extended_stats,
         "hybrid_pipeline_aggs": _q_hybrid_pipeline_aggs,
-        "hybrid_percentiles": _q_hybrid_percentiles,
-        "hybrid_top_hits": _q_hybrid_top_hits,
         "hybrid_significant_terms": _q_hybrid_significant_terms,
         "hybrid_cardinality_hll": _q_hybrid_cardinality_hll,
         # ===== position >= 50: green driver rows in r03/r04 (union) =======
@@ -2342,6 +2372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dsl_aggs_indexed / dsl_hybrid_*_with_* (r05); pytest
         # tests/test_entry.py re-verifies each against its oracle.
         "hybrid_histogram": _q_hybrid_histogram,
+        "hybrid_percentiles": _q_hybrid_percentiles,
+        "hybrid_top_hits": _q_hybrid_top_hits,
         "hybrid_cardinality": _q_hybrid_cardinality,
         "hybrid_percentile_ranks": _q_hybrid_percentile_ranks,
         "hybrid_scripted_metric": _q_hybrid_scripted_metric,
@@ -2361,6 +2393,7 @@ def oracle_sql() -> dict[str, str]:
     from neural_search_spark.query.multiterm import (
         _matcher_sql,
         like_escape,
+        regexp_matcher,
         wildcard_to_like,
     )
 
@@ -2370,6 +2403,15 @@ def oracle_sql() -> dict[str, str]:
     fuzzy_matcher = _matcher_sql(fuzzy=FUZZY_SPEC)
 
     return {
+        "dsl_regexp_indexed": oracle.multiterm_topk_sql(
+            regexp_matcher(REGEXP_PATTERN), k=10
+        ),
+        "dsl_ids": (
+            "SELECT doc_id, CAST(1.0 AS DOUBLE) AS score, "
+            "CAST(row_number() OVER (ORDER BY doc_id ASC) AS INT) AS rank "
+            f"FROM documents WHERE doc_id IN ({', '.join(map(str, IDS_VALUES))}) "
+            "ORDER BY doc_id ASC LIMIT 10"
+        ),
         "indexed_prefix_topk": oracle.multiterm_topk_sql(prefix_matcher, k=10),
         "indexed_wildcard_topk": oracle.multiterm_topk_sql(wildcard_matcher, k=10),
         "indexed_fuzzy_topk": oracle.multiterm_topk_sql(fuzzy_matcher, k=10),

@@ -95,9 +95,9 @@ class SearchContext:
 _BODY_KEYS = {"query", "size", "from", "post_filter", "sort", "collapse",
               "highlight", "explain", "rescore", "search_after"}
 _QUERY_TYPES = (
-    "match match_phrase match_phrase_prefix prefix wildcard fuzzy "
+    "match match_phrase match_phrase_prefix prefix wildcard fuzzy regexp "
     "bool dis_max hybrid neural neural_sparse nested "
-    "term terms range exists match_all constant_score "
+    "term terms range exists ids match_all constant_score "
     "multi_match boosting function_score simple_query_string"
 ).split()
 
@@ -254,6 +254,19 @@ def _leaf_scores(ctx: SearchContext, typ: str, spec: Any) -> DataFrame | None:
         return _filter_frame(ctx, {"terms": spec})
     if typ == "exists":
         return _filter_frame(ctx, {"exists": spec})
+    if typ == "ids":
+        # IdsQueryBuilder: constant-score 1.0 over the listed doc ids
+        # (Lucene rewrites to a ConstantScore TermInSetQuery on _id)
+        _reject_unknown(spec, {"values"}, "ids")
+        vals = spec.get("values")
+        if (not isinstance(vals, list) or not vals
+                or not all(isinstance(v, int) and not isinstance(v, bool)
+                           for v in vals)):
+            raise DslError("[ids] needs a non-empty integer [values] list")
+        return ctx.docs.where(F.col(ctx.id_col).isin(vals)).select(
+            F.col(ctx.id_col).alias("doc_id"),
+            F.lit(1.0).cast("double").alias("score"),
+        )
     if typ == "term":
         col, params = _one(spec, "term")
         params = _params(params, "value")
@@ -722,18 +735,32 @@ def _indexed_topk(ctx: SearchContext, typ: str, spec: Any, k: int) -> DataFrame 
             raise DslError("[match_phrase_prefix] query analyzed to zero tokens")
         kw = {"max_expansions": int(params["max_expansions"])} if "max_expansions" in params else {}
         return _ranked(phrase_prefix_topk_indexed(r, toks[:-1], toks[-1], k=k, **kw))
-    if typ in ("prefix", "wildcard", "fuzzy"):
-        from .multiterm import like_escape, multiterm_topk_indexed, wildcard_to_like
+    if typ in ("prefix", "wildcard", "fuzzy", "regexp"):
+        from .multiterm import (
+            like_escape,
+            multiterm_topk_indexed,
+            regexp_matcher,
+            wildcard_to_like,
+        )
 
         _require_doc_key(ctx)
         field, params = _one(spec, typ)
         params = _params(params, "value")
-        _reject_unknown(params, {"value", "max_expansions", "fuzziness"}, typ)
+        allowed = {"value", "max_expansions"}
+        if typ == "fuzzy":
+            allowed.add("fuzziness")
+        _reject_unknown(params, allowed, typ)
         kw = {"max_expansions": int(params["max_expansions"])} if "max_expansions" in params else {}
         if typ == "prefix":
             top = multiterm_topk_indexed(r, like=like_escape(params["value"]) + "%", k=k, **kw)
         elif typ == "wildcard":
             top = multiterm_topk_indexed(r, like=wildcard_to_like(params["value"]), k=k, **kw)
+        elif typ == "regexp":
+            try:
+                matcher = regexp_matcher(params["value"])
+            except ValueError as e:
+                raise DslError(f"[regexp] {e}") from e
+            top = multiterm_topk_indexed(r, matcher=matcher, k=k, **kw)
         else:
             top = multiterm_topk_indexed(
                 r, fuzzy=(params["value"], int(params.get("fuzziness", 1)), 0), k=k, **kw
@@ -836,7 +863,8 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
         fn = bm25_conjunctive if op == "and" else bm25_scores
         return topk(fn(ctx.docs, terms, id_col=ic, text_col=tc, round_to=None), k=k)
 
-    if typ in ("term", "terms", "range", "exists", "match_all", "constant_score"):
+    if typ in ("term", "terms", "range", "exists", "ids", "match_all",
+               "constant_score"):
         return topk(_leaf_scores(ctx, typ, spec), k=k)
 
     if typ == "nested":
@@ -944,18 +972,24 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
         return phrase_prefix_topk(ctx.docs, toks[:-1], toks[-1], k=k,
                                   id_col=ic, text_col=tc, **kw)
 
-    if typ in ("prefix", "wildcard", "fuzzy"):
+    if typ in ("prefix", "wildcard", "fuzzy", "regexp"):
         from . import multiterm
 
         field, params = _one(spec, typ)
         params = _params(params, "value")
-        _reject_unknown(params, {"value", "max_expansions", "fuzziness"}, typ)
+        allowed = {"value", "max_expansions"}
+        if typ == "fuzzy":
+            allowed.add("fuzziness")
+        _reject_unknown(params, allowed, typ)
         kw = {"max_expansions": int(params["max_expansions"])} if "max_expansions" in params else {}
         if typ == "fuzzy" and "fuzziness" in params:
             kw["max_edits"] = int(params["fuzziness"])
         fn = {"prefix": multiterm.prefix_topk, "wildcard": multiterm.wildcard_topk,
-              "fuzzy": multiterm.fuzzy_topk}[typ]
-        return fn(ctx.docs, params["value"], k=k, id_col=ic, text_col=tc, **kw)
+              "fuzzy": multiterm.fuzzy_topk, "regexp": multiterm.regexp_topk}[typ]
+        try:
+            return fn(ctx.docs, params["value"], k=k, id_col=ic, text_col=tc, **kw)
+        except ValueError as e:
+            raise DslError(f"[{typ}] {e}") from e
 
     if typ == "bool":
         from .booleans import bool_clauses_topk

@@ -66,6 +66,60 @@ def wildcard_to_like(pattern: str) -> str:
     return "".join(out)
 
 
+def regexp_matcher(pattern: str) -> str:
+    """Lucene ``regexp`` query → shared Spark-SQL/DuckDB matcher.
+
+    Lucene ``RegexpQuery`` matches the ENTIRE term (no anchors in its
+    syntax; reference composes core query types inside hybrid bodies —
+    see HybridQueryBuilder fromXContent, sub-queries are opaque), so the
+    pattern is wrapped in ``^(?:...)$``. Neither engine shares a regex
+    *predicate* spelling (Spark has ``regexp_like``, DuckDB has
+    ``regexp_matches``), but BOTH have ``regexp_replace`` with identical
+    first-match semantics under a full-string anchor — the predicate
+    ``regexp_replace(term, anchored, '') = ''`` is therefore the one
+    string both engines evaluate identically, preserving the module's
+    provable-same-expansion invariant.
+
+    Accepted subset = the constructs Java regex (Spark) and RE2 (DuckDB
+    / the Arrow kernel) agree on: literals, ``.``, ``?``, ``*``, ``+``,
+    ``{m,n}``, alternation ``|``, groups ``(...)``, character classes
+    ``[...]`` / ``[^...]`` with ranges. Rejected LOUDLY (never silently
+    re-interpreted): ``\\`` (Spark SQL string literals consume
+    backslash, DuckDB does not — measured divergence), Lucene's
+    optional operators ``~ & < > #`` (complement/intersection/interval
+    — not implemented; in Java/RE2 they'd silently match literally),
+    and anchors ``^``/``$`` outside a class (no-ops under Lucene's
+    whole-term semantics but load-bearing in Java/RE2)."""
+    if not pattern:
+        raise ValueError("regexp pattern must be non-empty")
+    for i, ch in enumerate(pattern):
+        if ch == "\\":
+            raise ValueError(
+                "regexp: backslash escapes are unsupported (engine string-"
+                "literal rules diverge); use a character class like [+]"
+            )
+        if ch in "~&<>#":
+            raise ValueError(
+                f"regexp: Lucene optional operator [{ch}] is unsupported"
+            )
+        if ch == "^" and not (i > 0 and pattern[i - 1] == "["):
+            raise ValueError(
+                "regexp: ^ is only supported as class negation [^...]"
+            )
+        if ch == "$":
+            raise ValueError(
+                "regexp: $ is unsupported (Lucene regexp matches the "
+                "whole term; no anchors)"
+            )
+        if not (0x20 <= ord(ch) < 0x7F):
+            raise ValueError(
+                f"regexp: non-printable/non-ASCII pattern char {ch!r} "
+                "is unsupported"
+            )
+    quoted = pattern.replace("'", "''")
+    return f"regexp_replace(term, '^(?:{quoted})$', '') = ''"
+
+
 def _matcher_sql(
     like: str | None = None,
     fuzzy: tuple[str, int, int] | None = None,
@@ -121,25 +175,31 @@ def expand_terms_corpus(
     docs: DataFrame,
     like: str | None = None,
     fuzzy: tuple[str, int, int] | None = None,
+    matcher: str | None = None,
     max_expansions: int = MAX_EXPANSIONS,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> list[str]:
     """Dictionary expansion for the exhaustive (index-free) path: the
-    dictionary is derived from the corpus (term → distinct-doc df)."""
+    dictionary is derived from the corpus (term → distinct-doc df).
+    ``matcher`` is a prebuilt shared-SQL predicate (regexp_matcher);
+    otherwise it is built from ``like``/``fuzzy``."""
     tok = tokenized(docs, id_col, text_col)
     dictionary = (
         tok.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
     )
-    return _top_expansions(dictionary, _matcher_sql(like, fuzzy), max_expansions)
+    if matcher is None:
+        matcher = _matcher_sql(like, fuzzy)
+    return _top_expansions(dictionary, matcher, max_expansions)
 
 
 def expand_terms_indexed(
     reader,
     like: str | None = None,
     fuzzy: tuple[str, int, int] | None = None,
+    matcher: str | None = None,
     max_expansions: int = MAX_EXPANSIONS,
 ) -> list[str]:
     """Dictionary expansion against the index: Σ ``n`` over a term's
@@ -153,7 +213,9 @@ def expand_terms_indexed(
         .groupBy("term")
         .agg(F.sum("n").alias("df"))
     )
-    return _top_expansions(dictionary, _matcher_sql(like, fuzzy), max_expansions)
+    if matcher is None:
+        matcher = _matcher_sql(like, fuzzy)
+    return _top_expansions(dictionary, matcher, max_expansions)
 
 
 def _scored_or(docs, terms, k, id_col, text_col):
@@ -220,6 +282,25 @@ def fuzzy_topk(
     return _scored_or(docs, terms, k, id_col, text_col)
 
 
+def regexp_topk(
+    docs: DataFrame,
+    pattern: str,
+    k: int = 10,
+    max_expansions: int = MAX_EXPANSIONS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``regexp`` query (Lucene RegexpQuery: whole-term match),
+    scoring-boolean rewrite, exhaustive path. The accepted pattern
+    subset and the shared-SQL matcher are documented on
+    ``regexp_matcher``."""
+    terms = expand_terms_corpus(
+        docs, matcher=regexp_matcher(pattern), max_expansions=max_expansions,
+        id_col=id_col, text_col=text_col,
+    )
+    return _scored_or(docs, terms, k, id_col, text_col)
+
+
 def rounded_topk_from_kernel(spark, fetch, k: int, n_cap: int = 65536) -> DataFrame:
     """Rank-with-ties-safe rounded top-k over a kernel that cuts on the
     UNROUNDED score.
@@ -262,16 +343,17 @@ def multiterm_topk_indexed(
     reader,
     like: str | None = None,
     fuzzy: tuple[str, int, int] | None = None,
+    matcher: str | None = None,
     k: int = 10,
     max_expansions: int = MAX_EXPANSIONS,
 ) -> DataFrame:
     """Indexed path: dictionary expansion over postings metadata, then
     the block-max OR kernel (`wand.bm25_topk_indexed`) — prefix,
-    wildcard and fuzzy all ride this after their pattern is rewritten
-    to a matcher."""
+    wildcard, fuzzy and regexp all ride this after their pattern is
+    rewritten to a matcher."""
     from .wand import bm25_topk_indexed
 
-    terms = expand_terms_indexed(reader, like, fuzzy, max_expansions)
+    terms = expand_terms_indexed(reader, like, fuzzy, matcher, max_expansions)
     if not terms:
         spark = reader.spark
         return spark.createDataFrame([], "doc_id long, score double, rank int")

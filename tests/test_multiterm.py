@@ -327,3 +327,47 @@ def test_dis_max_degenerates(documents):
             per_g.setdefault(r["doc_id"], []).append(r["score"])
     for r in dm0.itertuples():
         assert abs(r.score - round(max(per_g[r.doc_id]), 4)) <= 1e-4
+
+
+# --- regexp query -------------------------------------------------------
+
+def test_regexp_matcher_validation():
+    from neural_search_spark.query.multiterm import regexp_matcher
+
+    assert regexp_matcher("al(pha|fa)") == (
+        "regexp_replace(term, '^(?:al(pha|fa))$', '') = ''"
+    )
+    # class negation is the ONE allowed use of ^
+    regexp_matcher("[^x]eta")
+    for bad in ["", "a\\d", "a~b", "a&b", "a<b", "a>b", "a#b",
+                "^a", "a$", "café", "a\tb"]:
+        with pytest.raises(ValueError):
+            regexp_matcher(bad)
+
+
+def test_regexp_expansion_corpus_matches_index(documents, doc_index):
+    from neural_search_spark.query.multiterm import regexp_matcher
+
+    for pat in ["s[cpt].*|merge", ".?eta", "quer(y|ies)", "zzz+"]:
+        m = regexp_matcher(pat)
+        assert expand_terms_corpus(documents, matcher=m) == expand_terms_indexed(
+            doc_index, matcher=m
+        ), pat
+
+
+def test_regexp_whole_term_and_scoring(documents, doc_index):
+    """Lucene RegexpQuery matches the ENTIRE term (a partial-match
+    pattern expands to nothing), and the exhaustive and indexed paths
+    rank identically on a real expansion."""
+    from neural_search_spark.query.multiterm import regexp_matcher, regexp_topk
+
+    # "spar" is a strict prefix of the term "spark" — whole-term
+    # semantics must NOT match it
+    assert expand_terms_corpus(documents, matcher=regexp_matcher("spar")) == []
+
+    exh = regexp_topk(documents, "s[cpt].*|merge", k=10).toPandas()
+    idx = multiterm_topk_indexed(
+        doc_index, matcher=regexp_matcher("s[cpt].*|merge"), k=10
+    ).toPandas()
+    assert exh["doc_id"].tolist() == idx["doc_id"].tolist()
+    assert (exh["score"] - idx["score"]).abs().max() <= 1e-4

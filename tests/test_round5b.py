@@ -270,3 +270,40 @@ def test_multi_match_in_dis_max(tiny_ctx):
 def test_multi_match_rejections(tiny_ctx, spec):
     with pytest.raises(DslError):
         search(tiny_ctx, {"query": {"multi_match": spec}, "size": 5})
+
+
+# --- regexp + ids through the DSL -------------------------------------------
+
+
+def test_dsl_regexp_exhaustive(tiny_ctx):
+    # ".?eta" full-term: {beta, zeta, eta, theta?} — theta is 5 chars,
+    # no; eta/beta/zeta match. Hit docs: 0,2 (beta), 4 (zeta, eta, theta)
+    got = _hits(tiny_ctx, {"query": {"regexp": {"text": {"value": ".?eta"}}},
+                           "size": 10})
+    assert set(got) == {0, 2, 4}
+
+
+def test_dsl_regexp_rejections(tiny_ctx):
+    for val, params in [
+        ("a\\d", {}),                       # backslash: engine divergence
+        ("a~b", {}),                        # Lucene optional operator
+        ("beta", {"fuzziness": 1}),         # fuzziness is fuzzy-only
+        ("beta", {"flags": "ALL"}),         # unknown param
+    ]:
+        body = {"query": {"regexp": {"text": {"value": val, **params}}},
+                "size": 10}
+        with pytest.raises(DslError):
+            search(tiny_ctx, body)
+
+
+def test_dsl_ids_constant_score(tiny_ctx):
+    got = _hits(tiny_ctx, {"query": {"ids": {"values": [1, 3, 99]}},
+                           "size": 10})
+    assert got == {1: 1.0, 3: 1.0}
+
+
+def test_dsl_ids_rejections(tiny_ctx):
+    for spec in [{}, {"values": []}, {"values": ["x"]}, {"values": [True]},
+                 {"values": [1], "boost": 2.0}]:
+        with pytest.raises(DslError):
+            search(tiny_ctx, {"query": {"ids": spec}, "size": 10})
