@@ -649,6 +649,23 @@ def _q_dsl_simple_query_string(spark, sf_dir):
 
 
 REGEXP_PATTERN = "s[cpt].*|merge"  # {scan, spark, stream, ...} + merge
+DECAY_SPEC = {"origin": 300.0, "scale": 150.0, "offset": 20.0, "decay": 0.5}
+
+
+def _q_dsl_function_score_decay(spark, sf_dir):
+    """function_score with a gauss decay on n_chars: per-doc factor
+    exp(-dist²/2σ²) with dist = max(0, |n_chars - origin| - offset) and
+    σ² = -scale²/(2·ln(decay)) — the documented OpenSearch numeric
+    decay — multiplied into the match BM25. The factor expression is
+    ONE shared SQL string both the engine and the DuckDB oracle
+    evaluate (query/dsl.decay_factor_sql)."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"function_score": {
+        "query": {"match": {"text": " ".join(TERMS_OR)}},
+        "gauss": {"n_chars": DECAY_SPEC},
+        "boost_mode": "multiply"}}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
 
 
 def _q_dsl_regexp_indexed(spark, sf_dir):
@@ -2237,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_simple_query_string": _q_dsl_simple_query_string,
         "dsl_regexp_indexed": _q_dsl_regexp_indexed,
         "dsl_ids": _q_dsl_ids,
+        "dsl_function_score_decay": _q_dsl_function_score_decay,
         # -- implementation changed in round 5 (re-gate; the rest of the
         #    changed-path family — dsl_match/dsl_bool/dsl_aggs,
         #    dsl_hybrid_neural, indexed_bm25_phrase, indexed_phrase_prefix,
@@ -2265,7 +2283,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_minmax_harmonic": _q_hybrid_minmax_harmonic,
         "hybrid_sort_by_field": _q_hybrid_sort_by_field,
         "hybrid_total_hits": _q_hybrid_total_hits,
-        "hybrid_extended_stats": _q_hybrid_extended_stats,
         "hybrid_pipeline_aggs": _q_hybrid_pipeline_aggs,
         "hybrid_significant_terms": _q_hybrid_significant_terms,
         "hybrid_cardinality_hll": _q_hybrid_cardinality_hll,
@@ -2372,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dsl_aggs_indexed / dsl_hybrid_*_with_* (r05); pytest
         # tests/test_entry.py re-verifies each against its oracle.
         "hybrid_histogram": _q_hybrid_histogram,
+        "hybrid_extended_stats": _q_hybrid_extended_stats,
         "hybrid_percentiles": _q_hybrid_percentiles,
         "hybrid_top_hits": _q_hybrid_top_hits,
         "hybrid_cardinality": _q_hybrid_cardinality,
@@ -2390,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from neural_search_spark import oracle
     from neural_search_spark.pipeline import oracle as poracle
+    from neural_search_spark.query.dsl import decay_factor_sql
     from neural_search_spark.query.multiterm import (
         _matcher_sql,
         like_escape,
@@ -2705,6 +2724,9 @@ def oracle_sql() -> dict[str, str]:
             TERMS_OR, "lang = 'es'", 0.4, k=10),
         "dsl_function_score": oracle.function_score_topk_sql(
             TERMS_OR, "log10(1.0 + n_chars * 0.5)", k=10),
+        "dsl_function_score_decay": oracle.function_score_topk_sql(
+            TERMS_OR, decay_factor_sql("gauss", "n_chars", **DECAY_SPEC),
+            k=10),
         "dsl_simple_query_string": oracle.simple_query_string_sql(
             [("chunk", ["spark"], False), ("chunk", ["window"], False),
              ("phrase", ["table", "scan"], False),

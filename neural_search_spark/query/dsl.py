@@ -49,6 +49,7 @@ parsers are likewise strict (fromXContent throws on unknown fields).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Any
 
@@ -163,6 +164,43 @@ def _col_name(col: str) -> str:
     if not isinstance(col, str) or not _IDENT_RE.match(col):
         raise DslError(f"invalid field name {col!r}")
     return col
+
+
+def decay_factor_sql(kind: str, field: str, origin: float, scale: float,
+                     offset: float = 0.0, decay: float = 0.5) -> str:
+    """Decay-function factor as ONE SQL expression valid in BOTH Spark
+    SQL and DuckDB (exp/abs/greatest/coalesce coincide), so the engine
+    and the oracle provably evaluate the same math.
+
+    OpenSearch numeric decay semantics: with
+    ``dist = max(0, |value - origin| - offset)``,
+    gauss = exp(-dist² / (2σ²)) with σ² = -scale²/(2·ln(decay));
+    exp = exp(λ·dist) with λ = ln(decay)/scale;
+    linear = max(0, (s - dist)/s) with s = scale/(1 - decay).
+    A missing field value scores 1.0 (the documented rule). The
+    shape constants are folded in Python so both engines see plain
+    double literals."""
+    if kind not in ("gauss", "exp", "linear"):
+        raise ValueError(f"unknown decay kind [{kind}]")
+    if not scale > 0:
+        raise ValueError(f"scale must be > 0, got {scale}")
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
+    dist = (f"greatest(CAST(0.0 AS DOUBLE), "
+            f"abs(CAST({field} AS DOUBLE) - {origin!r}) - {offset!r})")
+    if kind == "gauss":
+        denom = -(scale * scale) / math.log(decay)  # 2σ²
+        fn = f"exp(-(({dist}) * ({dist})) / {denom!r})"
+    elif kind == "exp":
+        lam = math.log(decay) / scale
+        fn = f"exp({lam!r} * ({dist}))"
+    else:
+        s = scale / (1.0 - decay)
+        fn = (f"greatest(CAST(0.0 AS DOUBLE), "
+              f"({s!r} - ({dist})) / {s!r})")
+    return f"coalesce({fn}, CAST(1.0 AS DOUBLE))"
 
 
 def _scalar_lit(val: Any, what: str) -> str:
@@ -900,17 +938,62 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
         return topk(demoted, k=k)
 
     if typ == "function_score":
-        # FunctionScoreQueryBuilder with ONE field_value_factor
-        # function: match set = the wrapped query's (default match_all);
-        # per-doc factor = modifier(factor * field_value), combined by
-        # boost_mode. Without [missing], docs whose field is NULL drop
-        # from the result (the reference errors per-doc there — the
-        # translator's documented boundary keeps the pipeline total).
-        _reject_unknown(spec, {"query", "field_value_factor", "boost_mode"},
-                        "function_score")
-        if "field_value_factor" not in spec:
-            raise DslError("[function_score] supports exactly one "
-                           "[field_value_factor] function")
+        # FunctionScoreQueryBuilder with ONE function — either
+        # field_value_factor or a decay function (gauss/exp/linear on a
+        # numeric field): match set = the wrapped query's (default
+        # match_all); per-doc factor combined by boost_mode. For
+        # field_value_factor without [missing], docs whose field is
+        # NULL drop from the result (the reference errors per-doc there
+        # — the translator's documented boundary keeps the pipeline
+        # total); decay functions score missing fields 1.0 (the
+        # documented OpenSearch rule).
+        _reject_unknown(spec, {"query", "field_value_factor", "boost_mode",
+                               "gauss", "exp", "linear"}, "function_score")
+        fn_keys = [kk for kk in ("field_value_factor", "gauss", "exp",
+                                 "linear") if kk in spec]
+        if len(fn_keys) != 1:
+            raise DslError("[function_score] supports exactly one function: "
+                           "field_value_factor | gauss | exp | linear")
+        boost_mode = spec.get("boost_mode", "multiply")
+        if boost_mode not in ("multiply", "sum", "replace"):
+            raise DslError(f"[function_score] boost_mode must be "
+                           f"multiply|sum|replace, got [{boost_mode}]")
+        if fn_keys[0] in ("gauss", "exp", "linear"):
+            kind = fn_keys[0]
+            fld, dparams = _one(spec[kind], kind)
+            fld = _col_name(fld)
+            if fld == tc:
+                raise DslError(f"[{kind}] field [{fld}] is the analyzed "
+                               "text column; decay needs a numeric field")
+            if not isinstance(dparams, dict):
+                raise DslError(f"[{kind}] field spec must be an object")
+            _reject_unknown(dparams, {"origin", "scale", "offset", "decay"},
+                            kind)
+            try:
+                fexpr = decay_factor_sql(
+                    kind, fld,
+                    origin=float(dparams["origin"]),
+                    scale=float(dparams["scale"]),
+                    offset=float(dparams.get("offset", 0.0)),
+                    decay=float(dparams.get("decay", 0.5)),
+                )
+            except (KeyError, TypeError) as e:
+                raise DslError(f"[{kind}] needs numeric origin and scale") from e
+            except ValueError as e:
+                raise DslError(f"[{kind}] {e}") from e
+            base = spec.get("query", {"match_all": {}})
+            s = _scores_frame(ctx, base, "function_score.query")
+            joined = s.join(
+                ctx.docs.select(F.col(ic).alias("doc_id"),
+                                F.expr(fexpr).alias("nss_f")),
+                "doc_id",
+            )
+            combined = {
+                "multiply": F.col("score") * F.col("nss_f"),
+                "sum": F.col("score") + F.col("nss_f"),
+                "replace": F.col("nss_f"),
+            }[boost_mode]
+            return topk(joined.select("doc_id", combined.alias("score")), k=k)
         fvf = spec["field_value_factor"]
         if not isinstance(fvf, dict) or "field" not in fvf:
             raise DslError("[field_value_factor] needs a [field]")
@@ -935,10 +1018,6 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
         if modifier not in mods:
             raise DslError(f"[field_value_factor] modifier must be one of "
                            f"{sorted(mods)}, got [{modifier}]")
-        boost_mode = spec.get("boost_mode", "multiply")
-        if boost_mode not in ("multiply", "sum", "replace"):
-            raise DslError(f"[function_score] boost_mode must be "
-                           f"multiply|sum|replace, got [{boost_mode}]")
         base = spec.get("query", {"match_all": {}})
         s = _scores_frame(ctx, base, "function_score.query")
         val = F.col(fld).cast("double")

@@ -307,3 +307,60 @@ def test_dsl_ids_rejections(tiny_ctx):
                  {"values": [1], "boost": 2.0}]:
         with pytest.raises(DslError):
             search(tiny_ctx, {"query": {"ids": spec}, "size": 10})
+
+
+# --- function_score decay functions ------------------------------------------
+
+
+def test_decay_factor_sql_math():
+    import math
+
+    from neural_search_spark.query.dsl import decay_factor_sql
+
+    # at dist == scale every kind scores exactly `decay`
+    for kind in ("gauss", "exp", "linear"):
+        sql = decay_factor_sql(kind, "v", origin=0.0, scale=10.0, decay=0.5)
+        import duckdb
+
+        con = duckdb.connect()
+        at_scale = con.execute(f"SELECT {sql} FROM (SELECT 10.0 AS v)").fetchone()[0]
+        assert math.isclose(at_scale, 0.5, abs_tol=1e-12), kind
+        at_origin = con.execute(f"SELECT {sql} FROM (SELECT 0.0 AS v)").fetchone()[0]
+        assert at_origin == 1.0, kind
+        missing = con.execute(f"SELECT {sql} FROM (SELECT CAST(NULL AS DOUBLE) AS v)").fetchone()[0]
+        assert missing == 1.0, kind  # documented rule: missing field -> 1.0
+
+    for bad in [dict(scale=0.0), dict(decay=0.0), dict(decay=1.0),
+                dict(offset=-1.0)]:
+        kw = dict(origin=0.0, scale=10.0)
+        kw.update(bad)
+        with pytest.raises(ValueError):
+            decay_factor_sql("gauss", "v", **kw)
+
+
+def test_dsl_decay_hand_computed(tiny_ctx):
+    import math
+
+    # replace mode isolates the factor: origin 30, scale 20, decay 0.5
+    # -> doc n_chars 10/20/30/40/50 at dist 20/10/0/10/20
+    body = {"query": {"function_score": {
+        "gauss": {"n_chars": {"origin": 30.0, "scale": 20.0}},
+        "boost_mode": "replace"}}, "size": 10}
+    got = _hits(tiny_ctx, body)
+    sigma2 = -(20.0 ** 2) / (2 * math.log(0.5))
+    want = {d: round(math.exp(-(dist ** 2) / (2 * sigma2)), 4)
+            for d, dist in [(0, 20.0), (1, 10.0), (2, 0.0), (3, 10.0), (4, 20.0)]}
+    assert got == want
+
+
+@pytest.mark.parametrize("spec", [
+    {"gauss": {"n_chars": {"scale": 10.0}}},                    # origin required
+    {"gauss": {"n_chars": {"origin": 0, "scale": 10, "x": 1}}},  # unknown param
+    {"gauss": {"text": {"origin": 0, "scale": 10}}},            # text column
+    {"gauss": {"n_chars": {"origin": 0, "scale": 10}},
+     "linear": {"n_chars": {"origin": 0, "scale": 10}}},        # two functions
+    {"exp": {"n_chars": {"origin": 0, "scale": 10, "decay": 1.5}}},
+])
+def test_dsl_decay_rejections(tiny_ctx, spec):
+    with pytest.raises(DslError):
+        search(tiny_ctx, {"query": {"function_score": spec}, "size": 10})
