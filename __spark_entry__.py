@@ -695,6 +695,25 @@ def _q_dsl_ids(spark, sf_dir):
     return search(_dsl_ctx(spark, sf_dir), body)
 
 
+MLT_LIKE_ID = 7
+MLT_PARAMS = {"max_query_terms": 12, "min_term_freq": 2, "min_doc_freq": 5,
+              "minimum_should_match": "30%"}
+
+
+def _q_dsl_more_like_this(spark, sf_dir):
+    """more_like_this over a corpus doc: interesting-term selection
+    (round(tf·idf,6) DESC, term ASC cut — the SAME total order the
+    DuckDB oracle applies) → BM25 boolean OR with minimum_should_match
+    30% → top-k, the like doc excluded from hits only (stats stay
+    global, like Lucene MoreLikeThisQuery)."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"more_like_this": {
+        "fields": ["text"], "like": [{"_id": MLT_LIKE_ID}], **MLT_PARAMS}},
+        "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
 def _q_bm25_explain(spark, sf_dir):
     """Lucene Explanation analog: per-(top-k doc, term) BM25 factor
     breakdown (tf/df/idf/tf_norm/contribution) — output bounded by
@@ -2255,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_regexp_indexed": _q_dsl_regexp_indexed,
         "dsl_ids": _q_dsl_ids,
         "dsl_function_score_decay": _q_dsl_function_score_decay,
+        "dsl_more_like_this": _q_dsl_more_like_this,
         # -- implementation changed in round 5 (re-gate; the rest of the
         #    changed-path family — dsl_match/dsl_bool/dsl_aggs,
         #    dsl_hybrid_neural, indexed_bm25_phrase, indexed_phrase_prefix,
@@ -2283,7 +2303,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_minmax_harmonic": _q_hybrid_minmax_harmonic,
         "hybrid_sort_by_field": _q_hybrid_sort_by_field,
         "hybrid_total_hits": _q_hybrid_total_hits,
-        "hybrid_pipeline_aggs": _q_hybrid_pipeline_aggs,
         "hybrid_significant_terms": _q_hybrid_significant_terms,
         "hybrid_cardinality_hll": _q_hybrid_cardinality_hll,
         # ===== position >= 50: green driver rows in r03/r04 (union) =======
@@ -2389,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dsl_aggs_indexed / dsl_hybrid_*_with_* (r05); pytest
         # tests/test_entry.py re-verifies each against its oracle.
         "hybrid_histogram": _q_hybrid_histogram,
+        "hybrid_pipeline_aggs": _q_hybrid_pipeline_aggs,
         "hybrid_extended_stats": _q_hybrid_extended_stats,
         "hybrid_percentiles": _q_hybrid_percentiles,
         "hybrid_top_hits": _q_hybrid_top_hits,
@@ -2727,6 +2747,8 @@ def oracle_sql() -> dict[str, str]:
         "dsl_function_score_decay": oracle.function_score_topk_sql(
             TERMS_OR, decay_factor_sql("gauss", "n_chars", **DECAY_SPEC),
             k=10),
+        "dsl_more_like_this": oracle.more_like_this_sql(
+            MLT_LIKE_ID, **MLT_PARAMS, k=10),
         "dsl_simple_query_string": oracle.simple_query_string_sql(
             [("chunk", ["spark"], False), ("chunk", ["window"], False),
              ("phrase", ["table", "scan"], False),

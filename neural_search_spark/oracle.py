@@ -2296,6 +2296,77 @@ ORDER BY demoted.score DESC, demoted.doc_id ASC
 LIMIT {k}"""
 
 
+def more_like_this_sql(
+    like_id: int,
+    max_query_terms: int = 25,
+    min_term_freq: int = 2,
+    min_doc_freq: int = 5,
+    minimum_should_match: int | str = "30%",
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """``more_like_this`` oracle (query/mlt.py): interesting-term
+    selection from the like doc — (round(tf·idf, 6) DESC, term ASC) cut
+    at ``max_query_terms``, the SAME rounded total order the engine
+    collects — then BM25 boolean OR over the selection with
+    minimum_should_match, the like doc excluded from hits only (corpus
+    stats stay global)."""
+    if isinstance(minimum_should_match, str):
+        pct = float(minimum_should_match.rstrip("%")) / 100.0
+        msm_expr = f"CAST(floor({pct!r} * nsel.n) AS INT)"
+    else:
+        msm_expr = str(int(minimum_should_match))
+    _, duck_toks = simple_tokens_sql("text")
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {duck_toks} AS toks FROM {table}
+),
+stats AS (
+  SELECT count(*) AS N, sum(len(toks)) * 1.0 / count(*) AS avgdl FROM tok
+),
+allt AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok
+),
+dict AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM allt GROUP BY term
+),
+liketf AS (
+  SELECT term, count(*) AS tf FROM allt WHERE doc_id = {like_id}
+  GROUP BY term HAVING count(*) >= {min_term_freq}
+),
+sel AS (
+  SELECT l.term AS term,
+         round(l.tf * ln(1.0 + (stats.N - d.df + 0.5) / (d.df + 0.5)), 6) AS mlt
+  FROM liketf l JOIN dict d USING (term), stats
+  WHERE d.df >= {min_doc_freq}
+  ORDER BY mlt DESC, term ASC LIMIT {max_query_terms}
+),
+nsel AS (SELECT count(*) AS n FROM sel),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM allt
+  WHERE term IN (SELECT term FROM sel)
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id AS doc_id, round(sum({contrib}), {round_to}) AS score,
+         count(DISTINCT tf.term) AS nt
+  FROM tf JOIN dfreq USING (term), stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, scored.score AS score,
+       CAST(row_number() OVER (ORDER BY scored.score DESC, scored.doc_id ASC) AS INT) AS rank
+FROM scored, nsel
+WHERE nt >= greatest(1, least({msm_expr}, nsel.n)) AND doc_id != {like_id}
+ORDER BY scored.score DESC, scored.doc_id ASC
+LIMIT {k}"""
+
+
 def function_score_topk_sql(
     terms: list[str],
     factor_sql: str,

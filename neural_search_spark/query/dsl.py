@@ -99,7 +99,8 @@ _QUERY_TYPES = (
     "match match_phrase match_phrase_prefix prefix wildcard fuzzy regexp "
     "bool dis_max hybrid neural neural_sparse nested "
     "term terms range exists ids match_all constant_score "
-    "multi_match boosting function_score simple_query_string"
+    "multi_match boosting function_score simple_query_string "
+    "more_like_this"
 ).split()
 
 
@@ -910,6 +911,51 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
 
     if typ == "simple_query_string":
         return topk(_simple_query_scores(ctx, spec), k=k)
+
+    if typ == "more_like_this":
+        # MoreLikeThisQueryBuilder with one like-document reference:
+        # interesting-term selection + boolean-OR rewrite in
+        # query/mlt.py; raw-text likes and multi-doc likes are rejected
+        # loudly, never approximated
+        from . import mlt
+
+        _reject_unknown(spec, {"fields", "like", "max_query_terms",
+                               "min_term_freq", "min_doc_freq",
+                               "minimum_should_match", "include"},
+                        "more_like_this")
+        fields = spec.get("fields", [tc])
+        if fields != [tc]:
+            raise DslError(f"[more_like_this] supports fields=[{tc!r}] "
+                           f"(the analyzed text column), got {fields!r}")
+        like = spec.get("like")
+        if isinstance(like, dict):
+            like = [like]
+        if (not isinstance(like, list) or len(like) != 1
+                or not isinstance(like[0], dict)):
+            raise DslError("[more_like_this] supports exactly one "
+                           "{'_id': N} like-document reference")
+        ref = like[0]
+        _reject_unknown(ref, {"_id"}, "more_like_this.like")
+        if ("_id" not in ref or isinstance(ref["_id"], bool)
+                or not isinstance(ref["_id"], int)):
+            raise DslError("[more_like_this] like._id must be an integer "
+                           "doc id")
+        try:
+            return mlt.more_like_this_topk(
+                ctx.docs, ref["_id"],
+                max_query_terms=int(spec.get("max_query_terms",
+                                             mlt.MAX_QUERY_TERMS)),
+                min_term_freq=int(spec.get("min_term_freq",
+                                           mlt.MIN_TERM_FREQ)),
+                min_doc_freq=int(spec.get("min_doc_freq",
+                                          mlt.MIN_DOC_FREQ)),
+                minimum_should_match=spec.get("minimum_should_match",
+                                              mlt.DEFAULT_MSM),
+                include=bool(spec.get("include", False)),
+                k=k, id_col=ic, text_col=tc,
+            )
+        except ValueError as e:
+            raise DslError(f"[more_like_this] {e}") from e
 
     if typ == "boosting":
         # BoostingQueryBuilder: hits = the positive query's match set;

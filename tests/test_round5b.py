@@ -364,3 +364,72 @@ def test_dsl_decay_hand_computed(tiny_ctx):
 def test_dsl_decay_rejections(tiny_ctx, spec):
     with pytest.raises(DslError):
         search(tiny_ctx, {"query": {"function_score": spec}, "size": 10})
+
+
+# --- more_like_this -----------------------------------------------------------
+
+
+def test_parse_msm():
+    from neural_search_spark.query.mlt import parse_msm
+
+    assert parse_msm("30%", 10) == 3
+    assert parse_msm("30%", 2) == 1     # floor(0.6) = 0 -> clamped to 1
+    assert parse_msm("100%", 4) == 4
+    assert parse_msm(3, 10) == 3
+    assert parse_msm(99, 4) == 4        # clamped to n_terms
+    assert parse_msm(0, 4) == 1
+    for bad in ["30", "x%", "150%", 1.5, True, None]:
+        with pytest.raises(ValueError):
+            parse_msm(bad, 10)
+
+
+def test_dsl_mlt_selection_and_exclusion(tiny_ctx):
+    # doc 1 = "alpha alpha delta": tf(alpha)=2, tf(delta)=1.
+    # min_term_freq=2 keeps only alpha -> hits are the OTHER alpha docs
+    body = {"query": {"more_like_this": {
+        "like": {"_id": 1}, "min_term_freq": 2, "min_doc_freq": 1}},
+        "size": 10}
+    got = _hits(tiny_ctx, body)
+    assert set(got) == {0}
+
+    # min_term_freq=1 selects {alpha, delta}; 30% of 2 -> msm 1;
+    # like doc excluded, docs 0 (alpha), 2 and 3 (delta) hit
+    body = {"query": {"more_like_this": {
+        "like": [{"_id": 1}], "min_term_freq": 1, "min_doc_freq": 1}},
+        "size": 10}
+    assert set(_hits(tiny_ctx, body)) == {0, 2, 3}
+
+    # include=true keeps the like doc in the hits
+    body["query"]["more_like_this"]["include"] = True
+    assert set(_hits(tiny_ctx, body)) == {0, 1, 2, 3}
+
+    # minimum_should_match 100% gates on BOTH selected terms
+    body["query"]["more_like_this"]["include"] = False
+    body["query"]["more_like_this"]["minimum_should_match"] = "100%"
+    assert set(_hits(tiny_ctx, body)) == set()  # only doc 1 has both
+
+
+def test_dsl_mlt_min_doc_freq_gate(tiny_ctx):
+    # min_doc_freq=3 keeps only terms appearing in >= 3 docs:
+    # delta (docs 1,2,3) and gamma (0,2,3) qualify; alpha (0,1) not.
+    # like doc 1 contributes {alpha, delta} -> selection = {delta}
+    body = {"query": {"more_like_this": {
+        "like": {"_id": 1}, "min_term_freq": 1, "min_doc_freq": 3}},
+        "size": 10}
+    assert set(_hits(tiny_ctx, body)) == {2, 3}
+
+
+@pytest.mark.parametrize("spec", [
+    {},                                           # like required
+    {"like": []},                                 # empty
+    {"like": [{"_id": 1}, {"_id": 2}]},           # multi-doc unsupported
+    {"like": ["raw text"]},                       # raw-text unsupported
+    {"like": {"_id": "x"}},                       # non-int id
+    {"like": {"_id": 1, "_index": "idx"}},        # unknown ref key
+    {"like": {"_id": 1}, "fields": ["lang"]},     # non-text field
+    {"like": {"_id": 1}, "boost": 2.0},           # unknown param
+    {"like": {"_id": 1}, "minimum_should_match": "x%"},
+])
+def test_dsl_mlt_rejections(tiny_ctx, spec):
+    with pytest.raises(DslError):
+        search(tiny_ctx, {"query": {"more_like_this": spec}, "size": 10})
