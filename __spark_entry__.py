@@ -695,6 +695,23 @@ def _q_dsl_ids(spark, sf_dir):
     return search(_dsl_ctx(spark, sf_dir), body)
 
 
+RANK_FEATURE_SPEC = {"field": "n_chars", "boost": 1.5,
+                     "saturation": {"pivot": 300.0}}
+
+
+def _q_dsl_rank_feature(spark, sf_dir):
+    """rank_feature query (the plugin's sparse encodings live in
+    rank_features fields): score = saturation(x) = x/(x+pivot) × boost
+    over docs whose feature is present and positive — ONE shared SQL
+    expression both the engine and the DuckDB oracle evaluate
+    (query/dsl.rank_feature_sql). The stats-derived default pivot is a
+    documented boundary: pivot is required."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"rank_feature": RANK_FEATURE_SPEC}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
 MLT_LIKE_ID = 7
 MLT_PARAMS = {"max_query_terms": 12, "min_term_freq": 2, "min_doc_freq": 5,
               "minimum_should_match": "30%"}
@@ -2275,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_ids": _q_dsl_ids,
         "dsl_function_score_decay": _q_dsl_function_score_decay,
         "dsl_more_like_this": _q_dsl_more_like_this,
+        "dsl_rank_feature": _q_dsl_rank_feature,
         # -- implementation changed in round 5 (re-gate; the rest of the
         #    changed-path family — dsl_match/dsl_bool/dsl_aggs,
         #    dsl_hybrid_neural, indexed_bm25_phrase, indexed_phrase_prefix,
@@ -2298,7 +2316,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_after_fields": _q_sort_after_fields,
         "sparse_linear": _q_sparse_linear,
         "sparse_two_phase_topk": _q_sparse_two_phase_topk,
-        "bm25_common_term": _q_bm25_common,
         "bm25_rare_term": _q_bm25_rare,
         "hybrid_minmax_harmonic": _q_hybrid_minmax_harmonic,
         "hybrid_sort_by_field": _q_hybrid_sort_by_field,
@@ -2400,14 +2417,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_bm25_filtered": _q_indexed_bm25_filtered,
         "indexed_sort_by_field": _q_indexed_sort_by_field,
         "indexed_total_hits_tracked": _q_indexed_total_hits_tracked,
-        # r02-green agg rows demoted from the r05 window to make room for
-        # the 11 never-gated session-4/5 rows above: their shared engine
-        # path (query/aggs.py over the hybrid hit frame) keeps fresh
-        # driver evidence via hybrid_aggs / dsl_aggs (r04) and the window
-        # rows hybrid_extended_stats / hybrid_pipeline_aggs /
-        # dsl_aggs_indexed / dsl_hybrid_*_with_* (r05); pytest
+        # r02-green rows demoted from the r05 window to make room for the
+        # never-gated session-4/5 rows above (mostly the agg family —
+        # their shared engine path, query/aggs.py over the hybrid hit
+        # frame, keeps fresh driver evidence via hybrid_aggs / dsl_aggs
+        # (r04) and the in-window r05 aggs rows; bm25_common_term's
+        # single-term scorer rides every fresh match row). pytest
         # tests/test_entry.py re-verifies each against its oracle.
         "hybrid_histogram": _q_hybrid_histogram,
+        "bm25_common_term": _q_bm25_common,
         "hybrid_pipeline_aggs": _q_hybrid_pipeline_aggs,
         "hybrid_extended_stats": _q_hybrid_extended_stats,
         "hybrid_percentiles": _q_hybrid_percentiles,
@@ -2428,7 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from neural_search_spark import oracle
     from neural_search_spark.pipeline import oracle as poracle
-    from neural_search_spark.query.dsl import decay_factor_sql
+    from neural_search_spark.query.dsl import decay_factor_sql, rank_feature_sql
     from neural_search_spark.query.multiterm import (
         _matcher_sql,
         like_escape,
@@ -2749,6 +2767,17 @@ def oracle_sql() -> dict[str, str]:
             k=10),
         "dsl_more_like_this": oracle.more_like_this_sql(
             MLT_LIKE_ID, **MLT_PARAMS, k=10),
+        "dsl_rank_feature": (
+            lambda fx: (
+                f"SELECT doc_id, round({fx}, 4) AS score, "
+                f"CAST(row_number() OVER (ORDER BY {fx} DESC, doc_id ASC) "
+                f"AS INT) AS rank FROM documents "
+                f"WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0 "
+                f"ORDER BY {fx} DESC, doc_id ASC LIMIT 10"
+            )
+        )(rank_feature_sql("saturation", "n_chars",
+                           pivot=RANK_FEATURE_SPEC["saturation"]["pivot"],
+                           boost=RANK_FEATURE_SPEC["boost"])),
         "dsl_simple_query_string": oracle.simple_query_string_sql(
             [("chunk", ["spark"], False), ("chunk", ["window"], False),
              ("phrase", ["table", "scan"], False),

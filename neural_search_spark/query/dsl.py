@@ -100,7 +100,7 @@ _QUERY_TYPES = (
     "bool dis_max hybrid neural neural_sparse nested "
     "term terms range exists ids match_all constant_score "
     "multi_match boosting function_score simple_query_string "
-    "more_like_this"
+    "more_like_this rank_feature"
 ).split()
 
 
@@ -202,6 +202,51 @@ def decay_factor_sql(kind: str, field: str, origin: float, scale: float,
         fn = (f"greatest(CAST(0.0 AS DOUBLE), "
               f"({s!r} - ({dist})) / {s!r})")
     return f"coalesce({fn}, CAST(1.0 AS DOUBLE))"
+
+
+def rank_feature_sql(kind: str, field: str, pivot: float | None = None,
+                     scaling_factor: float | None = None,
+                     exponent: float | None = None,
+                     boost: float = 1.0) -> str:
+    """rank_feature score as ONE SQL expression valid in BOTH Spark SQL
+    and DuckDB (ln/power coincide). OpenSearch RankFeatureQuery over a
+    positive feature value x:
+    saturation = x/(x+pivot); log = ln(scaling_factor + x);
+    sigmoid = x^exp/(x^exp + pivot^exp); linear = x — each × boost.
+    The reference derives a missing saturation pivot from index stats
+    (approximate geometric mean) — nondeterministic across engines, so
+    the pivot is REQUIRED here (documented boundary). The caller gates
+    the match set on x > 0 (rank_feature fields are positive; docs
+    without the feature do not match)."""
+    x = f"CAST({field} AS DOUBLE)"
+    if kind == "saturation":
+        if pivot is None:
+            raise ValueError("saturation needs an explicit [pivot] (the "
+                             "reference's stats-derived default is not "
+                             "reproducible)")
+        if not pivot > 0:
+            raise ValueError(f"pivot must be > 0, got {pivot}")
+        fn = f"({x} / ({x} + {float(pivot)!r}))"
+    elif kind == "log":
+        sf = 1.0 if scaling_factor is None else float(scaling_factor)
+        if not sf > 0:
+            raise ValueError(f"scaling_factor must be > 0, got {sf}")
+        fn = f"ln({sf!r} + {x})"
+    elif kind == "sigmoid":
+        if pivot is None or exponent is None:
+            raise ValueError("sigmoid needs [pivot] and [exponent]")
+        if not pivot > 0 or not exponent > 0:
+            raise ValueError("pivot and exponent must be > 0")
+        fn = (f"(power({x}, {float(exponent)!r}) / "
+              f"(power({x}, {float(exponent)!r}) + "
+              f"power({float(pivot)!r}, {float(exponent)!r})))")
+    elif kind == "linear":
+        fn = x
+    else:
+        raise ValueError(f"unknown rank_feature function [{kind}]")
+    if float(boost) != 1.0:
+        fn = f"({fn} * {float(boost)!r})"
+    return fn
 
 
 def _scalar_lit(val: Any, what: str) -> str:
@@ -320,6 +365,44 @@ def _leaf_scores(ctx: SearchContext, typ: str, spec: Any) -> DataFrame | None:
             return bm25_scores(ctx.docs, [val], id_col=ctx.id_col,
                                text_col=ctx.text_col, round_to=None)
         return _filter_frame(ctx, {"term": {col: val}})
+    if typ == "rank_feature":
+        # RankFeatureQueryBuilder: score = fn(feature value) × boost
+        # over docs where the feature is present and positive
+        # (rank_feature fields are positive by construction in the
+        # reference; absent feature -> no match)
+        _reject_unknown(spec, {"field", "boost", "saturation", "log",
+                               "sigmoid", "linear"}, "rank_feature")
+        if "field" not in spec:
+            raise DslError("[rank_feature] needs a [field]")
+        fld = _col_name(spec["field"])
+        if fld == ctx.text_col:
+            raise DslError(f"[rank_feature] field [{fld}] is the analyzed "
+                           "text column; it needs a numeric feature field")
+        fns = [kk for kk in ("saturation", "log", "sigmoid", "linear")
+               if kk in spec]
+        if len(fns) > 1:
+            raise DslError("[rank_feature] takes at most one function")
+        kind = fns[0] if fns else "saturation"
+        params = spec.get(kind, {}) if fns else {}
+        if not isinstance(params, dict):
+            raise DslError(f"[rank_feature.{kind}] must be an object")
+        _reject_unknown(params, {"pivot", "scaling_factor", "exponent"}, kind)
+        try:
+            fexpr = rank_feature_sql(
+                kind, fld,
+                pivot=params.get("pivot"),
+                scaling_factor=params.get("scaling_factor"),
+                exponent=params.get("exponent"),
+                boost=float(spec.get("boost", 1.0)),
+            )
+        except (TypeError, ValueError) as e:
+            raise DslError(f"[rank_feature] {e}") from e
+        return ctx.docs.where(
+            F.col(fld).isNotNull() & (F.col(fld).cast("double") > 0)
+        ).select(
+            F.col(ctx.id_col).alias("doc_id"),
+            F.expr(fexpr).alias("score"),
+        )
     if typ == "constant_score":
         _reject_unknown(spec, {"filter", "boost"}, "constant_score")
         if "filter" not in spec:
@@ -683,7 +766,8 @@ def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
             raise DslError(f"hybrid sub-query type [{typ}] unsupported; "
                            "supported: match, multi_match, match_phrase, "
                            "neural, neural_sparse, nested, term, terms, "
-                           "range, exists, match_all, constant_score")
+                           "range, exists, ids, match_all, constant_score, "
+                           "rank_feature")
     return s.select(F.lit(idx).alias("subquery_idx"), "doc_id", "score")
 
 
@@ -903,7 +987,7 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
         return topk(fn(ctx.docs, terms, id_col=ic, text_col=tc, round_to=None), k=k)
 
     if typ in ("term", "terms", "range", "exists", "ids", "match_all",
-               "constant_score"):
+               "constant_score", "rank_feature"):
         return topk(_leaf_scores(ctx, typ, spec), k=k)
 
     if typ == "nested":

@@ -433,3 +433,68 @@ def test_dsl_mlt_min_doc_freq_gate(tiny_ctx):
 def test_dsl_mlt_rejections(tiny_ctx, spec):
     with pytest.raises(DslError):
         search(tiny_ctx, {"query": {"more_like_this": spec}, "size": 10})
+
+
+# --- rank_feature -------------------------------------------------------------
+
+
+def test_rank_feature_sql_parity_and_math():
+    import duckdb
+
+    from neural_search_spark.query.dsl import rank_feature_sql
+
+    con = duckdb.connect()
+    # saturation at x == pivot is exactly 0.5; sigmoid at x == pivot 0.5
+    sat = rank_feature_sql("saturation", "v", pivot=20.0)
+    sig = rank_feature_sql("sigmoid", "v", pivot=20.0, exponent=2.0)
+    logf = rank_feature_sql("log", "v", scaling_factor=1.0)
+    lin = rank_feature_sql("linear", "v", boost=2.0)
+    import math
+    for expr, v, want in [(sat, 20.0, 0.5), (sig, 20.0, 0.5),
+                          (logf, math.e - 1.0, 1.0), (lin, 3.0, 6.0)]:
+        got = con.execute(f"SELECT {expr} FROM (SELECT {v} AS v)").fetchone()[0]
+        assert math.isclose(got, want, rel_tol=1e-12), (expr, v, got)
+    for bad in [dict(kind="saturation"),                       # pivot required
+                dict(kind="saturation", pivot=0.0),
+                dict(kind="sigmoid", pivot=1.0),               # exponent req'd
+                dict(kind="log", scaling_factor=0.0),
+                dict(kind="nope")]:
+        kind = bad.pop("kind")
+        with pytest.raises(ValueError):
+            rank_feature_sql(kind, "v", **bad)
+
+
+def test_dsl_rank_feature_leaf_and_composition(tiny_ctx):
+    # linear on n_chars (10..50): score == the field value x boost
+    body = {"query": {"rank_feature": {"field": "n_chars",
+                                       "linear": {}, "boost": 0.1}},
+            "size": 10}
+    got = _hits(tiny_ctx, body)
+    assert got == {0: 1.0, 1: 2.0, 2: 3.0, 3: 4.0, 4: 5.0}
+
+    # saturation default-function shape requires pivot explicitly
+    with pytest.raises(DslError):
+        search(tiny_ctx, {"query": {"rank_feature": {"field": "n_chars"}},
+                          "size": 10})
+
+    # composes as a dis_max sub-query through the leaf fallthrough
+    body = {"query": {"dis_max": {"queries": [
+        {"match": {"text": "alpha"}},
+        {"rank_feature": {"field": "n_chars",
+                          "saturation": {"pivot": 10.0}}},
+    ]}}, "size": 10}
+    got = search(tiny_ctx, body).collect()
+    assert len(got) == 5  # every doc has positive n_chars
+
+
+@pytest.mark.parametrize("spec", [
+    {"field": "text", "saturation": {"pivot": 1.0}},   # text column
+    {"field": "n_chars", "saturation": {"pivot": 1.0},
+     "linear": {}},                                     # two functions
+    {"field": "n_chars", "saturation": {"pivot": 1.0, "x": 2}},
+    {"field": "n_chars", "positive_score_impact": False},
+    {"saturation": {"pivot": 1.0}},                     # field required
+])
+def test_dsl_rank_feature_rejections(tiny_ctx, spec):
+    with pytest.raises(DslError):
+        search(tiny_ctx, {"query": {"rank_feature": spec}, "size": 10})
