@@ -695,6 +695,20 @@ def _q_dsl_ids(spark, sf_dir):
     return search(_dsl_ctx(spark, sf_dir), body)
 
 
+def _q_dsl_match_bool_prefix(spark, sf_dir):
+    """match_bool_prefix: analyzed terms become a bool-should — every
+    token but the last a BM25 term clause, the last a constant-score
+    prefix clause (the engine's multi-term prefix convention) —
+    MatchBoolPrefixQueryBuilder's BooleanQuery construction. Shares
+    simple_query_string's oracle composition."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"match_bool_prefix": {
+        "text": {"query": " ".join(PHRASE_PREFIX_FIXED) + " " + PHRASE_PREFIX}}},
+        "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
 RANK_FEATURE_SPEC = {"field": "n_chars", "boost": 1.5,
                      "saturation": {"pivot": 300.0}}
 
@@ -2293,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_function_score_decay": _q_dsl_function_score_decay,
         "dsl_more_like_this": _q_dsl_more_like_this,
         "dsl_rank_feature": _q_dsl_rank_feature,
+        "dsl_match_bool_prefix": _q_dsl_match_bool_prefix,
         # -- implementation changed in round 5 (re-gate; the rest of the
         #    changed-path family — dsl_match/dsl_bool/dsl_aggs,
         #    dsl_hybrid_neural, indexed_bm25_phrase, indexed_phrase_prefix,
@@ -2305,7 +2320,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- latest driver evidence is ROUND 2 --
         "indexed_msearch": _q_indexed_msearch,
         "indexed_hybrid_filtered": _q_indexed_hybrid_filtered,
-        "chunk_delimiter": _q_chunk_delimiter,
         "hybrid_minmax_arith": _q_hybrid_minmax_arith,
         "hybrid_l2_geometric": _q_hybrid_l2_geometric,
         "hybrid_collapse": _q_hybrid_collapse,
@@ -2425,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-term scorer rides every fresh match row). pytest
         # tests/test_entry.py re-verifies each against its oracle.
         "hybrid_histogram": _q_hybrid_histogram,
+        "chunk_delimiter": _q_chunk_delimiter,
         "bm25_common_term": _q_bm25_common,
         "hybrid_pipeline_aggs": _q_hybrid_pipeline_aggs,
         "hybrid_extended_stats": _q_hybrid_extended_stats,
@@ -2782,4 +2797,7 @@ def oracle_sql() -> dict[str, str]:
             [("chunk", ["spark"], False), ("chunk", ["window"], False),
              ("phrase", ["table", "scan"], False),
              ("prefix", "merg", False)], mode="or", k=10),
+        "dsl_match_bool_prefix": oracle.simple_query_string_sql(
+            [("chunk", [t], False) for t in PHRASE_PREFIX_FIXED]
+            + [("prefix", PHRASE_PREFIX, False)], mode="or", k=10),
     }

@@ -100,7 +100,7 @@ _QUERY_TYPES = (
     "bool dis_max hybrid neural neural_sparse nested "
     "term terms range exists ids match_all constant_score "
     "multi_match boosting function_score simple_query_string "
-    "more_like_this rank_feature"
+    "more_like_this rank_feature match_bool_prefix"
 ).split()
 
 
@@ -705,6 +705,56 @@ def _simple_query_scores(ctx: SearchContext, spec: Any) -> DataFrame:
     return out
 
 
+def _match_bool_prefix_scores(ctx: SearchContext, spec: Any) -> DataFrame:
+    """``match_bool_prefix``: the analyzed terms become a bool-should —
+    every token but the last a term clause (BM25), the last a prefix
+    clause at constant score 1.0 (the engine's multi-term prefix
+    convention, shared with simple_query_string's trailing-*) —
+    with ``operator``/``minimum_should_match`` counting CLAUSES
+    (MatchBoolPrefixQueryBuilder constructs exactly this BooleanQuery).
+    Duplicate tokens collapse to one clause each, the match-path
+    convention. All term clauses batch into ONE corpus traversal."""
+    from .exhaustive import bm25_scores_by_group
+
+    field, params = _one(spec, "match_bool_prefix")
+    params = _params(params, "query")
+    _reject_unknown(params, {"query", "operator", "minimum_should_match"},
+                    "match_bool_prefix")
+    if field != ctx.text_col:
+        raise DslError(f"[match_bool_prefix] field [{field}] is not "
+                       f"[{ctx.text_col}]")
+    op = params.get("operator", "or")
+    if op not in ("or", "and"):
+        raise DslError(f"[match_bool_prefix] operator must be or|and, "
+                       f"got [{op}]")
+    toks = analyze_query(params["query"], ctx.analyzer)
+    if not toks:
+        raise DslError("[match_bool_prefix] query analyzed to zero tokens")
+    pfx = toks[-1]
+    seen: set[str] = set()
+    terms = [t for t in toks[:-1] if not (t in seen or seen.add(t))]
+    n_pos = len(terms) + 1
+    msm = int(params.get("minimum_should_match", 0))
+    need = n_pos if op == "and" else max(msm, 1)
+    if need > n_pos:
+        raise DslError(f"[match_bool_prefix] minimum_should_match={msm} "
+                       f"exceeds the {n_pos} clauses")
+    # toks are post-analysis (already normalized) — no extra lowering
+    tagged = _prefix_const_frame(ctx, pfx).select(
+        F.lit(len(terms)).alias("cid"), "doc_id", "score")
+    if terms:
+        term_frames = bm25_scores_by_group(
+            ctx.docs, [[t] for t in terms],
+            id_col=ctx.id_col, text_col=ctx.text_col,
+        ).withColumnRenamed("subquery_idx", "cid")
+        tagged = term_frames.unionByName(tagged)
+    agg = tagged.groupBy("doc_id").agg(
+        F.sum("score").alias("score"),
+        F.countDistinct("cid").alias("nss_n"),
+    )
+    return agg.where(F.col("nss_n") >= F.lit(need)).select("doc_id", "score")
+
+
 def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
     typ, spec = _one(q, "hybrid sub-query")
     if typ == "match":
@@ -995,6 +1045,9 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
 
     if typ == "simple_query_string":
         return topk(_simple_query_scores(ctx, spec), k=k)
+
+    if typ == "match_bool_prefix":
+        return topk(_match_bool_prefix_scores(ctx, spec), k=k)
 
     if typ == "more_like_this":
         # MoreLikeThisQueryBuilder with one like-document reference:

@@ -498,3 +498,42 @@ def test_dsl_rank_feature_leaf_and_composition(tiny_ctx):
 def test_dsl_rank_feature_rejections(tiny_ctx, spec):
     with pytest.raises(DslError):
         search(tiny_ctx, {"query": {"rank_feature": spec}, "size": 10})
+
+
+# --- match_bool_prefix --------------------------------------------------------
+
+
+def test_dsl_match_bool_prefix(tiny_ctx):
+    # "beta gam": term clause beta (BM25) + prefix clause gam* (1.0).
+    # OR mode: docs 0, 2 match both; doc 3 matches only gam* (score 1.0)
+    body = {"query": {"match_bool_prefix": {"text": {"query": "beta gam"}}},
+            "size": 10}
+    got = _hits(tiny_ctx, body)
+    assert set(got) == {0, 2, 3} and got[3] == 1.0
+    assert got[0] > 1.0 and got[2] > 1.0  # BM25(beta) + 1.0
+
+    # operator=and gates on BOTH clauses
+    body["query"]["match_bool_prefix"]["text"]["operator"] = "and"
+    assert set(_hits(tiny_ctx, body)) == {0, 2}
+
+    # single-token query degenerates to the pure prefix clause
+    got = _hits(tiny_ctx, {"query": {"match_bool_prefix":
+                                     {"text": {"query": "alph"}}}, "size": 10})
+    assert got == {0: 1.0, 1: 1.0}
+
+    # minimum_should_match counts clauses in OR mode
+    body = {"query": {"match_bool_prefix": {"text": {
+        "query": "beta delta gam", "minimum_should_match": 3}}}, "size": 10}
+    assert set(_hits(tiny_ctx, body)) == {2}  # beta+delta+gamma only in doc 2
+
+
+@pytest.mark.parametrize("spec", [
+    {"text": {"query": ""}},                              # zero tokens
+    {"text": {"query": "a b", "operator": "xor"}},
+    {"text": {"query": "a b", "minimum_should_match": 5}},  # > clauses
+    {"text": {"query": "a", "fuzziness": 1}},             # unknown param
+    {"lang": {"query": "a"}},                             # non-text field
+])
+def test_dsl_match_bool_prefix_rejections(tiny_ctx, spec):
+    with pytest.raises(DslError):
+        search(tiny_ctx, {"query": {"match_bool_prefix": spec}, "size": 10})
