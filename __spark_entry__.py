@@ -695,6 +695,22 @@ def _q_dsl_ids(spark, sf_dir):
     return search(_dsl_ctx(spark, sf_dir), body)
 
 
+QS_QUERY = 'spark OR window OR "table scan"~1 OR merg* OR scal~2^2.0 OR -dup'
+
+
+def _q_dsl_query_string(spark, sf_dir):
+    """query_string (classic Lucene QueryParser syntax, the documented
+    uniform-connector subset): term clauses score BM25 (batched into
+    one traversal), the sloppy phrase its position-gated BM25, the
+    trailing-* prefix and the fuzzy clause constant 1.0 (QueryParser's
+    default multi-term CONSTANT_SCORE rewrite) with ^boost, and -dup
+    excludes its match set."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"query_string": {"query": QS_QUERY}}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
 def _q_dsl_match_bool_prefix(spark, sf_dir):
     """match_bool_prefix: analyzed terms become a bool-should — every
     token but the last a BM25 term clause, the last a constant-score
@@ -2308,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_more_like_this": _q_dsl_more_like_this,
         "dsl_rank_feature": _q_dsl_rank_feature,
         "dsl_match_bool_prefix": _q_dsl_match_bool_prefix,
+        "dsl_query_string": _q_dsl_query_string,
         # -- implementation changed in round 5 (re-gate; the rest of the
         #    changed-path family — dsl_match/dsl_bool/dsl_aggs,
         #    dsl_hybrid_neural, indexed_bm25_phrase, indexed_phrase_prefix,
@@ -2331,7 +2348,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_linear": _q_sparse_linear,
         "sparse_two_phase_topk": _q_sparse_two_phase_topk,
         "bm25_rare_term": _q_bm25_rare,
-        "hybrid_minmax_harmonic": _q_hybrid_minmax_harmonic,
         "hybrid_sort_by_field": _q_hybrid_sort_by_field,
         "hybrid_total_hits": _q_hybrid_total_hits,
         "hybrid_significant_terms": _q_hybrid_significant_terms,
@@ -2439,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-term scorer rides every fresh match row). pytest
         # tests/test_entry.py re-verifies each against its oracle.
         "hybrid_histogram": _q_hybrid_histogram,
+        "hybrid_minmax_harmonic": _q_hybrid_minmax_harmonic,
         "chunk_delimiter": _q_chunk_delimiter,
         "bm25_common_term": _q_bm25_common,
         "hybrid_pipeline_aggs": _q_hybrid_pipeline_aggs,
@@ -2800,4 +2817,12 @@ def oracle_sql() -> dict[str, str]:
         "dsl_match_bool_prefix": oracle.simple_query_string_sql(
             [("chunk", [t], False) for t in PHRASE_PREFIX_FIXED]
             + [("prefix", PHRASE_PREFIX, False)], mode="or", k=10),
+        "dsl_query_string": oracle.query_string_sql(
+            [("term", ["spark"], False, 1.0, 0),
+             ("term", ["window"], False, 1.0, 0),
+             ("phrase", ["table", "scan"], False, 1.0, 1),
+             ("prefix", _matcher_sql(like=like_escape("merg") + "%"),
+              False, 1.0, 0),
+             ("fuzzy", _matcher_sql(fuzzy=("scal", 2, 0)), False, 2.0, 0),
+             ("term", ["dup"], True, 1.0, 0)], mode="or", k=10),
     }

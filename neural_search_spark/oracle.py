@@ -2296,6 +2296,99 @@ ORDER BY demoted.score DESC, demoted.doc_id ASC
 LIMIT {k}"""
 
 
+def query_string_sql(
+    clauses: list[tuple],
+    mode: str = "or",
+    minimum_should_match: int = 0,
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """``query_string`` oracle (query/dsl._query_string_scores).
+    ``clauses``: (kind, payload, negated, boost, slop) with kind
+    ``term`` (payload = analyzed terms, BM25 OR), ``phrase`` (payload =
+    ordered tokens; ``slop`` via the ordered position-join witness,
+    0 = contiguous), or ``prefix``/``wildcard``/``fuzzy`` (payload =
+    the SAME shared-SQL matcher string the engine evaluates; constant
+    score 1.0). ``boost`` multiplies the clause's contribution. Gating
+    and negation follow the simple_query_string composition."""
+    term_clauses = [c for c in clauses if c[0] in ("term", "phrase")]
+    all_terms = sorted({t for _, payload, *_ in term_clauses for t in payload})
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    need_pos = any(c[0] == "phrase" for c in clauses)
+    parts, pos_sel, neg_sel = [], [], []
+    n_pos = 0
+    for ci, (kind, payload, negated, boost, slop) in enumerate(clauses):
+        bf = f" * {float(boost)!r}" if float(boost) != 1.0 else ""
+        if kind == "term":
+            uniq = sorted(set(payload))
+            parts.append(f"""c{ci} AS (
+  SELECT tf.doc_id AS doc_id, sum({contrib}){bf} AS score
+  FROM tf JOIN dfreq USING (term), stats
+  WHERE tf.term IN {_terms_list(uniq)}
+  GROUP BY tf.doc_id
+)""")
+        elif kind == "phrase":
+            uniq = sorted(set(payload))
+            n = len(payload)
+            ords = []
+            for i, t in enumerate(payload):
+                t_sql = t.replace("'", "''")
+                ords.append(f"c{ci}o{i} AS (SELECT doc_id, pos AS p{i} "
+                            f"FROM pos WHERE term = '{t_sql}')")
+            joins = f"c{ci}o0" + "".join(
+                f" JOIN c{ci}o{i} USING (doc_id)" for i in range(1, n))
+            order_preds = " AND ".join(
+                f"p{i} > p{i - 1}" for i in range(1, n)) or "TRUE"
+            parts.extend(ords)
+            parts.append(f"""c{ci} AS (
+  SELECT tf.doc_id AS doc_id, sum({contrib}){bf} AS score
+  FROM tf JOIN dfreq USING (term), stats
+  WHERE tf.term IN {_terms_list(uniq)}
+    AND tf.doc_id IN (
+      SELECT DISTINCT doc_id FROM {joins}
+      WHERE {order_preds} AND p{n - 1} - p0 <= {n - 1 + int(slop)})
+  GROUP BY tf.doc_id
+)""")
+        elif kind in ("prefix", "wildcard", "fuzzy"):
+            parts.append(f"""c{ci} AS (
+  SELECT DISTINCT doc_id, 1.0{bf} AS score
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE {payload}
+)""")
+        else:
+            raise ValueError(f"unknown clause kind {kind!r}")
+        if negated:
+            neg_sel.append(f"SELECT doc_id FROM c{ci}")
+        else:
+            pos_sel.append(f"SELECT {ci} AS cid, doc_id, score FROM c{ci}")
+            n_pos += 1
+    need = n_pos if mode == "and" else max(minimum_should_match, 1)
+    neg_clause = (f"AND agg.doc_id NOT IN ({' UNION '.join(neg_sel)})"
+                  if neg_sel else "")
+    pos_cte = (""",
+pos AS (
+  SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos,
+         unnest(toks) AS term
+  FROM tok
+)""" if need_pos else "")
+    joined_parts = ",\n".join(parts)
+    return f"""{bm25_base_ctes(all_terms, table)}{pos_cte},
+{joined_parts},
+posu AS ({" UNION ALL ".join(pos_sel)}),
+agg AS (
+  SELECT doc_id, sum(score) AS score, count(DISTINCT cid) AS n
+  FROM posu GROUP BY doc_id
+)
+SELECT doc_id, round(agg.score, {round_to}) AS score,
+       CAST(row_number() OVER (ORDER BY agg.score DESC, agg.doc_id ASC) AS INT) AS rank
+FROM agg
+WHERE n >= {need} {neg_clause}
+ORDER BY agg.score DESC, agg.doc_id ASC
+LIMIT {k}"""
+
+
 def more_like_this_sql(
     like_id: int,
     max_query_terms: int = 25,

@@ -100,7 +100,7 @@ _QUERY_TYPES = (
     "bool dis_max hybrid neural neural_sparse nested "
     "term terms range exists ids match_all constant_score "
     "multi_match boosting function_score simple_query_string "
-    "more_like_this rank_feature match_bool_prefix"
+    "more_like_this rank_feature match_bool_prefix query_string"
 ).split()
 
 
@@ -705,6 +705,129 @@ def _simple_query_scores(ctx: SearchContext, spec: Any) -> DataFrame:
     return out
 
 
+def _matcher_const_frame(ctx: SearchContext, matcher: str) -> DataFrame:
+    """Constant-score multi-term clause: docs with ≥1 analyzed token
+    satisfying ``matcher`` (a shared-SQL predicate over ``term`` —
+    query/multiterm._matcher_sql) score 1.0. Lucene QueryParser's
+    default CONSTANT_SCORE rewrite for prefix/wildcard/fuzzy clauses."""
+    from .exhaustive import tokenized
+
+    toks = tokenized(ctx.docs, ctx.id_col, ctx.text_col)
+    return (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.expr(matcher))
+        .select("doc_id").distinct()
+        .select("doc_id", F.lit(1.0).cast("double").alias("score"))
+    )
+
+
+def _query_string_scores(ctx: SearchContext, spec: Any) -> DataFrame:
+    """``query_string`` body → full raw (doc_id, score) frame. The
+    parsed clauses (query/querystring.py — the documented QueryParser
+    subset) score like BooleanQuery: term clauses their BM25 (batched
+    into ONE corpus traversal), (sloppy) phrases their phrase-gated
+    BM25, prefix/wildcard/fuzzy constant 1.0 (QueryParser's default
+    multi-term CONSTANT_SCORE rewrite); a clause's ``^boost``
+    multiplies its contribution; AND mode gates on every positive
+    clause, OR mode on max(minimum_should_match, 1); NOT/- clauses
+    exclude their match set (the engine's shared negation convention
+    with simple_query_string)."""
+    from ..functions.tokenize import resolve_analyzer
+    from .exhaustive import (bm25_phrase, bm25_phrase_sloppy, bm25_scores,
+                             bm25_scores_by_group)
+    from .multiterm import _matcher_sql, like_escape, wildcard_to_like
+    from .querystring import QueryStringError, parse_query_string
+
+    if not isinstance(spec, dict):
+        raise DslError(f"[query_string] expects an object, got {spec!r}")
+    _reject_unknown(spec, {"query", "default_field", "fields",
+                           "default_operator", "minimum_should_match"},
+                    "query_string")
+    tc = ctx.text_col
+    if spec.get("default_field", tc) != tc:
+        raise DslError(f"[query_string] default_field must be [{tc}]")
+    if spec.get("fields", [tc]) != [tc]:
+        raise DslError(f"[query_string] fields must be [{tc!r}] — the "
+                       "corpus's one analyzed text field")
+    try:
+        mode, leaves = parse_query_string(spec.get("query"),
+                                          spec.get("default_operator", "or"))
+    except QueryStringError as e:
+        raise DslError(f"[query_string] {e}") from e
+    lower = resolve_analyzer(ctx.analyzer)[2]
+
+    or_groups: list[list[str]] = []
+    frames: list[DataFrame] = []
+    neg: list[DataFrame] = []
+    n_pos = 0
+    for leaf in leaves:
+        if leaf.field is not None and leaf.field != tc:
+            raise DslError(f"[query_string] field [{leaf.field}] is not "
+                           f"[{tc}] (one analyzed text field)")
+        if leaf.kind == "term":
+            terms = analyze_query(leaf.text, ctx.analyzer)
+            if not terms:
+                continue  # an all-delimiter clause analyzes away
+            if not leaf.negated and leaf.boost == 1.0:
+                or_groups.append(terms)
+                n_pos += 1
+                continue
+            frame = bm25_scores(ctx.docs, terms, id_col=ctx.id_col,
+                                text_col=tc, round_to=None)
+        elif leaf.kind == "phrase":
+            toks = analyze_query(leaf.text, ctx.analyzer)
+            if not toks:
+                continue
+            fn = (lambda d, t: bm25_phrase_sloppy(
+                      d, t, slop=leaf.slop, id_col=ctx.id_col, text_col=tc,
+                      round_to=None)) if leaf.slop else (
+                 lambda d, t: bm25_phrase(d, t, id_col=ctx.id_col,
+                                          text_col=tc, round_to=None))
+            frame = fn(ctx.docs, toks).select("doc_id", "score")
+        else:
+            text = leaf.text.lower() if lower else leaf.text
+            if leaf.kind == "prefix":
+                matcher = _matcher_sql(like=like_escape(text) + "%")
+            elif leaf.kind == "wildcard":
+                matcher = _matcher_sql(like=wildcard_to_like(text))
+            else:  # fuzzy
+                matcher = _matcher_sql(fuzzy=(text, leaf.slop, 0))
+            frame = _matcher_const_frame(ctx, matcher)
+        if leaf.boost != 1.0:
+            frame = frame.select(
+                "doc_id", (F.col("score") * F.lit(leaf.boost)).alias("score"))
+        if leaf.negated:
+            neg.append(frame.select("doc_id"))
+        else:
+            frames.append(frame)
+            n_pos += 1
+    if n_pos == 0:
+        raise DslError("[query_string] needs at least one positive clause "
+                       "(all clauses were negated or analyzed away)")
+    msm = int(spec.get("minimum_should_match", 0))
+    need = n_pos if mode == "and" else max(msm, 1)
+    if need > n_pos:
+        raise DslError(f"[query_string] minimum_should_match={msm} exceeds "
+                       f"the {n_pos} positive clauses")
+    tagged = None
+    if or_groups:
+        tagged = bm25_scores_by_group(
+            ctx.docs, or_groups, id_col=ctx.id_col, text_col=tc
+        ).withColumnRenamed("subquery_idx", "cid")
+    for j, frame in enumerate(frames):
+        t = frame.select(F.lit(len(or_groups) + j).alias("cid"),
+                         "doc_id", "score")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    agg = tagged.groupBy("doc_id").agg(
+        F.sum("score").alias("score"),
+        F.countDistinct("cid").alias("nss_n"),
+    )
+    out = agg.where(F.col("nss_n") >= F.lit(need)).select("doc_id", "score")
+    for nf in neg:
+        out = out.join(nf.distinct(), "doc_id", "left_anti")
+    return out
+
+
 def _match_bool_prefix_scores(ctx: SearchContext, spec: Any) -> DataFrame:
     """``match_bool_prefix``: the analyzed terms become a bool-should —
     every token but the last a term clause (BM25), the last a prefix
@@ -1048,6 +1171,9 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
 
     if typ == "match_bool_prefix":
         return topk(_match_bool_prefix_scores(ctx, spec), k=k)
+
+    if typ == "query_string":
+        return topk(_query_string_scores(ctx, spec), k=k)
 
     if typ == "more_like_this":
         # MoreLikeThisQueryBuilder with one like-document reference:

@@ -537,3 +537,113 @@ def test_dsl_match_bool_prefix(tiny_ctx):
 def test_dsl_match_bool_prefix_rejections(tiny_ctx, spec):
     with pytest.raises(DslError):
         search(tiny_ctx, {"query": {"match_bool_prefix": spec}, "size": 10})
+
+
+# --- query_string (classic QueryParser subset) ---------------------------------
+
+
+def test_query_string_parser_shapes():
+    from neural_search_spark.query.querystring import parse_query_string
+
+    mode, ls = parse_query_string('spark AND text:window AND "a b"~2^1.5')
+    assert mode == "and"
+    assert [(l.kind, l.text, l.field, l.boost, l.slop) for l in ls] == [
+        ("term", "spark", None, 1.0, 0),
+        ("term", "window", "text", 1.0, 0),
+        ("phrase", "a b", "text" if False else None, 1.5, 2)]
+
+    mode, ls = parse_query_string("merg* OR wi?d OR scal~ OR -dup")
+    assert mode == "or"
+    assert [(l.kind, l.text, l.negated, l.slop) for l in ls] == [
+        ("prefix", "merg", False, 0), ("wildcard", "wi?d", False, 0),
+        ("fuzzy", "scal", False, 2), ("term", "dup", True, 0)]
+
+    # whitespace-only separators take default_operator
+    assert parse_query_string("a b", "and")[0] == "and"
+    # NOT negates its clause
+    mode, ls = parse_query_string("a NOT b")
+    assert [(l.text, l.negated) for l in ls] == [("a", False), ("b", True)]
+
+
+@pytest.mark.parametrize("bad", [
+    "a AND b OR c",           # mixed connectors
+    "(a b)",                  # grouping
+    "f:[1 TO 2]",             # range
+    "/re.*/",                 # regex
+    "+a b",                   # required marker -- '+a' has '+'
+    "a^x",                    # bad boost
+    "a~3",                    # fuzziness bound
+    '"a b"~x',                # bad slop
+    "NOT NOT a",
+    "a OR",                   # trailing connector
+    "text:",                  # empty field value
+    "e\\scape",
+    "*?",                     # pure wildcard
+])
+def test_query_string_parser_rejections(bad):
+    from neural_search_spark.query.querystring import (QueryStringError,
+                                                       parse_query_string)
+
+    with pytest.raises(QueryStringError):
+        parse_query_string(bad)
+
+
+def test_query_string_mixing_guard():
+    from neural_search_spark.query.querystring import (QueryStringError,
+                                                       parse_query_string)
+
+    # bare whitespace + explicit OR agreeing with the default: fine
+    assert parse_query_string("a b OR c", "or")[0] == "or"
+    # disagreeing with the default: the classic precedence foot-gun
+    with pytest.raises(QueryStringError):
+        parse_query_string("a b OR c", "and")
+
+
+def test_dsl_query_string_scoring(tiny_ctx):
+    # constant-score prefix clause, boosted
+    got = _hits(tiny_ctx, {"query": {"query_string": {"query": "alph*^2.0"}},
+                           "size": 10})
+    assert got == {0: 2.0, 1: 2.0}
+
+    # term OR phrase: doc 0 has both alpha and "beta gamma"
+    got = _hits(tiny_ctx, {"query": {"query_string":
+                                     {"query": 'alpha OR "beta gamma"'}},
+                           "size": 10})
+    assert set(got) == {0, 1, 2}
+
+    # sloppy phrase: "alpha gamma"~1 matches doc 0 (alpha BETA gamma)
+    got = _hits(tiny_ctx, {"query": {"query_string":
+                                     {"query": '"alpha gamma"~1'}}, "size": 10})
+    assert set(got) == {0}
+    # and at slop 0 it does not
+    got = _hits(tiny_ctx, {"query": {"query_string":
+                                     {"query": '"alpha gamma"'}}, "size": 10})
+    assert got == {}
+
+    # AND gates on every clause; negation excludes
+    got = _hits(tiny_ctx, {"query": {"query_string":
+                                     {"query": "gamma AND delta"}}, "size": 10})
+    assert set(got) == {2, 3}
+    got = _hits(tiny_ctx, {"query": {"query_string":
+                                     {"query": "gamma AND delta AND -epsilon"}},
+                           "size": 10})
+    assert set(got) == {2}
+
+    # fuzzy clause: zeta~1 matches zeta/eta (doc 4) AND beta (docs 0, 2
+    # — one substitution), all at constant 1.0
+    got = _hits(tiny_ctx, {"query": {"query_string": {"query": "zeta~1"}},
+                           "size": 10})
+    assert got == {0: 1.0, 2: 1.0, 4: 1.0}
+
+
+@pytest.mark.parametrize("spec", [
+    {"query": "lang:es"},                        # non-text field
+    {"query": "a", "default_field": "lang"},
+    {"query": "a", "fields": ["lang"]},
+    {"query": "a", "analyze_wildcard": True},    # unknown param
+    {"query": "-a"},                             # all clauses negated
+    {"query": "a b", "minimum_should_match": 3},
+])
+def test_dsl_query_string_rejections(tiny_ctx, spec):
+    with pytest.raises(DslError):
+        search(tiny_ctx, {"query": {"query_string": spec}, "size": 10})
