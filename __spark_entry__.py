@@ -695,6 +695,21 @@ def _q_dsl_ids(spark, sf_dir):
     return search(_dsl_ctx(spark, sf_dir), body)
 
 
+def _q_dsl_terms_set(spark, sf_dir):
+    """terms_set (Lucene CoveringQuery): boolean OR over verbatim
+    terms, each doc gated on the minimum from a constant-integer
+    script (the deterministic script shape; the per-doc
+    minimum_should_match_field variant is pytest-pinned) — shares the
+    bm25_msm oracle."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"terms_set": {"text": {
+        "terms": MSM_TERMS,
+        "minimum_should_match_script": {"source": str(MSM_MIN)}}}},
+        "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
 QS_QUERY = 'spark OR window OR "table scan"~1 OR merg* OR scal~2^2.0 OR -dup'
 
 
@@ -2325,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_rank_feature": _q_dsl_rank_feature,
         "dsl_match_bool_prefix": _q_dsl_match_bool_prefix,
         "dsl_query_string": _q_dsl_query_string,
+        "dsl_terms_set": _q_dsl_terms_set,
         # -- implementation changed in round 5 (re-gate; the rest of the
         #    changed-path family — dsl_match/dsl_bool/dsl_aggs,
         #    dsl_hybrid_neural, indexed_bm25_phrase, indexed_phrase_prefix,
@@ -2346,7 +2362,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_page2": _q_search_after,
         "sort_after_fields": _q_sort_after_fields,
         "sparse_linear": _q_sparse_linear,
-        "sparse_two_phase_topk": _q_sparse_two_phase_topk,
         "bm25_rare_term": _q_bm25_rare,
         "hybrid_sort_by_field": _q_hybrid_sort_by_field,
         "hybrid_total_hits": _q_hybrid_total_hits,
@@ -2455,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-term scorer rides every fresh match row). pytest
         # tests/test_entry.py re-verifies each against its oracle.
         "hybrid_histogram": _q_hybrid_histogram,
+        "sparse_two_phase_topk": _q_sparse_two_phase_topk,
         "hybrid_minmax_harmonic": _q_hybrid_minmax_harmonic,
         "chunk_delimiter": _q_chunk_delimiter,
         "bm25_common_term": _q_bm25_common,
@@ -2825,4 +2841,5 @@ def oracle_sql() -> dict[str, str]:
               False, 1.0, 0),
              ("fuzzy", _matcher_sql(fuzzy=("scal", 2, 0)), False, 2.0, 0),
              ("term", ["dup"], True, 1.0, 0)], mode="or", k=10),
+        "dsl_terms_set": oracle.bm25_msm_topk_sql(MSM_TERMS, MSM_MIN, k=10),
     }

@@ -100,7 +100,7 @@ _QUERY_TYPES = (
     "bool dis_max hybrid neural neural_sparse nested "
     "term terms range exists ids match_all constant_score "
     "multi_match boosting function_score simple_query_string "
-    "more_like_this rank_feature match_bool_prefix query_string"
+    "more_like_this rank_feature match_bool_prefix query_string terms_set"
 ).split()
 
 
@@ -1174,6 +1174,60 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
 
     if typ == "query_string":
         return topk(_query_string_scores(ctx, spec), k=k)
+
+    if typ == "terms_set":
+        # TermsSetQueryBuilder (Lucene CoveringQuery): a boolean OR of
+        # term clauses, each doc gated on its own minimum — from a
+        # numeric corpus column (minimum_should_match_field) or a
+        # constant-integer script (the one script shape that is
+        # deterministic without a script engine; anything else rejects).
+        # On the analyzed text column the terms match tokens VERBATIM,
+        # the term-query convention (terms_set is never analyzed).
+        from .exhaustive import bm25_msm
+
+        field, params = _one(spec, "terms_set")
+        if field != tc:
+            raise DslError(f"[terms_set] field [{field}] is not [{tc}] "
+                           "(the analyzed text column)")
+        if not isinstance(params, dict):
+            raise DslError("[terms_set] field spec must be an object")
+        _reject_unknown(params, {"terms", "minimum_should_match_field",
+                                 "minimum_should_match_script"}, "terms_set")
+        tlist = params.get("terms")
+        if (not isinstance(tlist, list) or not tlist
+                or not all(isinstance(t, str) and t for t in tlist)):
+            raise DslError("[terms_set] needs a non-empty string [terms] list")
+        has_field = "minimum_should_match_field" in params
+        has_script = "minimum_should_match_script" in params
+        if has_field == has_script:
+            raise DslError("[terms_set] needs exactly one of "
+                           "minimum_should_match_field / "
+                           "minimum_should_match_script")
+        try:
+            if has_field:
+                out = bm25_msm(ctx.docs, tlist,
+                               msm_col=_col_name(
+                                   params["minimum_should_match_field"]),
+                               id_col=ic, text_col=tc, round_to=4)
+            else:
+                script = params["minimum_should_match_script"]
+                if (not isinstance(script, dict)
+                        or set(script) != {"source"}
+                        or not str(script["source"]).strip().isdigit()):
+                    raise DslError(
+                        "[terms_set] minimum_should_match_script supports "
+                        "only a constant integer source (no script engine)")
+                m = int(str(script["source"]).strip())
+                if m > len(set(tlist)):
+                    # a doc cannot match more distinct terms than queried
+                    spark = ctx.docs.sparkSession
+                    return spark.createDataFrame(
+                        [], "doc_id long, score double, rank int")
+                out = bm25_msm(ctx.docs, tlist, max(m, 1),
+                               id_col=ic, text_col=tc, round_to=4)
+        except ValueError as e:
+            raise DslError(f"[terms_set] {e}") from e
+        return topk(out, k=k, round_to=None)
 
     if typ == "more_like_this":
         # MoreLikeThisQueryBuilder with one like-document reference:

@@ -196,19 +196,27 @@ def bm25_conjunctive(
 def bm25_msm(
     docs: DataFrame,
     terms: list[str],
-    min_should_match: int,
+    min_should_match: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int | None = 4,
+    msm_col: str | None = None,
 ) -> DataFrame:
     """minimum_should_match semantics (OpenSearch ``bool.should`` with
     ``minimum_should_match: m``): boolean OR scored with BM25, keeping
     only docs matching >= m distinct query terms. Same one-traversal
     shape as ``bm25_conjunctive`` — the distinct-term count rides the
     per-doc scoring aggregate; ``m == len(terms)`` degenerates to AND,
-    ``m == 1`` to the plain OR."""
+    ``m == 1`` to the plain OR.
+
+    ``msm_col`` instead gates each doc on ITS OWN minimum from that
+    corpus column (Lucene CoveringQuery under ``terms_set`` with
+    ``minimum_should_match_field``), clamped to >= 1 — a doc appears in
+    the aggregate only by matching >= 1 term anyway."""
     uniq = sorted(set(terms))
-    if not 1 <= min_should_match <= len(uniq):
+    if (min_should_match is None) == (msm_col is None):
+        raise ValueError("exactly one of min_should_match / msm_col is required")
+    if min_should_match is not None and not 1 <= min_should_match <= len(uniq):
         raise ValueError(
             f"min_should_match must be in [1, {len(uniq)}], got {min_should_match}"
         )
@@ -226,15 +234,23 @@ def bm25_msm(
     )
     dfreq = exploded.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl", k1=K1, b=B)
-    out = (
+    agg = (
         exploded.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn("contrib", F.expr(contrib))
         .groupBy("doc_id")
         .agg(F.sum("contrib").alias("score"), F.countDistinct("term").alias("nt"))
-        .where(F.col("nt") >= min_should_match)
-        .select("doc_id", "score")
     )
+    if msm_col is not None:
+        need = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.greatest(F.lit(1), F.col(msm_col).cast("int")).alias("nss_need"),
+        )
+        out = (agg.join(need, "doc_id")
+               .where(F.col("nt") >= F.col("nss_need"))
+               .select("doc_id", "score"))
+    else:
+        out = agg.where(F.col("nt") >= min_should_match).select("doc_id", "score")
     if round_to is not None:
         out = out.withColumn("score", F.round("score", round_to))
     return out

@@ -647,3 +647,56 @@ def test_dsl_query_string_scoring(tiny_ctx):
 def test_dsl_query_string_rejections(tiny_ctx, spec):
     with pytest.raises(DslError):
         search(tiny_ctx, {"query": {"query_string": spec}, "size": 10})
+
+
+# --- terms_set (CoveringQuery) --------------------------------------------------
+
+
+def test_dsl_terms_set_script_constant(tiny_ctx):
+    # {beta, gamma, delta} with constant minimum 2: docs 0 (beta+gamma),
+    # 2 (all three), 3 (gamma+delta) qualify; doc 1 matches only delta
+    body = {"query": {"terms_set": {"text": {
+        "terms": ["beta", "gamma", "delta"],
+        "minimum_should_match_script": {"source": "2"}}}}, "size": 10}
+    assert set(_hits(tiny_ctx, body)) == {0, 2, 3}
+
+    # a minimum above the distinct-term count matches nothing
+    body["query"]["terms_set"]["text"]["minimum_should_match_script"] = \
+        {"source": "4"}
+    assert _hits(tiny_ctx, body) == {}
+
+
+def test_dsl_terms_set_per_doc_field(spark):
+    from neural_search_spark.query.dsl import SearchContext, search
+
+    rows = [
+        (0, "alpha beta gamma", 1),   # needs 1 match -> qualifies
+        (1, "alpha beta gamma", 3),   # needs all 3 -> qualifies
+        (2, "alpha beta zeta", 3),    # needs 3, matches 2 -> out
+        (3, "zeta eta theta", 1),     # matches 0 -> out
+        (4, "alpha", 0),              # minimum clamps to 1 -> qualifies
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "required"])
+    ctx = SearchContext(docs=docs)
+    body = {"query": {"terms_set": {"text": {
+        "terms": ["alpha", "beta", "gamma"],
+        "minimum_should_match_field": "required"}}}, "size": 10}
+    got = {r["doc_id"] for r in search(ctx, body).collect()}
+    assert got == {0, 1, 4}
+
+
+@pytest.mark.parametrize("spec", [
+    {"terms": ["a"]},                                        # no minimum
+    {"terms": ["a"], "minimum_should_match_field": "x",
+     "minimum_should_match_script": {"source": "1"}},        # both
+    {"terms": [], "minimum_should_match_field": "n_chars"},  # empty terms
+    {"terms": ["a"], "minimum_should_match_script":
+     {"source": "params.x"}},                                # real script
+    {"terms": ["a"], "minimum_should_match_script":
+     {"source": "1", "lang": "painless"}},                   # extra key
+    {"terms": ["a"], "boost": 2.0,
+     "minimum_should_match_script": {"source": "1"}},        # unknown param
+])
+def test_dsl_terms_set_rejections(tiny_ctx, spec):
+    with pytest.raises(DslError):
+        search(tiny_ctx, {"query": {"terms_set": {"text": spec}}, "size": 10})
