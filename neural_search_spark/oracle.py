@@ -2306,13 +2306,15 @@ def query_string_sql(
 ) -> str:
     """``query_string`` oracle (query/dsl._query_string_scores).
     ``clauses``: (kind, payload, negated, boost, slop) with kind
-    ``term`` (payload = analyzed terms, BM25 OR), ``phrase`` (payload =
-    ordered tokens; ``slop`` via the ordered position-join witness,
-    0 = contiguous), or ``prefix``/``wildcard``/``fuzzy`` (payload =
-    the SAME shared-SQL matcher string the engine evaluates; constant
-    score 1.0). ``boost`` multiplies the clause's contribution. Gating
-    and negation follow the simple_query_string composition."""
-    term_clauses = [c for c in clauses if c[0] in ("term", "phrase")]
+    ``term`` (payload = analyzed terms, BM25 OR), ``term_and`` (all the
+    clause's terms required — the AND-mode multi-token clause),
+    ``phrase`` (payload = ordered tokens; ``slop`` via the ordered
+    position-join witness, 0 = contiguous), or
+    ``prefix``/``wildcard``/``fuzzy`` (payload = the SAME shared-SQL
+    matcher string the engine evaluates; constant score 1.0). ``boost``
+    multiplies the clause's contribution. Gating and negation follow
+    the simple_query_string composition."""
+    term_clauses = [c for c in clauses if c[0] in ("term", "term_and", "phrase")]
     all_terms = sorted({t for _, payload, *_ in term_clauses for t in payload})
     dl_expr = quantized_dl_sql("dl")
     contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
@@ -2321,13 +2323,15 @@ def query_string_sql(
     n_pos = 0
     for ci, (kind, payload, negated, boost, slop) in enumerate(clauses):
         bf = f" * {float(boost)!r}" if float(boost) != 1.0 else ""
-        if kind == "term":
+        if kind in ("term", "term_and"):
             uniq = sorted(set(payload))
+            having = (f"HAVING count(DISTINCT tf.term) = {len(uniq)}"
+                      if kind == "term_and" else "")
             parts.append(f"""c{ci} AS (
   SELECT tf.doc_id AS doc_id, sum({contrib}){bf} AS score
   FROM tf JOIN dfreq USING (term), stats
   WHERE tf.term IN {_terms_list(uniq)}
-  GROUP BY tf.doc_id
+  GROUP BY tf.doc_id {having}
 )""")
         elif kind == "phrase":
             uniq = sorted(set(payload))

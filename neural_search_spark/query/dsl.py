@@ -681,7 +681,8 @@ def _simple_query_scores(ctx: SearchContext, spec: Any) -> DataFrame:
     if n_pos == 0:
         raise DslError("[simple_query_string] needs at least one positive "
                        "clause (all clauses were negated or analyzed away)")
-    msm = int(spec.get("minimum_should_match", 0))
+    msm = _msm_int(spec.get("minimum_should_match", 0),
+                   "simple_query_string")
     need = n_pos if mode == "and" else max(msm, 1)
     if need > n_pos:
         raise DslError(f"[simple_query_string] minimum_should_match={msm} "
@@ -703,6 +704,15 @@ def _simple_query_scores(ctx: SearchContext, spec: Any) -> DataFrame:
     for nf in neg:
         out = out.join(nf.distinct(), "doc_id", "left_anti")
     return out
+
+
+def _msm_int(val: Any, what: str) -> int:
+    """Integer minimum_should_match or a loud DslError (these surfaces
+    count CLAUSES; the 'P%' form belongs to more_like_this only)."""
+    if isinstance(val, bool) or not isinstance(val, int):
+        raise DslError(f"[{what}] minimum_should_match must be an integer, "
+                       f"got {val!r}")
+    return val
 
 
 def _matcher_const_frame(ctx: SearchContext, matcher: str) -> DataFrame:
@@ -768,12 +778,20 @@ def _query_string_scores(ctx: SearchContext, spec: Any) -> DataFrame:
             terms = analyze_query(leaf.text, ctx.analyzer)
             if not terms:
                 continue  # an all-delimiter clause analyzes away
-            if not leaf.negated and leaf.boost == 1.0:
+            # a clause whose text analyzes to several tokens applies the
+            # default operator INSIDE the clause (Lucene QueryBuilder.
+            # createBooleanQuery with MUST under AND) — the same rule
+            # simple_query_string's chunks follow
+            conj = mode == "and" and len(terms) > 1
+            if not leaf.negated and leaf.boost == 1.0 and not conj:
                 or_groups.append(terms)
                 n_pos += 1
                 continue
-            frame = bm25_scores(ctx.docs, terms, id_col=ctx.id_col,
-                                text_col=tc, round_to=None)
+            from .exhaustive import bm25_conjunctive
+
+            fn = bm25_conjunctive if conj else bm25_scores
+            frame = fn(ctx.docs, terms, id_col=ctx.id_col,
+                       text_col=tc, round_to=None)
         elif leaf.kind == "phrase":
             toks = analyze_query(leaf.text, ctx.analyzer)
             if not toks:
@@ -804,7 +822,7 @@ def _query_string_scores(ctx: SearchContext, spec: Any) -> DataFrame:
     if n_pos == 0:
         raise DslError("[query_string] needs at least one positive clause "
                        "(all clauses were negated or analyzed away)")
-    msm = int(spec.get("minimum_should_match", 0))
+    msm = _msm_int(spec.get("minimum_should_match", 0), "query_string")
     need = n_pos if mode == "and" else max(msm, 1)
     if need > n_pos:
         raise DslError(f"[query_string] minimum_should_match={msm} exceeds "
@@ -850,6 +868,8 @@ def _match_bool_prefix_scores(ctx: SearchContext, spec: Any) -> DataFrame:
     if op not in ("or", "and"):
         raise DslError(f"[match_bool_prefix] operator must be or|and, "
                        f"got [{op}]")
+    if not isinstance(params.get("query"), str):
+        raise DslError("[match_bool_prefix] query must be a string")
     toks = analyze_query(params["query"], ctx.analyzer)
     if not toks:
         raise DslError("[match_bool_prefix] query analyzed to zero tokens")
@@ -857,7 +877,8 @@ def _match_bool_prefix_scores(ctx: SearchContext, spec: Any) -> DataFrame:
     seen: set[str] = set()
     terms = [t for t in toks[:-1] if not (t in seen or seen.add(t))]
     n_pos = len(terms) + 1
-    msm = int(params.get("minimum_should_match", 0))
+    msm = _msm_int(params.get("minimum_should_match", 0),
+                   "match_bool_prefix")
     need = n_pos if op == "and" else max(msm, 1)
     if need > n_pos:
         raise DslError(f"[match_bool_prefix] minimum_should_match={msm} "

@@ -212,7 +212,9 @@ def bm25_msm(
     ``msm_col`` instead gates each doc on ITS OWN minimum from that
     corpus column (Lucene CoveringQuery under ``terms_set`` with
     ``minimum_should_match_field``), clamped to >= 1 — a doc appears in
-    the aggregate only by matching >= 1 term anyway."""
+    the aggregate only by matching >= 1 term anyway. A doc whose
+    minimum field is NULL never matches (CoveringQuery's per-doc
+    LongValuesSource yields no value there)."""
     uniq = sorted(set(terms))
     if (min_should_match is None) == (msm_col is None):
         raise ValueError("exactly one of min_should_match / msm_col is required")
@@ -242,7 +244,7 @@ def bm25_msm(
         .agg(F.sum("contrib").alias("score"), F.countDistinct("term").alias("nt"))
     )
     if msm_col is not None:
-        need = docs.select(
+        need = docs.where(F.col(msm_col).isNotNull()).select(
             F.col(id_col).alias("doc_id"),
             F.greatest(F.lit(1), F.col(msm_col).cast("int")).alias("nss_need"),
         )

@@ -116,6 +116,51 @@ def regexp_matcher(pattern: str) -> str:
                 f"regexp: non-printable/non-ASCII pattern char {ch!r} "
                 "is unsupported"
             )
+    # brace quantifiers are another measured divergence class: Java
+    # regex REJECTS a malformed '{' (PatternSyntaxException) while RE2
+    # silently matches it literally — so outside character classes
+    # (where braces are literal in both engines) every '{' must open a
+    # valid {m} / {m,} / {m,n} quantifier attached to a quantifiable
+    # atom, and every '}' must close one
+    import re as _re
+
+    open_spans = [m.span() for m in _re.finditer(r"\{\d+(,\d*)?\}", pattern)]
+    closers = {e - 1 for _, e in open_spans}
+    in_class = False
+    first_content = -1
+    for i, ch in enumerate(pattern):
+        if in_class:
+            if ch == "]":
+                if i == first_content:
+                    raise ValueError(
+                        "regexp: ']' as the first class character is "
+                        "unsupported (Java and RE2 disagree on it)"
+                    )
+                in_class = False
+            continue
+        if ch == "[":
+            in_class = True
+            first_content = i + (2 if pattern[i + 1:i + 2] == "^" else 1)
+            continue
+        if ch == "{":
+            if not any(s == i for s, _ in open_spans):
+                raise ValueError(
+                    "regexp: '{' must start a {m}/{m,}/{m,n} quantifier "
+                    "(Java regex rejects it; RE2 would silently match "
+                    "literally); a literal brace goes in a class: [{]"
+                )
+            if i == 0 or pattern[i - 1] in "(|{*+?":
+                raise ValueError(
+                    "regexp: a {m,n} quantifier needs a quantifiable "
+                    "atom before it"
+                )
+        elif ch == "}" and i not in closers:
+            raise ValueError(
+                "regexp: stray '}' is unsupported (use a character "
+                "class like [}])"
+            )
+    if in_class:
+        raise ValueError("regexp: unterminated character class")
     quoted = pattern.replace("'", "''")
     return f"regexp_replace(term, '^(?:{quoted})$', '') = ''"
 

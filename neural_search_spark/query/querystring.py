@@ -55,7 +55,6 @@ class QsLeaf:
 _CONNECTORS = {"AND": "and", "&&": "and", "OR": "or", "||": "or"}
 _REJECT_CHARS = "()[]{}/\\+"
 _FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", re.S)
-_BOOST_RE = re.compile(r"^(.*?)\^([0-9.]+)$", re.S)
 _FUZZ_RE = re.compile(r"^(.*?)~([0-9]*)$", re.S)
 
 
@@ -152,7 +151,7 @@ def _parse_leaf(orig: str, negated: bool) -> QsLeaf:
             if m.group(1) == "_exists_":
                 raise QueryStringError("_exists_: is not supported")
             field, tok = m.group(1), m.group(2)
-        elif ":" in tok:
+        if ":" in tok and not tok.startswith('"'):
             raise QueryStringError(f"bad field syntax in {orig!r}")
     # trailing ^boost (after the closing quote for phrases)
     boost = 1.0
@@ -168,7 +167,10 @@ def _parse_leaf(orig: str, negated: bool) -> QsLeaf:
         if boost <= 0:
             raise QueryStringError(f"boost must be > 0 in {orig!r}")
         tok = body
-    elif "^" in tok and not tok.startswith('"'):
+    # any caret still present outside quotes is a mid-clause typo
+    # (e.g. a^2^3) — reject rather than letting the analyzer silently
+    # split the leftover
+    if "^" in (tok if not tok.startswith('"') else tok[tok.rfind('"'):]):
         raise QueryStringError(f"mid-clause ^ in {orig!r}")
     if tok.startswith('"'):
         m3 = re.match(r'^"(.*)"(?:~([0-9]+))?$', tok, re.S)

@@ -700,3 +700,71 @@ def test_dsl_terms_set_per_doc_field(spark):
 def test_dsl_terms_set_rejections(tiny_ctx, spec):
     with pytest.raises(DslError):
         search(tiny_ctx, {"query": {"terms_set": {"text": spec}}, "size": 10})
+
+
+# --- review-pass regressions (session 5) ----------------------------------------
+
+
+def test_query_string_and_mode_multi_token_clause_is_conjunctive(tiny_ctx):
+    # a clause analyzing to several tokens applies the default operator
+    # INSIDE the clause under AND (Lucene createBooleanQuery with MUST):
+    # "alpha-gamma" splits to [alpha, gamma]; only doc 0 has both
+    got = _hits(tiny_ctx, {"query": {"query_string":
+                                     {"query": "alpha-gamma AND beta"}},
+                           "size": 10})
+    assert set(got) == {0}
+    # in OR mode the same clause is an OR group: alpha or gamma
+    got = _hits(tiny_ctx, {"query": {"query_string":
+                                     {"query": "alpha-gamma OR beta"}},
+                           "size": 10})
+    assert set(got) == {0, 1, 2, 3}
+
+
+def test_regexp_brace_validation():
+    from neural_search_spark.query.multiterm import regexp_matcher
+
+    regexp_matcher("foo[0-9]{2}")        # valid quantifier
+    regexp_matcher("a[{]b")              # literal brace inside a class
+    regexp_matcher("a[}]")
+    for bad in ["a{2", "a{2,", "{2}", "a}", "(a){2", "a{x}", "|{2}",
+                "[]]eta", "[abc"]:
+        with pytest.raises(ValueError):
+            regexp_matcher(bad)
+
+
+def test_query_string_mid_caret_and_double_colon_reject():
+    from neural_search_spark.query.querystring import (QueryStringError,
+                                                       parse_query_string)
+
+    for bad in ["a^2^3", "spark^2b^3", "text:a:b", '"a b"^2^3']:
+        with pytest.raises(QueryStringError):
+            parse_query_string(bad)
+    # a colon INSIDE a quoted phrase is analyzer fodder, not field syntax
+    mode, ls = parse_query_string('text:"a: b"')
+    assert ls[0].kind == "phrase" and ls[0].text == "a: b"
+
+
+def test_terms_set_null_minimum_never_matches(spark):
+    from neural_search_spark.query.dsl import SearchContext, search
+
+    rows = [(0, "alpha beta", 1), (1, "alpha beta", None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, required int")
+    ctx = SearchContext(docs=docs)
+    body = {"query": {"terms_set": {"text": {
+        "terms": ["alpha"], "minimum_should_match_field": "required"}}},
+        "size": 10}
+    got = {r["doc_id"] for r in search(ctx, body).collect()}
+    assert got == {0}  # the NULL-minimum doc has no per-doc value -> no match
+
+
+def test_msm_type_rejections(tiny_ctx):
+    for typ, spec in [
+        ("match_bool_prefix", {"text": {"query": "a b",
+                                        "minimum_should_match": "30%"}}),
+        ("match_bool_prefix", {"text": {"query": 3}}),
+        ("query_string", {"query": "a b", "minimum_should_match": "30%"}),
+        ("simple_query_string", {"query": "a b",
+                                 "minimum_should_match": True}),
+    ]:
+        with pytest.raises(DslError):
+            search(tiny_ctx, {"query": {typ: spec}, "size": 10})
