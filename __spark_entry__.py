@@ -695,6 +695,35 @@ def _q_dsl_ids(spark, sf_dir):
     return search(_dsl_ctx(spark, sf_dir), body)
 
 
+def _q_dsl_match_msm(spark, sf_dir):
+    """match with minimum_should_match over the INDEX via the DSL:
+    dispatches the kernel's msm mode (block-max OR + nt >= m gate) —
+    shares bm25_msm's oracle."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"match": {"text": {
+        "query": " ".join(MSM_TERMS),
+        "minimum_should_match": MSM_MIN}}}, "size": 10}
+    return search(_dsl_reader_ctx(spark, sf_dir), body)
+
+
+FUZZY_MATCH_QUERY = "scal merge"
+FUZZY_MATCH_EDITS = 1
+
+
+def _q_dsl_match_fuzzy(spark, sf_dir):
+    """match with fuzziness: each analyzed token's Levenshtein window
+    OR-ed into one dictionary matcher (the SAME shared-SQL string the
+    oracle embeds), expanded with a global top-terms cap and scored as
+    the rewritten boolean OR."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"match": {"text": {
+        "query": FUZZY_MATCH_QUERY, "fuzziness": FUZZY_MATCH_EDITS}}},
+        "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
 def _q_dsl_terms_set(spark, sf_dir):
     """terms_set (Lucene CoveringQuery): boolean OR over verbatim
     terms, each doc gated on the minimum from a constant-integer
@@ -2341,6 +2370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_match_bool_prefix": _q_dsl_match_bool_prefix,
         "dsl_query_string": _q_dsl_query_string,
         "dsl_terms_set": _q_dsl_terms_set,
+        "dsl_match_msm": _q_dsl_match_msm,
+        "dsl_match_fuzzy": _q_dsl_match_fuzzy,
         # -- implementation changed in round 5 (re-gate; the rest of the
         #    changed-path family — dsl_match/dsl_bool/dsl_aggs,
         #    dsl_hybrid_neural, indexed_bm25_phrase, indexed_phrase_prefix,
@@ -2358,9 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_collapse": _q_hybrid_collapse,
         "hybrid_heterogeneous": _q_hybrid_heterogeneous,
         "hybrid_post_filter": _q_hybrid_post_filter,
-        "by_field_rerank": _q_by_field_rerank,
         "search_after_page2": _q_search_after,
-        "sort_after_fields": _q_sort_after_fields,
         "sparse_linear": _q_sparse_linear,
         "bm25_rare_term": _q_bm25_rare,
         "hybrid_sort_by_field": _q_hybrid_sort_by_field,
@@ -2470,6 +2499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-term scorer rides every fresh match row). pytest
         # tests/test_entry.py re-verifies each against its oracle.
         "hybrid_histogram": _q_hybrid_histogram,
+        "by_field_rerank": _q_by_field_rerank,
+        "sort_after_fields": _q_sort_after_fields,
         "sparse_two_phase_topk": _q_sparse_two_phase_topk,
         "hybrid_minmax_harmonic": _q_hybrid_minmax_harmonic,
         "chunk_delimiter": _q_chunk_delimiter,
@@ -2842,4 +2873,10 @@ def oracle_sql() -> dict[str, str]:
              ("fuzzy", _matcher_sql(fuzzy=("scal", 2, 0)), False, 2.0, 0),
              ("term", ["dup"], True, 1.0, 0)], mode="or", k=10),
         "dsl_terms_set": oracle.bm25_msm_topk_sql(MSM_TERMS, MSM_MIN, k=10),
+        "dsl_match_msm": oracle.bm25_msm_topk_sql(MSM_TERMS, MSM_MIN, k=10),
+        "dsl_match_fuzzy": oracle.multiterm_topk_sql(
+            " OR ".join(
+                f"({_matcher_sql(fuzzy=(t, FUZZY_MATCH_EDITS, 0))})"
+                for t in sorted(FUZZY_MATCH_QUERY.split())
+            ), k=10),
     }

@@ -706,6 +706,47 @@ def _simple_query_scores(ctx: SearchContext, spec: Any) -> DataFrame:
     return out
 
 
+def _fuzzy_match_matcher(ctx: SearchContext, params: dict) -> str:
+    """``match`` with ``fuzziness``: a shared-SQL dictionary matcher
+    OR-ing each analyzed token's fuzzy window (Levenshtein <= e with
+    e per token — an int 1|2, or the documented AUTO rule: 0 edits
+    under 3 chars, 1 for 3-5, 2 from 6). The expansion is then ONE
+    rewritten boolean with a global top-terms cap — the engine's
+    convention (Lucene caps per FuzzyQuery clause; one global cut is
+    the same total order both engines apply, documented). fuzziness
+    composes with neither operator=and nor minimum_should_match —
+    rejected loudly, not approximated."""
+    from .multiterm import _matcher_sql
+
+    if params.get("operator", "or") == "and":
+        raise DslError("[match] fuzziness with operator=and is not "
+                       "supported")
+    if "minimum_should_match" in params:
+        raise DslError("[match] fuzziness with minimum_should_match is "
+                       "not supported")
+    fz = params["fuzziness"]
+    if isinstance(fz, str) and fz.upper() == "AUTO":
+        edits = None
+    elif isinstance(fz, int) and not isinstance(fz, bool) and fz in (1, 2):
+        edits = fz
+    else:
+        raise DslError(f"[match] fuzziness must be 1, 2 or 'AUTO', "
+                       f"got {fz!r}")
+    toks = analyze_query(params.get("query") or "", ctx.analyzer)
+    if not toks:
+        raise DslError("[match] query analyzed to zero tokens")
+    parts = []
+    for t in sorted(set(toks)):
+        e = edits
+        if e is None:  # AUTO:3,6
+            e = 0 if len(t) < 3 else (1 if len(t) < 6 else 2)
+        if e == 0:
+            parts.append(f"term = '{t.replace(chr(39), chr(39) * 2)}'")
+        else:
+            parts.append(_matcher_sql(fuzzy=(t, e, 0)))
+    return " OR ".join(f"({p})" for p in parts)
+
+
 def _msm_int(val: Any, what: str) -> int:
     """Integer minimum_should_match or a loud DslError (these surfaces
     count CLAUSES; the 'P%' form belongs to more_like_this only)."""
@@ -1016,12 +1057,26 @@ def _indexed_topk(ctx: SearchContext, typ: str, spec: Any, k: int) -> DataFrame 
         _require_doc_key(ctx)
         field, params = _one(spec, "match")
         params = _params(params, "query")
-        _reject_unknown(params, {"query", "operator"}, "match")
+        _reject_unknown(params, {"query", "operator", "minimum_should_match",
+                                 "fuzziness"}, "match")
         if field != ctx.text_col:
             raise DslError(f"[match] field [{field}] is not [{ctx.text_col}]")
         op = params.get("operator", "or")
         if op not in ("or", "and"):
             raise DslError(f"[match] operator must be or|and, got [{op}]")
+        if "fuzziness" in params:
+            # fuzzy match: the analyzed tokens' fuzzy expansions as ONE
+            # rewritten boolean with a global top-terms cap (documented
+            # convention — Lucene caps per FuzzyQuery clause)
+            from .multiterm import multiterm_topk_indexed
+
+            matcher = _fuzzy_match_matcher(ctx, params)
+            return _ranked(multiterm_topk_indexed(r, matcher=matcher, k=k))
+        msm = _msm_int(params.get("minimum_should_match", 0), "match")
+        if msm > 0 and op == "or":
+            # the kernel's msm mode gates on >= m distinct matched terms
+            return _ranked(match_text_topk(r, params["query"], k=k,
+                                           mode=f"msm:{msm}"))
         return _ranked(match_text_topk(r, params["query"], k=k, mode=op))
     if typ == "match_phrase":
         from .phrase import bm25_phrase_indexed
@@ -1176,6 +1231,41 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
     if typ == "match":
         from .exhaustive import bm25_conjunctive, bm25_scores
 
+        _f, mparams = _one(spec, "match")
+        mparams = _params(mparams, "query")
+        if "fuzziness" in mparams:
+            from .multiterm import expand_terms_corpus
+
+            matcher = _fuzzy_match_matcher(ctx, mparams)
+            exp = expand_terms_corpus(ctx.docs, matcher=matcher,
+                                      id_col=ic, text_col=tc)
+            if not exp:
+                spark = ctx.docs.sparkSession
+                return spark.createDataFrame(
+                    [], "doc_id long, score double, rank int")
+            return topk(bm25_scores(ctx.docs, exp, id_col=ic, text_col=tc,
+                                    round_to=4), k=k, round_to=None)
+        if "minimum_should_match" in mparams:
+            from .exhaustive import bm25_msm
+
+            msm = _msm_int(mparams["minimum_should_match"], "match")
+            spec2 = {_f: {kk: vv for kk, vv in mparams.items()
+                          if kk != "minimum_should_match"}}
+            terms, op = _match_clause(ctx, spec2, "match")
+            if msm > 0 and op == "or":
+                if msm > len(terms):
+                    # a doc cannot match more distinct terms than queried
+                    spark = ctx.docs.sparkSession
+                    return spark.createDataFrame(
+                        [], "doc_id long, score double, rank int")
+                scored = bm25_msm(ctx.docs, terms, msm,
+                                  id_col=ic, text_col=tc, round_to=4)
+                return topk(scored, k=k, round_to=None)
+            # operator=and makes every term required — msm is a no-op
+            # on required clauses (the Lucene rule)
+            fn = bm25_conjunctive if op == "and" else bm25_scores
+            return topk(fn(ctx.docs, terms, id_col=ic, text_col=tc,
+                           round_to=None), k=k)
         terms, op = _match_clause(ctx, spec, "match")
         fn = bm25_conjunctive if op == "and" else bm25_scores
         return topk(fn(ctx.docs, terms, id_col=ic, text_col=tc, round_to=None), k=k)

@@ -768,3 +768,56 @@ def test_msm_type_rejections(tiny_ctx):
     ]:
         with pytest.raises(DslError):
             search(tiny_ctx, {"query": {typ: spec}, "size": 10})
+
+
+# --- match: minimum_should_match + fuzziness -------------------------------------
+
+
+def test_dsl_match_msm_and_fuzzy(tiny_ctx):
+    # msm 2 over {alpha, beta, delta}: docs 0 (alpha+beta), 1
+    # (alpha+delta), 2 (beta+delta)
+    body = {"query": {"match": {"text": {
+        "query": "alpha beta delta", "minimum_should_match": 2}}}, "size": 10}
+    assert set(_hits(tiny_ctx, body)) == {0, 1, 2}
+
+    # msm above the distinct-term count matches nothing
+    body["query"]["match"]["text"]["minimum_should_match"] = 4
+    assert _hits(tiny_ctx, body) == {}
+
+    # operator=and makes every term required -> msm is a no-op
+    body = {"query": {"match": {"text": {
+        "query": "beta gamma", "operator": "and",
+        "minimum_should_match": 1}}}, "size": 10}
+    assert set(_hits(tiny_ctx, body)) == {0, 2}
+
+    # fuzziness 1: zeta~1 expands to {zeta, eta, beta}, theta~1 to
+    # {theta, eta(?2 edits: no)} -> theta; all matched docs score the
+    # BM25 OR over the expansion set
+    body = {"query": {"match": {"text": {
+        "query": "zeta theta", "fuzziness": 1}}}, "size": 10}
+    assert set(_hits(tiny_ctx, body)) == {0, 2, 4}
+
+    # AUTO: a 3-char token gets 1 edit -> eta's 1-edit neighbors in the
+    # dictionary are zeta AND beta (one insertion each), plus eta
+    # itself -> docs 0, 2 (beta) and 4 (zeta, eta)
+    body = {"query": {"match": {"text": {
+        "query": "eta", "fuzziness": "AUTO"}}}, "size": 10}
+    assert set(_hits(tiny_ctx, body)) == {0, 2, 4}
+
+    # AUTO: a 2-char token gets 0 edits (exact only) -> no dictionary
+    # term equals "et", zero expansions -> empty result
+    body = {"query": {"match": {"text": {
+        "query": "et", "fuzziness": "AUTO"}}}, "size": 10}
+    assert _hits(tiny_ctx, body) == {}
+
+
+@pytest.mark.parametrize("spec", [
+    {"query": "a", "fuzziness": 3},
+    {"query": "a", "fuzziness": "AUTOX"},
+    {"query": "a b", "fuzziness": 1, "operator": "and"},
+    {"query": "a b", "fuzziness": 1, "minimum_should_match": 1},
+    {"query": "a b", "minimum_should_match": "30%"},
+])
+def test_dsl_match_msm_fuzzy_rejections(tiny_ctx, spec):
+    with pytest.raises(DslError):
+        search(tiny_ctx, {"query": {"match": {"text": spec}}, "size": 10})
