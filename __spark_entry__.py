@@ -695,6 +695,22 @@ def _q_dsl_ids(spark, sf_dir):
     return search(_dsl_ctx(spark, sf_dir), body)
 
 
+SUGGEST_TEXT = "sparc windoq mergw"  # typo'd spark / window / merge
+
+
+def _q_dsl_suggest_term(spark, sf_dir):
+    """suggest section, term suggester: spell-correct each analyzed
+    input token from the term dictionary — candidates within max_edits
+    Levenshtein (length-windowed prefilter), ranked (distance ASC, df
+    DESC, term ASC), suggest_mode=missing. A vocabulary-sized scan,
+    never a corpus scan."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"suggest": {"fix": {"text": SUGGEST_TEXT,
+                                "term": {"field": "text", "size": 3}}}}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
 def _q_dsl_match_msm(spark, sf_dir):
     """match with minimum_should_match over the INDEX via the DSL:
     dispatches the kernel's msm mode (block-max OR + nt >= m gate) —
@@ -2372,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_terms_set": _q_dsl_terms_set,
         "dsl_match_msm": _q_dsl_match_msm,
         "dsl_match_fuzzy": _q_dsl_match_fuzzy,
+        "dsl_suggest_term": _q_dsl_suggest_term,
         # -- implementation changed in round 5 (re-gate; the rest of the
         #    changed-path family — dsl_match/dsl_bool/dsl_aggs,
         #    dsl_hybrid_neural, indexed_bm25_phrase, indexed_phrase_prefix,
@@ -2385,7 +2402,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_msearch": _q_indexed_msearch,
         "indexed_hybrid_filtered": _q_indexed_hybrid_filtered,
         "hybrid_minmax_arith": _q_hybrid_minmax_arith,
-        "hybrid_l2_geometric": _q_hybrid_l2_geometric,
         "hybrid_collapse": _q_hybrid_collapse,
         "hybrid_heterogeneous": _q_hybrid_heterogeneous,
         "hybrid_post_filter": _q_hybrid_post_filter,
@@ -2499,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-term scorer rides every fresh match row). pytest
         # tests/test_entry.py re-verifies each against its oracle.
         "hybrid_histogram": _q_hybrid_histogram,
+        "hybrid_l2_geometric": _q_hybrid_l2_geometric,
         "by_field_rerank": _q_by_field_rerank,
         "sort_after_fields": _q_sort_after_fields,
         "sparse_two_phase_topk": _q_sparse_two_phase_topk,
@@ -2874,6 +2891,8 @@ def oracle_sql() -> dict[str, str]:
              ("term", ["dup"], True, 1.0, 0)], mode="or", k=10),
         "dsl_terms_set": oracle.bm25_msm_topk_sql(MSM_TERMS, MSM_MIN, k=10),
         "dsl_match_msm": oracle.bm25_msm_topk_sql(MSM_TERMS, MSM_MIN, k=10),
+        "dsl_suggest_term": oracle.term_suggest_sql(
+            SUGGEST_TEXT.split(), size=3),
         "dsl_match_fuzzy": oracle.multiterm_topk_sql(
             " OR ".join(
                 f"({_matcher_sql(fuzzy=(t, FUZZY_MATCH_EDITS, 0))})"

@@ -2296,6 +2296,56 @@ ORDER BY demoted.score DESC, demoted.doc_id ASC
 LIMIT {k}"""
 
 
+def term_suggest_sql(
+    tokens: list[str],
+    size: int = 5,
+    max_edits: int = 2,
+    suggest_mode: str = "missing",
+    table: str = "documents",
+) -> str:
+    """Term-suggester oracle (query/suggest.term_suggest): dictionary
+    candidates within ``max_edits`` Levenshtein (length-windowed first,
+    like the engine), ranked per token by the SAME total order
+    (distance ASC, df DESC, term ASC). ``tokens`` are the ANALYZED
+    input tokens (the engine analyzes at run time; the fixtures use
+    plain lowercase words so the lists coincide by construction)."""
+    mode_pred = {"missing": "token_df = 0", "popular": "df > token_df",
+                 "always": "TRUE"}[suggest_mode]
+    _, duck_toks = simple_tokens_sql("text")
+    toks_list = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(tokens)))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {duck_toks} AS toks FROM {table}
+),
+dict AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY term
+),
+inputs AS (SELECT unnest([{toks_list}]) AS token),
+indf AS (
+  SELECT token, coalesce(d.df, 0) AS token_df
+  FROM inputs LEFT JOIN dict d ON d.term = inputs.token
+),
+cand AS (
+  SELECT token, term, levenshtein(token, term) AS distance, df, token_df
+  FROM indf, dict
+  WHERE length(term) BETWEEN length(token) - {max_edits}
+                         AND length(token) + {max_edits}
+    AND term <> token
+    AND levenshtein(token, term) <= {max_edits}
+),
+ranked AS (
+  SELECT token, term AS suggestion, CAST(distance AS INT) AS distance,
+         CAST(df AS BIGINT) AS freq,
+         CAST(row_number() OVER (PARTITION BY token
+              ORDER BY distance ASC, df DESC, term ASC) AS INT) AS rank
+  FROM cand WHERE {mode_pred}
+)
+SELECT token, suggestion, distance, freq, rank
+FROM ranked WHERE rank <= {size}
+ORDER BY token, rank"""
+
+
 def query_string_sql(
     clauses: list[tuple],
     mode: str = "or",

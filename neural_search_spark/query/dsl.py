@@ -1768,6 +1768,40 @@ def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> Data
                            "(size > 0 with aggs) goes through "
                            "search_with_aggs(), which returns both")
         return aggregate(ctx, body)
+    if "suggest" in body:
+        # the suggest section (term suggester): a spell-correction
+        # frame, not a hit list — combining it with a query in one body
+        # is rejected (one frame per search() call, like aggs)
+        from .suggest import term_suggest
+
+        if set(body) - {"suggest", "size"} or int(body.get("size", 0)) != 0:
+            raise DslError("[suggest] bodies support the suggest section "
+                           "only (size: 0)")
+        name, sspec = _one(body["suggest"], "suggest")
+        if not isinstance(sspec, dict):
+            raise DslError(f"[suggest.{name}] must be an object")
+        _reject_unknown(sspec, {"text", "term"}, f"suggest.{name}")
+        if "text" not in sspec or "term" not in sspec:
+            raise DslError(f"[suggest.{name}] needs [text] and [term]")
+        tspec = sspec["term"]
+        if not isinstance(tspec, dict):
+            raise DslError(f"[suggest.{name}.term] must be an object")
+        _reject_unknown(tspec, {"field", "size", "max_edits",
+                                "suggest_mode"}, f"suggest.{name}.term")
+        if tspec.get("field", ctx.text_col) != ctx.text_col:
+            raise DslError(f"[suggest.{name}.term] field must be "
+                           f"[{ctx.text_col}]")
+        try:
+            return term_suggest(
+                ctx.docs, sspec["text"],
+                size=int(tspec.get("size", 5)),
+                max_edits=int(tspec.get("max_edits", 2)),
+                suggest_mode=tspec.get("suggest_mode", "missing"),
+                analyzer=ctx.analyzer,
+                id_col=ctx.id_col, text_col=ctx.text_col,
+            )
+        except (TypeError, ValueError) as e:
+            raise DslError(f"[suggest.{name}] {e}") from e
     _reject_unknown(body, _BODY_KEYS, "search body")
     if "query" not in body:
         raise DslError("search body needs a [query]")

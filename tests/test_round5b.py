@@ -821,3 +821,59 @@ def test_dsl_match_msm_and_fuzzy(tiny_ctx):
 def test_dsl_match_msm_fuzzy_rejections(tiny_ctx, spec):
     with pytest.raises(DslError):
         search(tiny_ctx, {"query": {"match": {"text": spec}}, "size": 10})
+
+
+# --- suggest (term suggester) -----------------------------------------------------
+
+
+def test_dsl_suggest_term_modes(tiny_ctx):
+    def rows(body):
+        return [(r["token"], r["suggestion"], r["distance"], r["rank"])
+                for r in search(tiny_ctx, body).collect()]
+
+    # missing mode: "betta" is absent -> suggest beta (1 edit);
+    # "gamma" exists -> no suggestions for it
+    got = rows({"suggest": {"s": {"text": "betta gamma",
+                                  "term": {"field": "text",
+                                           "max_edits": 1}}}})
+    assert got == [("betta", "beta", 1, 1)]
+
+    # always mode suggests for present tokens too: gamma's 1-edit
+    # dictionary neighbor is none, but 2-edit finds none either at
+    # max_edits 1 -> eta's neighbors zeta/beta rank by (dist, df, term)
+    got = rows({"suggest": {"s": {"text": "eta",
+                                  "term": {"field": "text",
+                                           "suggest_mode": "always",
+                                           "max_edits": 1}}}})
+    # df: beta 2 docs (0, 2), zeta 1 doc (4) -> beta first
+    assert got == [("eta", "beta", 1, 1), ("eta", "zeta", 1, 2)]
+
+    # popular mode: only suggestions strictly more frequent than input
+    # eta df=1; beta df=2 qualifies, zeta df=1 does not
+    got = rows({"suggest": {"s": {"text": "eta",
+                                  "term": {"field": "text",
+                                           "suggest_mode": "popular",
+                                           "max_edits": 1}}}})
+    assert got == [("eta", "beta", 1, 1)]
+
+    # size caps per token
+    got = rows({"suggest": {"s": {"text": "eta",
+                                  "term": {"field": "text",
+                                           "suggest_mode": "always",
+                                           "max_edits": 1, "size": 1}}}})
+    assert got == [("eta", "beta", 1, 1)]
+
+
+@pytest.mark.parametrize("body", [
+    {"suggest": {"s": {"text": "a", "term": {"field": "lang"}}}},
+    {"suggest": {"s": {"text": "a", "term": {"max_edits": 3}}}},
+    {"suggest": {"s": {"text": "a", "term": {"suggest_mode": "weird"}}}},
+    {"suggest": {"s": {"term": {"field": "text"}}}},              # no text
+    {"suggest": {"s": {"text": "...", "term": {"field": "text"}}}},  # 0 toks
+    {"suggest": {"s": {"text": "a", "term": {}}},
+     "query": {"match_all": {}}},                                  # query+suggest
+    {"suggest": {"s": {"text": "a", "term": {}}}, "size": 5},
+])
+def test_dsl_suggest_rejections(tiny_ctx, body):
+    with pytest.raises(DslError):
+        search(tiny_ctx, body)
