@@ -695,6 +695,22 @@ def _q_dsl_ids(spark, sf_dir):
     return search(_dsl_ctx(spark, sf_dir), body)
 
 
+def _q_dsl_hybrid_query_string(spark, sf_dir):
+    """hybrid over [match, query_string]: the parser-family sub-query
+    scores its FULL match set raw into the normalization statistics,
+    like every other full-frame sub-query — HybridQueryBuilder's
+    opaque-QueryBuilder composition over the classic parser."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"hybrid": {"queries": [
+        {"match": {"text": " ".join(TERMS_OR)}},
+        {"query_string": {"query": 'scan OR merg* OR "table scan"'}},
+    ]}}, "size": 10}
+    pipeline = {"normalization": "min_max",
+                "combination": "arithmetic_mean", "weights": [0.6, 0.4]}
+    return search(_dsl_ctx(spark, sf_dir), body, pipeline=pipeline)
+
+
 SUGGEST_TEXT = "sparc windoq mergw"  # typo'd spark / window / merge
 
 
@@ -2389,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_match_msm": _q_dsl_match_msm,
         "dsl_match_fuzzy": _q_dsl_match_fuzzy,
         "dsl_suggest_term": _q_dsl_suggest_term,
+        "dsl_hybrid_query_string": _q_dsl_hybrid_query_string,
         # -- implementation changed in round 5 (re-gate; the rest of the
         #    changed-path family — dsl_match/dsl_bool/dsl_aggs,
         #    dsl_hybrid_neural, indexed_bm25_phrase, indexed_phrase_prefix,
@@ -2403,7 +2420,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexed_hybrid_filtered": _q_indexed_hybrid_filtered,
         "hybrid_minmax_arith": _q_hybrid_minmax_arith,
         "hybrid_collapse": _q_hybrid_collapse,
-        "hybrid_heterogeneous": _q_hybrid_heterogeneous,
         "hybrid_post_filter": _q_hybrid_post_filter,
         "search_after_page2": _q_search_after,
         "sparse_linear": _q_sparse_linear,
@@ -2515,6 +2531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-term scorer rides every fresh match row). pytest
         # tests/test_entry.py re-verifies each against its oracle.
         "hybrid_histogram": _q_hybrid_histogram,
+        "hybrid_heterogeneous": _q_hybrid_heterogeneous,
         "hybrid_l2_geometric": _q_hybrid_l2_geometric,
         "by_field_rerank": _q_by_field_rerank,
         "sort_after_fields": _q_sort_after_fields,
@@ -2893,6 +2910,20 @@ def oracle_sql() -> dict[str, str]:
         "dsl_match_msm": oracle.bm25_msm_topk_sql(MSM_TERMS, MSM_MIN, k=10),
         "dsl_suggest_term": oracle.term_suggest_sql(
             SUGGEST_TEXT.split(), size=3),
+        "dsl_hybrid_query_string": (
+            "SELECT doc_id, score, CAST(row_number() OVER "
+            "(ORDER BY score DESC, doc_id ASC) AS INT) AS rank FROM ("
+            + oracle.hybrid_frames_sql(
+                [oracle.bm25_scores_frame_sql(TERMS_OR),
+                 oracle.query_string_sql(
+                     [("term", ["scan"], False, 1.0, 0),
+                      ("prefix", _matcher_sql(like=like_escape("merg") + "%"),
+                       False, 1.0, 0),
+                      ("phrase", ["table", "scan"], False, 1.0, 0)],
+                     mode="or", frame_only=True)],
+                [0.6, 0.4])
+            + ") ORDER BY score DESC, doc_id ASC LIMIT 10"
+        ),
         "dsl_match_fuzzy": oracle.multiterm_topk_sql(
             " OR ".join(
                 f"({_matcher_sql(fuzzy=(t, FUZZY_MATCH_EDITS, 0))})"

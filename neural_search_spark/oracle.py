@@ -2346,6 +2346,54 @@ FROM ranked WHERE rank <= {size}
 ORDER BY token, rank"""
 
 
+def hybrid_frames_sql(
+    inner_sqls: list[str],
+    weights: list[float],
+    round_to: int = 4,
+) -> str:
+    """Hybrid min_max + weighted-arithmetic-mean oracle over ARBITRARY
+    full-frame sub-query SQLs (each a standalone WITH query returning
+    raw (doc_id, score) — the parenthesized-subquery composition
+    hybrid_phrase_match_sql established; inner CTE names shadow)."""
+    subs = [
+        f"sub{i} AS (SELECT doc_id, score FROM ({s}\n))"
+        for i, s in enumerate(inner_sqls)
+    ]
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS subquery_idx, doc_id, score FROM sub{i}"
+        for i in range(len(inner_sqls))
+    )
+    wexpr = _weight_case(weights)
+    return f"""
+WITH {",".join(subs)},
+allsub AS ({union}),
+nstats AS (
+  SELECT subquery_idx, min(score) AS mn, max(score) AS mx
+  FROM allsub GROUP BY subquery_idx
+),
+normed AS (
+  SELECT a.doc_id, a.subquery_idx,
+         CASE WHEN mx = mn THEN 1.0
+              WHEN (a.score - mn) / (mx - mn) = 0.0 THEN 0.001
+              ELSE (a.score - mn) / (mx - mn) END AS nscore
+  FROM allsub a JOIN nstats USING (subquery_idx)
+)
+SELECT doc_id, round(sum({wexpr} * nscore) / {float(sum(weights))!r}, {round_to}) AS score
+FROM normed WHERE nscore >= 0.0 GROUP BY doc_id"""
+
+
+def bm25_scores_frame_sql(terms: list[str], table: str = "documents") -> str:
+    """Raw full-frame BM25 OR (doc_id, score) — standalone WITH query
+    for hybrid_frames_sql composition."""
+    uniq = sorted(set(terms))
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    return f"""{bm25_base_ctes(uniq, table)}
+SELECT tf.doc_id AS doc_id, sum({contrib}) AS score
+FROM tf JOIN dfreq USING (term), stats
+GROUP BY tf.doc_id"""
+
+
 def query_string_sql(
     clauses: list[tuple],
     mode: str = "or",
@@ -2353,6 +2401,7 @@ def query_string_sql(
     k: int = 10,
     table: str = "documents",
     round_to: int = 4,
+    frame_only: bool = False,
 ) -> str:
     """``query_string`` oracle (query/dsl._query_string_scores).
     ``clauses``: (kind, payload, negated, boost, slop) with kind
@@ -2428,13 +2477,19 @@ pos AS (
   FROM tok
 )""" if need_pos else "")
     joined_parts = ",\n".join(parts)
-    return f"""{bm25_base_ctes(all_terms, table)}{pos_cte},
+    prefix = f"""{bm25_base_ctes(all_terms, table)}{pos_cte},
 {joined_parts},
 posu AS ({" UNION ALL ".join(pos_sel)}),
 agg AS (
   SELECT doc_id, sum(score) AS score, count(DISTINCT cid) AS n
   FROM posu GROUP BY doc_id
-)
+)"""
+    if frame_only:
+        # raw full frame for hybrid composition (hybrid_frames_sql)
+        return f"""{prefix}
+SELECT doc_id, agg.score AS score FROM agg
+WHERE n >= {need} {neg_clause}"""
+    return f"""{prefix}
 SELECT doc_id, round(agg.score, {round_to}) AS score,
        CAST(row_number() OVER (ORDER BY agg.score DESC, agg.doc_id ASC) AS INT) AS rank
 FROM agg

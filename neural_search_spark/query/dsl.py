@@ -995,14 +995,24 @@ def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
         # the reference composes hybrid over term + nested sub-queries
         # (HybridQueryIT.java:436-449); full match set, like match
         s = _nested_scores(ctx, spec)
+    elif typ == "simple_query_string":
+        # the parser families score their FULL match set raw, like the
+        # other full-frame sub-queries — the normalization statistics
+        # then see every matched doc
+        s = _simple_query_scores(ctx, spec)
+    elif typ == "query_string":
+        s = _query_string_scores(ctx, spec)
+    elif typ == "match_bool_prefix":
+        s = _match_bool_prefix_scores(ctx, spec)
     else:
         s = _leaf_scores(ctx, typ, spec)
         if s is None:
             raise DslError(f"hybrid sub-query type [{typ}] unsupported; "
                            "supported: match, multi_match, match_phrase, "
-                           "neural, neural_sparse, nested, term, terms, "
-                           "range, exists, ids, match_all, constant_score, "
-                           "rank_feature")
+                           "match_bool_prefix, simple_query_string, "
+                           "query_string, neural, neural_sparse, nested, "
+                           "term, terms, range, exists, ids, match_all, "
+                           "constant_score, rank_feature")
     return s.select(F.lit(idx).alias("subquery_idx"), "doc_id", "score")
 
 

@@ -877,3 +877,27 @@ def test_dsl_suggest_term_modes(tiny_ctx):
 def test_dsl_suggest_rejections(tiny_ctx, body):
     with pytest.raises(DslError):
         search(tiny_ctx, body)
+
+
+# --- parser families as hybrid sub-queries ----------------------------------------
+
+
+def test_hybrid_parser_family_sub_queries(tiny_ctx):
+    # each parser family scores its FULL match set into normalization;
+    # single-sub hybrid with weight 1 == the standalone query's ranking
+    from neural_search_spark.query.dsl import search as _search
+
+    for sub in [
+        {"query_string": {"query": "gamma AND delta"}},
+        {"simple_query_string": {"query": "gamma delta",
+                                 "default_operator": "and"}},
+        {"match_bool_prefix": {"text": {"query": "gamma delt"}}},
+    ]:
+        body = {"query": {"hybrid": {"queries": [sub]}}, "size": 10}
+        pipeline = {"normalization": "min_max",
+                    "combination": "arithmetic_mean", "weights": [1.0]}
+        hybrid_ids = [r["doc_id"] for r in
+                      _search(tiny_ctx, body, pipeline=pipeline).collect()]
+        solo_ids = [r["doc_id"] for r in
+                    _search(tiny_ctx, {"query": sub, "size": 10}).collect()]
+        assert hybrid_ids == solo_ids, sub
