@@ -695,6 +695,18 @@ def _q_dsl_ids(spark, sf_dir):
     return search(_dsl_ctx(spark, sf_dir), body)
 
 
+def _q_dsl_query_string_indexed(spark, sf_dir):
+    """query_string over the INDEX: every clause dispatches onto the
+    kernels (term clauses the block-max scorer, the sloppy phrase the
+    positional kernel, prefix/fuzzy the postings-dictionary expansion)
+    — the corpus text is never re-tokenized. Shares the exhaustive
+    dsl_query_string oracle (stats are global either way)."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"query_string": {"query": QS_QUERY}}, "size": 10}
+    return search(_dsl_reader_ctx(spark, sf_dir), body)
+
+
 def _q_dsl_hybrid_query_string(spark, sf_dir):
     """hybrid over [match, query_string]: the parser-family sub-query
     scores its FULL match set raw into the normalization statistics,
@@ -2406,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_match_fuzzy": _q_dsl_match_fuzzy,
         "dsl_suggest_term": _q_dsl_suggest_term,
         "dsl_hybrid_query_string": _q_dsl_hybrid_query_string,
+        "dsl_query_string_indexed": _q_dsl_query_string_indexed,
         # -- implementation changed in round 5 (re-gate; the rest of the
         #    changed-path family — dsl_match/dsl_bool/dsl_aggs,
         #    dsl_hybrid_neural, indexed_bm25_phrase, indexed_phrase_prefix,
@@ -2424,7 +2437,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_page2": _q_search_after,
         "sparse_linear": _q_sparse_linear,
         "bm25_rare_term": _q_bm25_rare,
-        "hybrid_sort_by_field": _q_hybrid_sort_by_field,
         "hybrid_total_hits": _q_hybrid_total_hits,
         "hybrid_significant_terms": _q_hybrid_significant_terms,
         "hybrid_cardinality_hll": _q_hybrid_cardinality_hll,
@@ -2531,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # single-term scorer rides every fresh match row). pytest
         # tests/test_entry.py re-verifies each against its oracle.
         "hybrid_histogram": _q_hybrid_histogram,
+        "hybrid_sort_by_field": _q_hybrid_sort_by_field,
         "hybrid_heterogeneous": _q_hybrid_heterogeneous,
         "hybrid_l2_geometric": _q_hybrid_l2_geometric,
         "by_field_rerank": _q_by_field_rerank,
@@ -2899,6 +2912,14 @@ def oracle_sql() -> dict[str, str]:
             [("chunk", [t], False) for t in PHRASE_PREFIX_FIXED]
             + [("prefix", PHRASE_PREFIX, False)], mode="or", k=10),
         "dsl_query_string": oracle.query_string_sql(
+            [("term", ["spark"], False, 1.0, 0),
+             ("term", ["window"], False, 1.0, 0),
+             ("phrase", ["table", "scan"], False, 1.0, 1),
+             ("prefix", _matcher_sql(like=like_escape("merg") + "%"),
+              False, 1.0, 0),
+             ("fuzzy", _matcher_sql(fuzzy=("scal", 2, 0)), False, 2.0, 0),
+             ("term", ["dup"], True, 1.0, 0)], mode="or", k=10),
+        "dsl_query_string_indexed": oracle.query_string_sql(
             [("term", ["spark"], False, 1.0, 0),
              ("term", ["window"], False, 1.0, 0),
              ("phrase", ["table", "scan"], False, 1.0, 1),

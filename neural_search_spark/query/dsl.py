@@ -602,16 +602,18 @@ def _phrase_scores(ctx: SearchContext, spec: Any) -> DataFrame:
     return s.select("doc_id", "score")
 
 
+def _prefix_matcher_sql(prefix: str) -> str:
+    from .multiterm import _matcher_sql, like_escape
+
+    return _matcher_sql(like=like_escape(prefix) + "%")
+
+
 def _prefix_const_frame(ctx: SearchContext, prefix: str) -> DataFrame:
     """Constant-score prefix clause: docs with ≥1 analyzed token
     starting with the normalized prefix score 1.0 — Lucene PrefixQuery
-    under SimpleQueryParser's constant-score rewrite."""
-    from .exhaustive import tokenized
-
-    toks = tokenized(ctx.docs, ctx.id_col, ctx.text_col)
-    return toks.where(
-        F.exists(F.col("toks"), lambda t: t.startswith(prefix))
-    ).select("doc_id", F.lit(1.0).cast("double").alias("score"))
+    under SimpleQueryParser's constant-score rewrite. Routed through
+    the shared matcher frame (index kernel when ctx.reader is set)."""
+    return _matcher_const_frame(ctx, _prefix_matcher_sql(prefix))
 
 
 def _simple_query_scores(ctx: SearchContext, spec: Any) -> DataFrame:
@@ -628,8 +630,7 @@ def _simple_query_scores(ctx: SearchContext, spec: Any) -> DataFrame:
     (every clause is already MUST — the reference's msm applies to
     optional clauses only)."""
     from ..functions.tokenize import resolve_analyzer
-    from .exhaustive import (bm25_conjunctive, bm25_phrase, bm25_scores,
-                             bm25_scores_by_group)
+    from .exhaustive import bm25_scores_by_group
     from .simpleq import parse_simple_query
 
     if not isinstance(spec, dict):
@@ -643,7 +644,10 @@ def _simple_query_scores(ctx: SearchContext, spec: Any) -> DataFrame:
             f"corpus's one analyzed text field — got {fields!r}")
     default_op = spec.get("default_operator", "or")
     mode, leaves = parse_simple_query(spec.get("query"), default_op)
-    analyzer = ctx.analyzer
+    # with an index: the index's analyzer + kernel dispatch per clause
+    # (no corpus re-tokenize) — same routing as query_string
+    indexed = ctx.reader is not None
+    analyzer = ctx.index_analyzer() if indexed else ctx.analyzer
     lower = resolve_analyzer(analyzer)[2]
 
     or_groups: list[list[str]] = []
@@ -656,23 +660,19 @@ def _simple_query_scores(ctx: SearchContext, spec: Any) -> DataFrame:
             if not terms:
                 continue  # an all-delimiter chunk analyzes away (Lucene drops it)
             conj = default_op == "and" and len(terms) > 1
-            if not leaf.negated and not conj:
+            if not indexed and not leaf.negated and not conj:
                 or_groups.append(terms)
                 n_pos += 1
                 continue
-            fn = bm25_conjunctive if conj else bm25_scores
-            frame = fn(ctx.docs, terms, id_col=ctx.id_col,
-                       text_col=ctx.text_col, round_to=None)
+            frame = _term_clause_frame(ctx, terms, conj)
         elif leaf.kind == "phrase":
             toks = analyze_query(leaf.text, analyzer)
             if not toks:
                 continue
-            frame = bm25_phrase(ctx.docs, toks, id_col=ctx.id_col,
-                                text_col=ctx.text_col,
-                                round_to=None).select("doc_id", "score")
+            frame = _phrase_clause_frame(ctx, toks, 0)
         else:  # prefix
             pfx = leaf.text.lower() if lower else leaf.text
-            frame = _prefix_const_frame(ctx, pfx)
+            frame = _matcher_const_frame(ctx, _prefix_matcher_sql(pfx))
         if leaf.negated:
             neg.append(frame.select("doc_id"))
         else:
@@ -760,7 +760,21 @@ def _matcher_const_frame(ctx: SearchContext, matcher: str) -> DataFrame:
     """Constant-score multi-term clause: docs with ≥1 analyzed token
     satisfying ``matcher`` (a shared-SQL predicate over ``term`` —
     query/multiterm._matcher_sql) score 1.0. Lucene QueryParser's
-    default CONSTANT_SCORE rewrite for prefix/wildcard/fuzzy clauses."""
+    default CONSTANT_SCORE rewrite for prefix/wildcard/fuzzy clauses.
+    With ``ctx.reader`` the match set comes from the index: dictionary
+    expansion over postings metadata, then the kernel's match stream —
+    the corpus text is never re-tokenized."""
+    if ctx.reader is not None:
+        from .multiterm import expand_terms_indexed
+        from .wand import bm25_scores_indexed
+
+        _require_doc_key(ctx)
+        exp = expand_terms_indexed(ctx.reader, matcher=matcher)
+        if not exp:
+            return ctx.docs.sparkSession.createDataFrame(
+                [], "doc_id long, score double")
+        return bm25_scores_indexed(ctx.reader, exp).select(
+            "doc_id", F.lit(1.0).cast("double").alias("score"))
     from .exhaustive import tokenized
 
     toks = tokenized(ctx.docs, ctx.id_col, ctx.text_col)
@@ -770,6 +784,44 @@ def _matcher_const_frame(ctx: SearchContext, matcher: str) -> DataFrame:
         .select("doc_id").distinct()
         .select("doc_id", F.lit(1.0).cast("double").alias("score"))
     )
+
+
+def _term_clause_frame(ctx: SearchContext, terms: list[str],
+                       conj: bool) -> DataFrame:
+    """Full raw (doc_id, score) frame for one term clause — the index
+    kernel when ``ctx.reader`` is set (partition-pruned term buckets,
+    never a corpus re-tokenize), the one-traversal exhaustive scorer
+    otherwise."""
+    if ctx.reader is not None:
+        from .wand import bm25_scores_indexed
+
+        _require_doc_key(ctx)
+        return bm25_scores_indexed(ctx.reader, terms,
+                                   mode="and" if conj else "or")
+    from .exhaustive import bm25_conjunctive, bm25_scores
+
+    fn = bm25_conjunctive if conj else bm25_scores
+    return fn(ctx.docs, terms, id_col=ctx.id_col, text_col=ctx.text_col,
+              round_to=None)
+
+
+def _phrase_clause_frame(ctx: SearchContext, toks: list[str],
+                         slop: int) -> DataFrame:
+    """Full raw (doc_id, score) frame for one (sloppy) phrase clause —
+    the positional kernel when the index stores positions, the
+    exhaustive position gate otherwise."""
+    if ctx.reader is not None and ctx.reader.meta.get("store_positions"):
+        from .phrase import bm25_phrase_indexed
+
+        _require_doc_key(ctx)
+        return bm25_phrase_indexed(ctx.reader, toks, slop=slop).select(
+            "doc_id", "score")
+    from .exhaustive import bm25_phrase, bm25_phrase_sloppy
+
+    fn = bm25_phrase_sloppy if slop else bm25_phrase
+    kw = {"slop": slop} if slop else {}
+    return fn(ctx.docs, toks, id_col=ctx.id_col, text_col=ctx.text_col,
+              round_to=None, **kw).select("doc_id", "score")
 
 
 def _query_string_scores(ctx: SearchContext, spec: Any) -> DataFrame:
@@ -784,8 +836,7 @@ def _query_string_scores(ctx: SearchContext, spec: Any) -> DataFrame:
     exclude their match set (the engine's shared negation convention
     with simple_query_string)."""
     from ..functions.tokenize import resolve_analyzer
-    from .exhaustive import (bm25_phrase, bm25_phrase_sloppy, bm25_scores,
-                             bm25_scores_by_group)
+    from .exhaustive import bm25_scores_by_group
     from .multiterm import _matcher_sql, like_escape, wildcard_to_like
     from .querystring import QueryStringError, parse_query_string
 
@@ -805,7 +856,12 @@ def _query_string_scores(ctx: SearchContext, spec: Any) -> DataFrame:
                                           spec.get("default_operator", "or"))
     except QueryStringError as e:
         raise DslError(f"[query_string] {e}") from e
-    lower = resolve_analyzer(ctx.analyzer)[2]
+    # with an index: analyze with ITS analyzer and dispatch every
+    # clause onto the kernels — the corpus text is never re-tokenized
+    # (partition-pruned term buckets instead of a full scan)
+    indexed = ctx.reader is not None
+    analyzer = ctx.index_analyzer() if indexed else ctx.analyzer
+    lower = resolve_analyzer(analyzer)[2]
 
     or_groups: list[list[str]] = []
     frames: list[DataFrame] = []
@@ -816,7 +872,7 @@ def _query_string_scores(ctx: SearchContext, spec: Any) -> DataFrame:
             raise DslError(f"[query_string] field [{leaf.field}] is not "
                            f"[{tc}] (one analyzed text field)")
         if leaf.kind == "term":
-            terms = analyze_query(leaf.text, ctx.analyzer)
+            terms = analyze_query(leaf.text, analyzer)
             if not terms:
                 continue  # an all-delimiter clause analyzes away
             # a clause whose text analyzes to several tokens applies the
@@ -824,25 +880,17 @@ def _query_string_scores(ctx: SearchContext, spec: Any) -> DataFrame:
             # createBooleanQuery with MUST under AND) — the same rule
             # simple_query_string's chunks follow
             conj = mode == "and" and len(terms) > 1
-            if not leaf.negated and leaf.boost == 1.0 and not conj:
+            if (not indexed and not leaf.negated and leaf.boost == 1.0
+                    and not conj):
                 or_groups.append(terms)
                 n_pos += 1
                 continue
-            from .exhaustive import bm25_conjunctive
-
-            fn = bm25_conjunctive if conj else bm25_scores
-            frame = fn(ctx.docs, terms, id_col=ctx.id_col,
-                       text_col=tc, round_to=None)
+            frame = _term_clause_frame(ctx, terms, conj)
         elif leaf.kind == "phrase":
-            toks = analyze_query(leaf.text, ctx.analyzer)
+            toks = analyze_query(leaf.text, analyzer)
             if not toks:
                 continue
-            fn = (lambda d, t: bm25_phrase_sloppy(
-                      d, t, slop=leaf.slop, id_col=ctx.id_col, text_col=tc,
-                      round_to=None)) if leaf.slop else (
-                 lambda d, t: bm25_phrase(d, t, id_col=ctx.id_col,
-                                          text_col=tc, round_to=None))
-            frame = fn(ctx.docs, toks).select("doc_id", "score")
+            frame = _phrase_clause_frame(ctx, toks, leaf.slop)
         else:
             text = leaf.text.lower() if lower else leaf.text
             if leaf.kind == "prefix":
@@ -911,7 +959,9 @@ def _match_bool_prefix_scores(ctx: SearchContext, spec: Any) -> DataFrame:
                        f"got [{op}]")
     if not isinstance(params.get("query"), str):
         raise DslError("[match_bool_prefix] query must be a string")
-    toks = analyze_query(params["query"], ctx.analyzer)
+    toks = analyze_query(
+        params["query"],
+        ctx.index_analyzer() if ctx.reader is not None else ctx.analyzer)
     if not toks:
         raise DslError("[match_bool_prefix] query analyzed to zero tokens")
     pfx = toks[-1]
@@ -927,7 +977,15 @@ def _match_bool_prefix_scores(ctx: SearchContext, spec: Any) -> DataFrame:
     # toks are post-analysis (already normalized) — no extra lowering
     tagged = _prefix_const_frame(ctx, pfx).select(
         F.lit(len(terms)).alias("cid"), "doc_id", "score")
-    if terms:
+    if terms and ctx.reader is not None:
+        # indexed: per-term kernel frames (partition-pruned buckets)
+        term_frames = None
+        for i, t in enumerate(terms):
+            f2 = _term_clause_frame(ctx, [t], False).select(
+                F.lit(i).alias("cid"), "doc_id", "score")
+            term_frames = f2 if term_frames is None else term_frames.unionByName(f2)
+        tagged = term_frames.unionByName(tagged)
+    elif terms:
         term_frames = bm25_scores_by_group(
             ctx.docs, [[t] for t in terms],
             id_col=ctx.id_col, text_col=ctx.text_col,

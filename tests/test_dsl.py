@@ -1418,3 +1418,29 @@ def test_raw_regex_query_analysis_matches_kernel(spark, tmp_path_factory):
     hits = search(rctx, {"query": {"match": {"text": "foo baz"}},
                          "size": 10}).collect()
     assert {r["doc_id"] for r in hits} == {1, 2}  # both terms hit both docs
+
+
+def test_indexed_parser_families_match_exhaustive(reader_ctx, documents):
+    """query_string / simple_query_string / match_bool_prefix dispatch
+    onto the index kernels when ctx.reader is set (no corpus
+    re-tokenize) and rank exactly like the exhaustive path."""
+    from neural_search_spark.query.dsl import SearchContext
+
+    plain = SearchContext(docs=documents)
+    bodies = [
+        {"query": {"query_string":
+                   {"query": 'scan OR merg* OR "table scan" OR scal~1'}},
+         "size": 10},
+        {"query": {"query_string": {"query": "spark AND window"}}, "size": 10},
+        {"query": {"simple_query_string":
+                   {"query": 'spark | merg* | "table scan"'}}, "size": 10},
+        {"query": {"match_bool_prefix": {"text": {"query": "data s"}}},
+         "size": 10},
+    ]
+    for body in bodies:
+        idx = [(r["doc_id"], r["score"]) for r in
+               search(reader_ctx, body).collect()]
+        exh = [(r["doc_id"], r["score"]) for r in
+               search(plain, body).collect()]
+        assert [d for d, _ in idx] == [d for d, _ in exh], body
+        assert all(abs(a - b) <= 1e-4 for (_, a), (_, b) in zip(idx, exh)), body
