@@ -739,6 +739,92 @@ def _q_dsl_suggest_term(spark, sf_dir):
     return search(_dsl_ctx(spark, sf_dir), body)
 
 
+# Raw-vector kNN fixtures: a deterministic 64-dim literal query vector
+# (the body carries the vector itself — KNNQueryBuilder's shape); the
+# SAME Python list renders into the engine's array literal and the
+# oracle's SQL literal, so both engines score bit-identical doubles.
+KNN_QUERY_VEC = [round(__import__("math").sin(i * 1.7 + 0.3), 6)
+                 for i in range(64)]
+KNN_FILTER = {"range": {"label": {"gte": 4}}}
+KNN_FILTER_PRED = "label >= 4.0"  # what _predicate_sql renders
+DISTANCE_FEATURE_SPEC = {"field": "n_chars", "origin": 500,
+                         "pivot": 100, "boost": 2.0}
+PINNED_IDS = [7, 3, 10**9]  # 10**9 absent at every SF — exercises the
+# present-in-corpus gate (the reference drops unknown pinned ids)
+
+
+def _q_dsl_knn(spark, sf_dir):
+    """Raw-vector ``knn`` body — the builder NeuralQueryBuilder.doRewrite
+    actually produces (KNNQueryBuilder: literal vector + k + efficient
+    filter, NeuralQueryBuilder.java:300-325): exact brute-force cosine
+    against the broadcast literal, candidates pre-filtered on the
+    embedding table's label column (filter pushed into the scan)."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"knn": {"embedding": {
+        "vector": KNN_QUERY_VEC, "k": 10, "filter": KNN_FILTER}}},
+        "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
+def _q_dsl_script_score_knn(spark, sf_dir):
+    """``script_score`` exact kNN — the reference's documented escape
+    hatch when no ANN index serves the field: match_all wrapped,
+    score = cosineSimilarity(params.query_vector, doc['embedding'])
+    + 1.0. No script engine: the deterministic Painless subset parses
+    into the same JVM-side cosine kernel as every other vector row."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"script_score": {
+        "query": {"match_all": {}},
+        "script": {"source": "cosineSimilarity(params.query_vector, "
+                             "doc['embedding']) + 1.0",
+                   "params": {"query_vector": KNN_QUERY_VEC}}}},
+        "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
+def _q_dsl_distance_feature(spark, sf_dir):
+    """``distance_feature`` on the numeric n_chars column: score =
+    boost × pivot / (pivot + |value − origin|) — one SQL expression
+    shared verbatim with the oracle (exact ties order by doc_id, a
+    total tiebreak in both engines)."""
+    from neural_search_spark.query.dsl import search
+
+    return search(_dsl_ctx(spark, sf_dir),
+                  {"query": {"distance_feature": dict(DISTANCE_FEATURE_SPEC)},
+                   "size": 10})
+
+
+def _q_dsl_pinned(spark, sf_dir):
+    """``pinned`` query: listed ids rank first IN LIST ORDER (ids absent
+    from the corpus drop), organic BM25 hits follow with pinned ids
+    excluded — PinnedQueryBuilder's contract; the pinned band is
+    PINNED_BASE + (n − position), exact doubles in both engines."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"pinned": {
+        "ids": list(PINNED_IDS),
+        "organic": {"match": {"text": " ".join(TERMS_OR)}}}}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
+def _q_dsl_wrapper_match(spark, sf_dir):
+    """``wrapper`` query (base64-embedded JSON body) — decodes and
+    dispatches through the same translator, so this row shares
+    dsl_match's oracle byte for byte."""
+    import base64
+    import json
+
+    from neural_search_spark.query.dsl import search
+
+    inner = base64.b64encode(
+        json.dumps({"match": {"text": " ".join(TERMS_OR)}}).encode()
+    ).decode()
+    return search(_dsl_ctx(spark, sf_dir),
+                  {"query": {"wrapper": {"query": inner}}, "size": 10})
+
+
 def _q_dsl_match_msm(spark, sf_dir):
     """match with minimum_should_match over the INDEX via the DSL:
     dispatches the kernel's msm mode (block-max OR + nt >= m gate) —
@@ -2386,7 +2472,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    heterogeneous dis_max) — every NEW operator gets driver
         #    evidence in its own round --
         "dsl_terms_topk": _q_dsl_terms_topk,
-        "dsl_terms_exists_filter": _q_dsl_terms_exists_filter,
         "dsl_nested_total": _q_dsl_nested_total,
         "dsl_hybrid_nested": _q_dsl_hybrid_nested,
         "dsl_dismax_sparse": _q_dsl_dismax_sparse,
@@ -2402,7 +2487,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_msearch_mixed": _q_dsl_msearch_mixed,
         "dsl_hybrid_phrase": _q_dsl_hybrid_phrase,
         "dsl_hybrid_explain": _q_dsl_hybrid_explain,
-        "dsl_multi_match": _q_dsl_multi_match,
         "dsl_boosting": _q_dsl_boosting,
         "dsl_function_score": _q_dsl_function_score,
         "dsl_simple_query_string": _q_dsl_simple_query_string,
@@ -2414,11 +2498,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_match_bool_prefix": _q_dsl_match_bool_prefix,
         "dsl_query_string": _q_dsl_query_string,
         "dsl_terms_set": _q_dsl_terms_set,
-        "dsl_match_msm": _q_dsl_match_msm,
         "dsl_match_fuzzy": _q_dsl_match_fuzzy,
         "dsl_suggest_term": _q_dsl_suggest_term,
-        "dsl_hybrid_query_string": _q_dsl_hybrid_query_string,
         "dsl_query_string_indexed": _q_dsl_query_string_indexed,
+        # -- round-5 session-6 adds (the k-NN plugin's raw surface +
+        #    scoring leaves): knn (literal vector + efficient filter),
+        #    script_score exact-kNN (the reference's documented escape
+        #    hatch), pinned, distance_feature. Four session-5 rows are
+        #    demoted past 49 to fit (rationale there) --
+        "dsl_knn": _q_dsl_knn,
+        "dsl_script_score_knn": _q_dsl_script_score_knn,
+        "dsl_pinned": _q_dsl_pinned,
+        "dsl_distance_feature": _q_dsl_distance_feature,
         # -- implementation changed in round 5 (re-gate; the rest of the
         #    changed-path family — dsl_match/dsl_bool/dsl_aggs,
         #    dsl_hybrid_neural, indexed_bm25_phrase, indexed_phrase_prefix,
@@ -2497,6 +2588,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_text_token_counts,
         "dsl_hybrid_neural": _q_dsl_hybrid_neural,        # r04-green
         "chunk_fixed_standard": _q_chunk_fixed_standard,  # r04-green
+        # -- session-5 rows demoted from the window for the session-6
+        #    adds: each one's machinery keeps in-window driver evidence
+        #    via a sibling — dsl_multi_match reduces exactly to
+        #    dsl_match's path (boost variant pytest-pinned);
+        #    dsl_hybrid_query_string's hybrid_frames_sql composition is
+        #    gated by dsl_hybrid_phrase + dsl_hybrid_explain; dsl_match_msm
+        #    rides the same bm25_msm kernel as the in-window dsl_terms_set;
+        #    dsl_terms_exists_filter's constant-score filter frames are
+        #    gated by dsl_constant_score + dsl_terms_topk. All four stay
+        #    oracle-verified under pytest tests/test_entry.py. --
+        "dsl_multi_match": _q_dsl_multi_match,
+        "dsl_hybrid_query_string": _q_dsl_hybrid_query_string,
+        "dsl_match_msm": _q_dsl_match_msm,
+        "dsl_terms_exists_filter": _q_dsl_terms_exists_filter,
+        # wrapper shares dsl_match's oracle byte for byte (the decoded
+        # body IS dsl_match's body) — translator plumbing, pytest-gated
+        "dsl_wrapper_match": _q_dsl_wrapper_match,
         # r03-green core + round-3 additions
         "ann_radial": _q_ann_radial,
         "cross_encoder_rerank": _q_cross_encoder_rerank,
@@ -2950,4 +3058,16 @@ def oracle_sql() -> dict[str, str]:
                 f"({_matcher_sql(fuzzy=(t, FUZZY_MATCH_EDITS, 0))})"
                 for t in sorted(FUZZY_MATCH_QUERY.split())
             ), k=10),
+        "dsl_knn": poracle.dsl_knn_sql(
+            KNN_QUERY_VEC, k=10, predicate=KNN_FILTER_PRED),
+        "dsl_script_score_knn": poracle.script_score_knn_sql(
+            KNN_QUERY_VEC, const=1.0, k=10),
+        "dsl_distance_feature": oracle.distance_feature_sql(
+            DISTANCE_FEATURE_SPEC["field"],
+            origin=float(DISTANCE_FEATURE_SPEC["origin"]),
+            pivot=float(DISTANCE_FEATURE_SPEC["pivot"]),
+            boost=float(DISTANCE_FEATURE_SPEC["boost"]), k=10),
+        "dsl_pinned": oracle.pinned_topk_sql(PINNED_IDS, TERMS_OR, k=10),
+        # the decoded wrapper body IS dsl_match's body — same oracle
+        "dsl_wrapper_match": oracle.bm25_topk_sql(TERMS_OR, k=10),
     }

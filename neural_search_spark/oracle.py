@@ -97,6 +97,68 @@ ORDER BY scored.score DESC, scored.doc_id ASC
 LIMIT {k}"""
 
 
+def distance_feature_sql(
+    field: str,
+    origin: float,
+    pivot: float,
+    boost: float = 1.0,
+    k: int = 10,
+    table: str = "documents",
+) -> str:
+    """``distance_feature`` oracle: score = boost × pivot / (pivot +
+    |value − origin|) over docs where the field is present — the same
+    single SQL expression the translator evaluates (abs/arithmetic
+    coincide across engines, so the math is provably shared)."""
+    s = (f"{float(boost)!r} * ({float(pivot)!r} / ({float(pivot)!r} + "
+         f"abs(CAST({field} AS DOUBLE) - {float(origin)!r})))")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {s} AS s FROM {table} WHERE {field} IS NOT NULL
+)
+SELECT doc_id, round(s, 4) AS score,
+       CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INT) AS rank
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT {k}"""
+
+
+def pinned_topk_sql(
+    ids: list[int],
+    terms: list[str],
+    k: int = 10,
+    table: str = "documents",
+    pinned_base: float = 1.0e9,
+) -> str:
+    """``pinned`` oracle: the listed ids (those present in the corpus)
+    rank first in list order at PINNED_BASE + (n − position), organic
+    BM25 hits follow with pinned ids excluded — the translator's exact
+    score assignment, so the hash compares real values, not just
+    order."""
+    dl_expr = quantized_dl_sql("dl")
+    contrib = bm25_sql(tf="tf", dl_q=f"({dl_expr})", N="N", df="df", avgdl="avgdl")
+    n = len(ids)
+    rows = ", ".join(
+        f"({int(v)}, {float(pinned_base + (n - i))!r})" for i, v in enumerate(ids)
+    )
+    id_list = ", ".join(str(int(v)) for v in ids)
+    return f"""{bm25_base_ctes(terms, table)},
+scored AS (
+  SELECT tf.doc_id AS doc_id, sum({contrib}) AS score
+  FROM tf JOIN dfreq USING (term), stats
+  GROUP BY tf.doc_id
+),
+pinned AS (
+  SELECT p.doc_id, p.s AS score FROM (VALUES {rows}) p(doc_id, s)
+  WHERE p.doc_id IN (SELECT doc_id FROM {table})
+),
+unioned AS (
+  SELECT doc_id, score FROM pinned
+  UNION ALL
+  SELECT doc_id, score FROM scored WHERE doc_id NOT IN ({id_list})
+)
+SELECT doc_id, round(unioned.score, 4) AS score,
+       CAST(row_number() OVER (ORDER BY unioned.score DESC, unioned.doc_id ASC) AS INT) AS rank
+FROM unioned ORDER BY unioned.score DESC, unioned.doc_id ASC LIMIT {k}"""
+
+
 def bm25_explain_sql(
     terms: list[str],
     k: int = 10,

@@ -227,6 +227,77 @@ SELECT vec_id, cos,
 FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
 
 
+def knn_vector_sql(
+    query_vec: list[float],
+    k: int = 10,
+    table: str = "embeddings",
+    predicate: str | None = None,
+) -> str:
+    """Exact cosine top-k against a LITERAL query vector — the oracle
+    for the raw ``knn`` DSL query (``cosine_topk_vector``). The vector
+    literal is rendered with ``repr(float)`` (round-trip exact), so
+    both engines score against bit-identical doubles. No
+    self-exclusion: a literal query has no corpus row."""
+    lit = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
+    cand_where = f"WHERE ({predicate})" if predicate else ""
+    return f"""
+WITH cand AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table} {cand_where}),
+q AS (SELECT {lit} AS qv),
+scored AS (
+  SELECT cand.vec_id,
+         round(list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+  FROM cand, q
+)
+SELECT vec_id, cos,
+       CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {k}"""
+
+
+def dsl_knn_sql(
+    query_vec: list[float],
+    k: int = 10,
+    table: str = "embeddings",
+    predicate: str | None = None,
+) -> str:
+    """The ``knn`` DSL body through ``search()`` — same math as
+    ``knn_vector_sql``, reshaped to the search-hit contract
+    (doc_id, score rounded at 4, rank). Ordering stays on the
+    round-6 cosine, exactly the engine's topk convention."""
+    inner = knn_vector_sql(query_vec, k=k, table=table, predicate=predicate)
+    return (f"SELECT vec_id AS doc_id, round(cos, 4) AS score, rank "
+            f"FROM ({inner})")
+
+
+def script_score_knn_sql(
+    query_vec: list[float],
+    const: float = 1.0,
+    k: int = 10,
+    table: str = "embeddings",
+    docs_table: str = "documents",
+) -> str:
+    """``script_score`` exact-kNN oracle: match_all over the documents
+    table, score replaced by cosineSimilarity(params.v, doc[vec]) +
+    const — the reference's documented exact-search recipe. Docs
+    without an embedding row drop via the inner join (the translator's
+    declared boundary). Orders on the round-6 cosine + const (the
+    engine's pre-round-4 sort key)."""
+    lit = "[" + ", ".join(repr(float(x)) for x in query_vec) + "]::DOUBLE[]"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+q AS (SELECT {lit} AS qv),
+scored AS (
+  SELECT d.doc_id,
+         round(list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+         + {float(const)!r} AS s
+  FROM {docs_table} d JOIN e ON e.vec_id = d.doc_id, q
+)
+SELECT doc_id, round(s, 4) AS score,
+       CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INT) AS rank
+FROM scored ORDER BY s DESC, doc_id ASC LIMIT {k}"""
+
+
 def cosine_msearch_sql(
     query_vec_ids: list[int], k: int = 10, table: str = "embeddings"
 ) -> str:

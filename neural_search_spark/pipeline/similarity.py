@@ -76,6 +76,45 @@ def cosine_topk(
     return top.select("vec_id", "cos", F.row_number().over(w).cast("int").alias("rank"))
 
 
+def cosine_topk_vector(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    predicate: str | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine to a LITERAL query vector — the raw
+    ``knn`` query shape (KNNQueryBuilder carries the vector itself;
+    NeuralQueryBuilder.doRewrite produces exactly this builder with
+    the model's embedding, NeuralQueryBuilder.java:300-325).
+
+    Same plan as ``cosine_topk`` minus the query-side lookup: the
+    vector is a broadcast literal, scoring is whole-stage codegen,
+    the cut is TakeOrderedAndProject. No self-exclusion — a literal
+    query has no row identity in the corpus. ``predicate`` restricts
+    CANDIDATES before scoring (the k-NN engine's filter slot), pushed
+    into the scan by Catalyst.
+    """
+    if not query_vec or not all(
+        isinstance(x, (int, float)) and not isinstance(x, bool) for x in query_vec
+    ):
+        raise ValueError("query_vec must be a non-empty numeric list")
+    src = emb.where(F.expr(predicate)) if predicate else emb
+    v = _as_double(src, id_col, vec_col, "vec_id", "v")
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    dot = DOT.format(a="v", b="qv")
+    na, nq = NORM.format(a="v"), NORM.format(a="qv")
+    scored = (
+        v.withColumn("qv", q)
+        .withColumn("cos", F.round(F.expr(dot) / (F.expr(na) * F.expr(nq)), 6))
+        .select("vec_id", "cos")
+    )
+    top = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return top.select("vec_id", "cos", F.row_number().over(w).cast("int").alias("rank"))
+
+
 def ivf_assign(
     emb: DataFrame,
     centroid_ids: list[int] | None = None,

@@ -100,7 +100,8 @@ _QUERY_TYPES = (
     "bool dis_max hybrid neural neural_sparse nested "
     "term terms range exists ids match_all constant_score "
     "multi_match boosting function_score simple_query_string "
-    "more_like_this rank_feature match_bool_prefix query_string terms_set"
+    "more_like_this rank_feature match_bool_prefix query_string terms_set "
+    "knn script_score pinned wrapper match_none distance_feature"
 ).split()
 
 
@@ -400,6 +401,48 @@ def _leaf_scores(ctx: SearchContext, typ: str, spec: Any) -> DataFrame | None:
         return ctx.docs.where(
             F.col(fld).isNotNull() & (F.col(fld).cast("double") > 0)
         ).select(
+            F.col(ctx.id_col).alias("doc_id"),
+            F.expr(fexpr).alias("score"),
+        )
+    if typ == "match_none":
+        # MatchNoneQueryBuilder: matches nothing (Lucene
+        # MatchNoDocsQuery) — an empty frame with the standard shape
+        if not isinstance(spec, dict) or spec:
+            raise DslError("[match_none] takes an empty object")
+        return ctx.docs.where(F.lit(False)).select(
+            F.col(ctx.id_col).alias("doc_id"),
+            F.lit(1.0).cast("double").alias("score"),
+        )
+    if typ == "distance_feature":
+        # DistanceFeatureQueryBuilder on a numeric field:
+        # score = boost × pivot / (pivot + |value − origin|), matching
+        # every doc where the field is present (Lucene
+        # LongField.newDistanceFeatureQuery semantics). One shared SQL
+        # expression — abs/arithmetic coincide in Spark SQL and DuckDB,
+        # so the oracle provably evaluates the same math.
+        _reject_unknown(spec, {"field", "origin", "pivot", "boost"},
+                        "distance_feature")
+        for req in ("field", "origin", "pivot"):
+            if req not in spec:
+                raise DslError(f"[distance_feature] needs [{req}]")
+        fld = _col_name(spec["field"])
+        if fld == ctx.text_col:
+            raise DslError(f"[distance_feature] field [{fld}] is the "
+                           "analyzed text column; it needs a numeric field")
+        try:
+            origin = float(spec["origin"])
+            pivot = float(spec["pivot"])
+            boost = float(spec.get("boost", 1.0))
+        except (TypeError, ValueError) as e:
+            raise DslError("[distance_feature] origin/pivot/boost must be "
+                           "numeric") from e
+        if pivot <= 0:
+            raise DslError(f"[distance_feature] pivot must be > 0, got {pivot}")
+        if boost < 0:
+            raise DslError(f"[distance_feature] boost must be >= 0, got {boost}")
+        fexpr = (f"{boost!r} * ({pivot!r} / ({pivot!r} + "
+                 f"abs(CAST({fld} AS DOUBLE) - {origin!r})))")
+        return ctx.docs.where(F.col(fld).isNotNull()).select(
             F.col(ctx.id_col).alias("doc_id"),
             F.expr(fexpr).alias("score"),
         )
@@ -1027,6 +1070,16 @@ def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
         s = _neural_topk(ctx, spec).select(
             F.col("vec_id").alias("doc_id"), F.col("cos").alias("score")
         )
+    elif typ == "knn":
+        # raw-vector kNN sub-query: the candidate pool is its own k
+        # (KNNQueryBuilder semantics), scores enter normalization raw
+        s = _knn_topk(ctx, spec).select(
+            F.col("vec_id").alias("doc_id"), F.col("cos").alias("score")
+        )
+    elif typ == "script_score":
+        # full match-set frame, like the other full-frame sub-queries —
+        # normalization statistics see every matched doc
+        s = _script_scores(ctx, spec)
     elif typ == "neural_sparse":
         field, params = _one(spec, "neural_sparse")
         params = _params(params, "query_tokens")
@@ -1068,9 +1121,10 @@ def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
             raise DslError(f"hybrid sub-query type [{typ}] unsupported; "
                            "supported: match, multi_match, match_phrase, "
                            "match_bool_prefix, simple_query_string, "
-                           "query_string, neural, neural_sparse, nested, "
-                           "term, terms, range, exists, ids, match_all, "
-                           "constant_score, rank_feature")
+                           "query_string, neural, knn, script_score, "
+                           "neural_sparse, nested, term, terms, range, "
+                           "exists, ids, match_all, constant_score, "
+                           "rank_feature, match_none, distance_feature")
     return s.select(F.lit(idx).alias("subquery_idx"), "doc_id", "score")
 
 
@@ -1089,6 +1143,135 @@ def _neural_topk(ctx: SearchContext, spec: Any) -> DataFrame:
     from ..pipeline.similarity import cosine_topk
 
     return cosine_topk(ctx.embeddings, qid, k=k)
+
+
+def _knn_topk(ctx: SearchContext, spec: Any) -> DataFrame:
+    """Raw ``knn`` query — the builder NeuralQueryBuilder.doRewrite
+    actually produces (KNNQueryBuilder: field + literal vector + k +
+    optional filter, NeuralQueryBuilder.java:300-325). The vector is
+    carried in the body, so scoring is exact brute force against the
+    literal; ``filter`` restricts candidates pre-scoring (the k-NN
+    engine's efficient-filter slot), a term/terms/range/exists DSL
+    object over the embedding table's columns."""
+    from ..pipeline.similarity import cosine_topk_vector
+
+    field, params = _one(spec, "knn")
+    if ctx.embeddings is None:
+        raise DslError("knn query needs ctx.embeddings")
+    if not isinstance(params, dict):
+        raise DslError("[knn] field spec must be an object")
+    _reject_unknown(params, {"vector", "k", "filter"}, "knn")
+    if field not in ctx.embeddings.columns or field == "vec_id":
+        raise DslError(f"[knn] field [{field}] is not a vector column of "
+                       "the embedding table")
+    vec = params.get("vector")
+    if (not isinstance(vec, list) or not vec
+            or not all(isinstance(x, (int, float)) and not isinstance(x, bool)
+                       for x in vec)):
+        raise DslError("[knn] needs a non-empty numeric [vector] list")
+    k = int(params.get("k", 10))
+    pred = None
+    if "filter" in params:
+        if not isinstance(params["filter"], dict):
+            raise DslError("[knn] filter must be a query object")
+        pred = _predicate_sql(params["filter"])
+    return cosine_topk_vector(ctx.embeddings, [float(x) for x in vec], k=k,
+                              vec_col=field, predicate=pred)
+
+
+_SCRIPT_VEC_RE = __import__("re").compile(
+    r"^\s*(cosineSimilarity|dotProduct)\(\s*params\.(\w+)\s*,\s*"
+    r"doc\['(\w+)'\]\s*\)\s*(?:\+\s*([0-9]+(?:\.[0-9]+)?))?\s*$")
+_SCRIPT_BOOST_RE = __import__("re").compile(
+    r"^\s*_score\s*\*\s*(?:params\.(\w+)|([0-9]+(?:\.[0-9]+)?))\s*$")
+
+
+def _script_scores(ctx: SearchContext, spec: Any) -> DataFrame:
+    """``script_score`` with the deterministic Painless subset the
+    reference's exact-kNN recipe uses (the documented escape hatch when
+    an ANN index is unavailable): ``cosineSimilarity(params.v,
+    doc['field']) + C`` / ``dotProduct(...)`` over the embedding
+    column, and ``_score * factor`` over the wrapped query's BM25
+    score. Anything else rejects loudly — there is no script engine.
+
+    Match set = the wrapped query's; for the vector functions, docs
+    without an embedding row drop from the result (the reference
+    errors per-doc on a missing vector field; the inner join keeps the
+    pipeline total — documented boundary). Cosine/dot round at 6 like
+    every other vector kernel, so the oracle's list_dot_product math
+    provably coincides."""
+    if not isinstance(spec, dict):
+        raise DslError("[script_score] expects an object")
+    _reject_unknown(spec, {"query", "script", "min_score"}, "script_score")
+    if "query" not in spec or "script" not in spec:
+        raise DslError("[script_score] needs [query] and [script]")
+    script = spec["script"]
+    if not isinstance(script, dict):
+        raise DslError("[script_score] script must be an object")
+    _reject_unknown(script, {"source", "params"}, "script")
+    source = script.get("source")
+    if not isinstance(source, str):
+        raise DslError("[script_score] script needs a string [source]")
+    sparams = script.get("params", {})
+    if not isinstance(sparams, dict):
+        raise DslError("[script_score] script params must be an object")
+    inner = _scores_frame(ctx, spec["query"], "script_score.query")
+
+    if m := _SCRIPT_BOOST_RE.match(source):
+        pname, lit = m.groups()
+        if pname is not None:
+            if pname not in sparams:
+                raise DslError(f"[script_score] params.{pname} is not bound")
+            factor = sparams[pname]
+        else:
+            factor = float(lit)
+        if (not isinstance(factor, (int, float)) or isinstance(factor, bool)
+                or float(factor) < 0):
+            raise DslError("[script_score] _score factor must be a "
+                           "non-negative number")
+        out = inner.select(
+            "doc_id", (F.col("score") * F.lit(float(factor))).alias("score"))
+    elif m := _SCRIPT_VEC_RE.match(source):
+        from ..pipeline.similarity import DOT, NORM, _as_double
+
+        fn, pname, fld, const = m.groups()
+        if ctx.embeddings is None:
+            raise DslError("[script_score] vector functions need "
+                           "ctx.embeddings")
+        if fld not in ctx.embeddings.columns or fld == "vec_id":
+            raise DslError(f"[script_score] doc['{fld}'] is not a vector "
+                           "column of the embedding table")
+        qv = sparams.get(pname)
+        if (not isinstance(qv, list) or not qv
+                or not all(isinstance(x, (int, float))
+                           and not isinstance(x, bool) for x in qv)):
+            raise DslError(f"[script_score] params.{pname} must be a "
+                           "non-empty numeric vector")
+        vecs = _as_double(ctx.embeddings, "vec_id", fld, "doc_id", "v")
+        qlit = F.array(*[F.lit(float(x)).cast("double") for x in qv])
+        dot = F.expr(DOT.format(a="v", b="qv"))
+        if fn == "cosineSimilarity":
+            val = dot / (F.expr(NORM.format(a="v")) * F.expr(NORM.format(a="qv")))
+        else:
+            val = dot
+        val = F.round(val, 6)
+        if const is not None:
+            val = val + F.lit(float(const))
+        out = inner.join(
+            vecs.withColumn("qv", qlit).select("doc_id", val.alias("nss_s")),
+            "doc_id",
+        ).select("doc_id", F.col("nss_s").alias("score"))
+    else:
+        raise DslError(
+            "[script_score] unsupported script source (no script engine); "
+            "supported shapes: cosineSimilarity(params.V, doc['F']) [+ C], "
+            "dotProduct(params.V, doc['F']) [+ C], _score * factor")
+    if "min_score" in spec:
+        ms = spec["min_score"]
+        if not isinstance(ms, (int, float)) or isinstance(ms, bool):
+            raise DslError("[script_score] min_score must be numeric")
+        out = out.where(F.col("score") >= F.lit(float(ms)))
+    return out
 
 
 # --- top-level dispatch ---------------------------------------------------
@@ -1339,8 +1522,83 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
         return topk(fn(ctx.docs, terms, id_col=ic, text_col=tc, round_to=None), k=k)
 
     if typ in ("term", "terms", "range", "exists", "ids", "match_all",
-               "constant_score", "rank_feature"):
+               "constant_score", "rank_feature", "match_none",
+               "distance_feature"):
         return topk(_leaf_scores(ctx, typ, spec), k=k)
+
+    if typ == "script_score":
+        return topk(_script_scores(ctx, spec), k=k)
+
+    if typ == "wrapper":
+        # WrapperQueryBuilder: a base64-encoded JSON query body,
+        # decoded and dispatched through the SAME translator — the
+        # transport-embedding shape, not a new query semantics
+        import base64
+        import json as _json
+
+        _reject_unknown(spec, {"query"}, "wrapper")
+        raw = spec.get("query")
+        if not isinstance(raw, str) or not raw:
+            raise DslError("[wrapper] needs a base64 [query] string")
+        try:
+            inner = _json.loads(base64.b64decode(raw, validate=True))
+        except Exception as e:
+            raise DslError(f"[wrapper] query is not base64-encoded JSON: "
+                           f"{e}") from e
+        if not isinstance(inner, dict):
+            raise DslError("[wrapper] decoded query must be an object")
+        return _topk_frame(ctx, inner, k)
+
+    if typ == "pinned":
+        # PinnedQueryBuilder: the listed ids rank first IN LIST ORDER,
+        # organic hits follow by their own scores; a pinned doc never
+        # also appears organically. The reference pins with float
+        # scores just above Float.MAX_VALUE/2 — the absolute pinned
+        # score is an implementation detail there too; here the pinned
+        # band is PINNED_BASE + (n − position) with PINNED_BASE far
+        # above any BM25/cosine score, which preserves the contract
+        # (pinned order, then organic order) with exact doubles in
+        # both engines.
+        _reject_unknown(spec, {"ids", "organic"}, "pinned")
+        ids = spec.get("ids")
+        if (not isinstance(ids, list) or not ids
+                or not all(isinstance(v, int) and not isinstance(v, bool)
+                           for v in ids)
+                or len(set(ids)) != len(ids)):
+            raise DslError("[pinned] needs a non-empty duplicate-free "
+                           "integer [ids] list")
+        if "organic" not in spec:
+            raise DslError("[pinned] needs an [organic] query")
+        org = _scores_frame(ctx, spec["organic"], "pinned.organic")
+        base = 1.0e9
+        n = len(ids)
+        pin_score = F.create_map(*[
+            x for i, v in enumerate(ids)
+            for x in (F.lit(v), F.lit(base + (n - i)))
+        ])
+        pinned = (ctx.docs.where(F.col(ic).isin(ids))
+                  .select(F.col(ic).alias("doc_id"))
+                  .withColumn("score", pin_score[F.col("doc_id")]))
+        organic = org.where(~F.col("doc_id").isin(ids))
+        return topk(pinned.unionByName(organic), k=k)
+
+    if typ == "knn":
+        # same k/size interplay rule as neural: the pool is never
+        # smaller than the requested size
+        field, params = _one(spec, "knn")
+        if not isinstance(params, dict):
+            raise DslError("[knn] field spec must be an object")
+        if "k" not in params:
+            params = dict(params); params["k"] = max(k, 10)
+        elif int(params["k"]) < k:
+            params = dict(params); params["k"] = k
+        top = _knn_topk(ctx, {field: params})
+        w = F.row_number().over(Window.orderBy(F.col("cos").desc(),
+                                               F.col("vec_id").asc()))
+        out = top.select(F.col("vec_id").alias("doc_id"),
+                         F.round("cos", 4).alias("score"),
+                         w.cast("int").alias("rank"))
+        return out.where(F.col("rank") <= k)
 
     if typ == "nested":
         return topk(_nested_scores(ctx, spec), k=k)

@@ -1444,3 +1444,185 @@ def test_indexed_parser_families_match_exhaustive(reader_ctx, documents):
                search(plain, body).collect()]
         assert [d for d, _ in idx] == [d for d, _ in exh], body
         assert all(abs(a - b) <= 1e-4 for (_, a), (_, b) in zip(idx, exh)), body
+
+
+# --- session-6: knn / script_score / pinned / distance_feature /
+#     wrapper / match_none ------------------------------------------------
+
+QV = [round(__import__("math").sin(i * 1.7 + 0.3), 6) for i in range(64)]
+
+
+def test_knn_raw_vector(ctx, embeddings):
+    from neural_search_spark.pipeline.similarity import cosine_topk_vector
+
+    body = {"query": {"knn": {"embedding": {"vector": QV, "k": 5}}},
+            "size": 5}
+    got = search(ctx, body)
+    exp = cosine_topk_vector(embeddings, QV, k=5)
+    assert [(r["doc_id"], round(r["score"], 4), r["rank"])
+            for r in got.collect()] == \
+           [(r["vec_id"], round(r["cos"], 4), r["rank"])
+            for r in exp.collect()]
+
+    # the filter restricts CANDIDATES before scoring
+    fbody = {"query": {"knn": {"embedding": {
+        "vector": QV, "k": 5,
+        "filter": {"range": {"label": {"gte": 5}}}}}}, "size": 5}
+    labels = {r["vec_id"]: r["label"] for r in embeddings.collect()}
+    hits = search(ctx, fbody).collect()
+    assert hits and all(labels[r["doc_id"]] >= 5 for r in hits)
+
+    # k/size interplay: the pool is never smaller than size
+    wide = search(ctx, {"query": {"knn": {"embedding":
+                                          {"vector": QV, "k": 3}}},
+                        "size": 8}).collect()
+    assert len(wide) == 8
+
+    # hybrid sub-query: raw cosines enter normalization
+    hyb = search(ctx, {"query": {"hybrid": {"queries": [
+        {"knn": {"embedding": {"vector": QV, "k": 5}}},
+        {"match": {"text": "spark"}},
+    ]}}, "size": 5})
+    assert hyb.count() == 5
+
+
+def test_knn_rejections(ctx, documents):
+    for bad in [
+        {"knn": {"embedding": {"vector": [], "k": 3}}},
+        {"knn": {"embedding": {"vector": ["x"], "k": 3}}},
+        {"knn": {"embedding": {"vector": QV, "nope": 1}}},
+        {"knn": {"vec_id": {"vector": QV}}},
+        {"knn": {"missing_col": {"vector": QV}}},
+        {"knn": {"embedding": {"vector": QV, "filter": "label > 1"}}},
+    ]:
+        with pytest.raises(DslError):
+            search(ctx, {"query": bad, "size": 3})
+    with pytest.raises(DslError):  # no embeddings surface
+        search(SearchContext(docs=documents),
+               {"query": {"knn": {"embedding": {"vector": QV}}}, "size": 3})
+
+
+def test_script_score_vector_functions(ctx, embeddings):
+    base = {r["doc_id"]: r["score"] for r in search(
+        ctx, {"query": {"knn": {"embedding": {"vector": QV, "k": 10}}},
+              "size": 10}).collect()}
+    got = search(ctx, {"query": {"script_score": {
+        "query": {"match_all": {}},
+        "script": {"source":
+                   "cosineSimilarity(params.qv, doc['embedding']) + 1.0",
+                   "params": {"qv": QV}}}}, "size": 10}).collect()
+    # same ranking, scores shifted by exactly +1 (embeddings cover a
+    # subset of doc ids, and the knn row scores that same table)
+    assert {r["doc_id"]: round(r["score"] - 1.0, 4) for r in got} == base
+
+    dot = search(ctx, {"query": {"script_score": {
+        "query": {"match_all": {}},
+        "script": {"source": "dotProduct(params.qv, doc['embedding'])",
+                   "params": {"qv": QV}}}}, "size": 5}).collect()
+    assert len(dot) == 5
+
+    # min_score cuts the match set
+    cut = search(ctx, {"query": {"script_score": {
+        "query": {"match_all": {}},
+        "script": {"source":
+                   "cosineSimilarity(params.qv, doc['embedding']) + 1.0",
+                   "params": {"qv": QV}},
+        "min_score": 1.0 + got[4]["score"] - 1.0}}, "size": 100}).collect()
+    assert all(r["score"] >= got[4]["score"] - 1e-9 for r in cut)
+
+
+def test_script_score_boost_factor(ctx, documents):
+    from neural_search_spark.query.exhaustive import bm25_scores, topk
+
+    exp = topk(bm25_scores(documents, ["spark"], round_to=None), k=5,
+               round_to=None)
+    got = search(ctx, {"query": {"script_score": {
+        "query": {"match": {"text": "spark"}},
+        "script": {"source": "_score * params.f", "params": {"f": 2.0}}}},
+        "size": 5})
+    assert [(r["doc_id"], round(r["score"], 4)) for r in got.collect()] == \
+           [(r["doc_id"], round(r["score"] * 2.0, 4)) for r in exp.collect()]
+
+
+def test_script_score_rejections(ctx):
+    for script in [
+        {"source": "Math.log(_score)"},                       # no engine
+        {"source": "_score * params.f"},                       # unbound
+        {"source": "_score * params.f", "params": {"f": -1}},  # negative
+        {"source": "cosineSimilarity(params.qv, doc['missing_col'])",
+         "params": {"qv": QV}},
+        {"source": "cosineSimilarity(params.qv, doc['embedding'])",
+         "params": {"qv": "nope"}},
+    ]:
+        with pytest.raises(DslError):
+            search(ctx, {"query": {"script_score": {
+                "query": {"match_all": {}}, "script": script}}, "size": 3})
+    with pytest.raises(DslError):  # query and script both required
+        search(ctx, {"query": {"script_score": {
+            "script": {"source": "_score * 2"}}}, "size": 3})
+
+
+def test_distance_feature(ctx, documents):
+    spec = {"field": "n_chars", "origin": 500, "pivot": 100, "boost": 2.0}
+    got = search(ctx, {"query": {"distance_feature": spec}, "size": 5})
+    vals = {r["doc_id"]: r["n_chars"] for r in documents.collect()}
+    for r in got.collect():
+        exp = 2.0 * (100.0 / (100.0 + abs(float(vals[r["doc_id"]]) - 500.0)))
+        assert abs(r["score"] - round(exp, 4)) <= 1e-9
+    for bad in [
+        {"field": "n_chars", "origin": 1, "pivot": 0},     # pivot <= 0
+        {"field": "n_chars", "origin": 1},                 # missing pivot
+        {"field": "text", "origin": 1, "pivot": 1},        # text column
+        {"field": "n_chars", "origin": 1, "pivot": 1, "x": 2},
+    ]:
+        with pytest.raises(DslError):
+            search(ctx, {"query": {"distance_feature": bad}, "size": 3})
+
+
+def test_pinned(ctx, documents):
+    body = {"query": {"pinned": {
+        "ids": [9, 2, 10**9],
+        "organic": {"match": {"text": "spark window merge"}}}}, "size": 10}
+    hits = search(ctx, body).collect()
+    # pinned in list order first (absent id dropped), organic after,
+    # pinned never duplicated in the organic tail
+    assert [r["doc_id"] for r in hits[:2]] == [9, 2]
+    assert hits[0]["score"] > hits[1]["score"] > hits[2]["score"]
+    assert all(r["doc_id"] not in (9, 2) for r in hits[2:])
+    org = search(ctx, {"query": {"match": {"text": "spark window merge"}},
+                       "size": 10}).collect()
+    assert [r["doc_id"] for r in hits[2:8]] == \
+           [r["doc_id"] for r in org if r["doc_id"] not in (9, 2)][:6]
+    for bad in [
+        {"ids": [], "organic": {"match": {"text": "spark"}}},
+        {"ids": [1, 1], "organic": {"match": {"text": "spark"}}},
+        {"ids": [1, "x"], "organic": {"match": {"text": "spark"}}},
+        {"ids": [1]},
+    ]:
+        with pytest.raises(DslError):
+            search(ctx, {"query": {"pinned": bad}, "size": 3})
+
+
+def test_wrapper_and_match_none(ctx):
+    import base64
+    import json
+
+    inner = base64.b64encode(
+        json.dumps({"match": {"text": "spark window"}}).encode()).decode()
+    got = search(ctx, {"query": {"wrapper": {"query": inner}}, "size": 5})
+    exp = search(ctx, {"query": {"match": {"text": "spark window"}},
+                       "size": 5})
+    assert _rows(got) == _rows(exp)
+    for bad in [{"query": "%%%not-base64%%%"},
+                {"query": base64.b64encode(b"[1, 2]").decode()},
+                {"query": ""}, {"nope": "x"}]:
+        with pytest.raises(DslError):
+            search(ctx, {"query": {"wrapper": bad}, "size": 3})
+
+    assert search(ctx, {"query": {"match_none": {}}, "size": 5}).count() == 0
+    with pytest.raises(DslError):
+        search(ctx, {"query": {"match_none": {"x": 1}}, "size": 3})
+    # as a hybrid sub-query: contributes no docs, the other sub carries
+    hyb = search(ctx, {"query": {"hybrid": {"queries": [
+        {"match": {"text": "spark"}}, {"match_none": {}}]}}, "size": 5})
+    assert hyb.count() == 5
