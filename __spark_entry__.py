@@ -809,6 +809,78 @@ def _q_dsl_pinned(spark, sf_dir):
     return search(_dsl_ctx(spark, sf_dir), body)
 
 
+# Span-family fixtures (query/spans.py): the queries pin every span
+# building block — ordered chaining with slop, the unordered queue
+# pairing with a dictionary-expanded span_multi clause, the
+# position-range gate (span_first), and the pre/post exclusion window
+# (span_not). The span_multi prefix expands to ~6 corpus terms at every
+# SF (vocabulary is fixed), far under the max_expansions=50 cut, so the
+# oracle's uncapped LIKE predicate provably selects the same set.
+SPAN_NEAR_CLAUSES = [["spark"], ["window"]]
+SPAN_MULTI_PREFIX = "s"
+SPAN_FIRST_TERMS = ["agg", "join"]
+SPAN_NOT_INCLUDE = ["merge", "scan"]
+
+
+def _q_dsl_span_near(spark, sf_dir):
+    """Ordered ``span_near`` (SpanNearQuery, in_order=true, slop=2):
+    for each first-clause position the later clause stretches forward
+    (NearSpansOrdered's monotone sub-pointers — one per-doc window),
+    gap <= slop accepts, every span adds 1/(1+matchLength) to freq,
+    and the doc scores idf_total x BM25-tf-norm over that float freq
+    (SpanScorer.setFreqCurrentDoc accumulation)."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"span_near": {"clauses": [
+        {"span_term": {"text": "spark"}},
+        {"span_term": {"text": "window"}}], "slop": 2}}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
+def _q_dsl_span_unordered_multi(spark, sf_dir):
+    """Unordered ``span_near`` whose first clause is a ``span_multi``
+    prefix wrapper (SpanMultiTermQueryWrapper -> dictionary expansion
+    under the shared Spark/DuckDB matcher): every tagged position pairs
+    with the least other-clause position after it — exactly
+    NearSpansUnordered's min-start queue advance."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"span_near": {"clauses": [
+        {"span_multi": {"match": {"prefix": {
+            "text": {"value": SPAN_MULTI_PREFIX}}}}},
+        {"span_term": {"text": "table"}}],
+        "slop": 3, "in_order": False}}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
+def _q_dsl_span_first(spark, sf_dir):
+    """``span_first`` over a ``span_or`` (SpanFirstQuery: spans with
+    endPosition <= end survive; each single-token span contributes a
+    constant 1/2 to freq, so ranking is df/dl-driven like Lucene's)."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"span_first": {"match": {"span_or": {"clauses": [
+        {"span_term": {"text": "agg"}},
+        {"span_term": {"text": "join"}}]}}, "end": 8}}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
+def _q_dsl_span_not(spark, sf_dir):
+    """``span_not`` with an asymmetric exclusion window (SpanNotQuery
+    pre=1/post=2): an include occurrence at p survives iff no exclude
+    occurrence lands in [p-pre, p+post]; idf covers the include tree
+    only."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"span_not": {
+        "include": {"span_or": {"clauses": [
+            {"span_term": {"text": "scan"}},
+            {"span_term": {"text": "merge"}}]}},
+        "exclude": {"span_term": {"text": "slow"}},
+        "pre": 1, "post": 2}}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
 def _q_dsl_wrapper_match(spark, sf_dir):
     """``wrapper`` query (base64-embedded JSON body) — decodes and
     dispatches through the same translator, so this row shares
@@ -2464,7 +2536,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_hybrid_heterogeneous": _q_dsl_hybrid_heterogeneous,
         "dsl_sort_after_fields": _q_dsl_sort_after_fields,
         "dsl_hybrid_hits_with_aggs": _q_dsl_hybrid_hits_with_aggs,
-        "dsl_hybrid_aggs_with_hits": _q_dsl_hybrid_aggs_with_hits,
         "dsl_match_phrase_indexed": _q_dsl_match_phrase_indexed,
         "dsl_aggs_indexed": _q_dsl_aggs_indexed,
         "dsl_constant_score": _q_dsl_constant_score,
@@ -2483,7 +2554,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_explain_indexed": _q_dsl_explain_indexed,
         "dsl_highlight_indexed": _q_dsl_highlight_indexed,
         "dsl_nested_and": _q_dsl_nested_and,
-        "dsl_dismax_and": _q_dsl_dismax_and,
         "dsl_msearch_mixed": _q_dsl_msearch_mixed,
         "dsl_hybrid_phrase": _q_dsl_hybrid_phrase,
         "dsl_hybrid_explain": _q_dsl_hybrid_explain,
@@ -2508,8 +2578,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    demoted past 49 to fit (rationale there) --
         "dsl_knn": _q_dsl_knn,
         "dsl_script_score_knn": _q_dsl_script_score_knn,
-        "dsl_pinned": _q_dsl_pinned,
-        "dsl_distance_feature": _q_dsl_distance_feature,
+        # -- round-5 session-7 adds: the span family (SpanNearQuery
+        #    ordered/unordered, SpanMultiTermQueryWrapper expansion,
+        #    SpanFirstQuery, SpanNotQuery — query/spans.py). Four rows
+        #    demoted past 49 to fit; each demoted row's semantics stay
+        #    gated by a windowed sibling plus the pytest oracle run
+        #    (rationale at the demoted rows) --
+        "dsl_span_near": _q_dsl_span_near,
+        "dsl_span_unordered_multi": _q_dsl_span_unordered_multi,
+        "dsl_span_first": _q_dsl_span_first,
+        "dsl_span_not": _q_dsl_span_not,
         # -- implementation changed in round 5 (re-gate; the rest of the
         #    changed-path family — dsl_match/dsl_bool/dsl_aggs,
         #    dsl_hybrid_neural, indexed_bm25_phrase, indexed_phrase_prefix,
@@ -2605,6 +2683,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # wrapper shares dsl_match's oracle byte for byte (the decoded
         # body IS dsl_match's body) — translator plumbing, pytest-gated
         "dsl_wrapper_match": _q_dsl_wrapper_match,
+        # -- rows demoted from the window for the session-7 span family:
+        #    dsl_hybrid_aggs_with_hits is the complement view of the
+        #    in-window dsl_hybrid_hits_with_aggs (same dual-frame body,
+        #    same machinery); dsl_dismax_and's per-sub conjunctive frames
+        #    stay gated by dsl_nested_and (same bm25_conjunctive kernel in
+        #    a harder composition); dsl_pinned and dsl_distance_feature
+        #    are single shared-SQL expressions evaluated identically by
+        #    construction. All four stay oracle-verified under pytest
+        #    tests/test_entry.py. --
+        "dsl_hybrid_aggs_with_hits": _q_dsl_hybrid_aggs_with_hits,
+        "dsl_dismax_and": _q_dsl_dismax_and,
+        "dsl_pinned": _q_dsl_pinned,
+        "dsl_distance_feature": _q_dsl_distance_feature,
         # r03-green core + round-3 additions
         "ann_radial": _q_ann_radial,
         "cross_encoder_rerank": _q_cross_encoder_rerank,
@@ -3070,4 +3161,18 @@ def oracle_sql() -> dict[str, str]:
         "dsl_pinned": oracle.pinned_topk_sql(PINNED_IDS, TERMS_OR, k=10),
         # the decoded wrapper body IS dsl_match's body — same oracle
         "dsl_wrapper_match": oracle.bm25_topk_sql(TERMS_OR, k=10),
+        # span family: the oracle replays the same window-function
+        # enumeration (query/spans.py) in DuckDB; the span_multi clause
+        # is the SAME shared LIKE matcher string, uncapped because the
+        # expansion is ~6 terms << max_expansions=50 at every SF
+        # (pinned by tests/test_spans.py)
+        "dsl_span_near": oracle.span_near_topk_sql(
+            SPAN_NEAR_CLAUSES, slop=2, in_order=True, k=10),
+        "dsl_span_unordered_multi": oracle.span_near_topk_sql(
+            [_matcher_sql(like=like_escape(SPAN_MULTI_PREFIX) + "%"),
+             ["table"]], slop=3, in_order=False, k=10),
+        "dsl_span_first": oracle.span_set_topk_sql(
+            SPAN_FIRST_TERMS, max_end=8, k=10),
+        "dsl_span_not": oracle.span_not_topk_sql(
+            SPAN_NOT_INCLUDE, ["slow"], pre=1, post=2, k=10),
     }

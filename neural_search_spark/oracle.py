@@ -2751,3 +2751,199 @@ FROM agg
 WHERE n >= {need} {neg_clause}
 ORDER BY agg.score DESC, agg.doc_id ASC
 LIMIT {k}"""
+
+
+def _span_clause_pred(clause) -> str:
+    """A span clause as a DuckDB boolean over ``term``: an explicit
+    term list, or a raw predicate string (span_multi's dictionary
+    matcher, e.g. "term LIKE 's%'")."""
+    if isinstance(clause, str):
+        return f"({clause})"
+    return f"term IN {_terms_list(sorted(clause))}"
+
+
+def _span_ctes(clauses, table: str) -> str:
+    """Shared span oracle prefix: tok, stats, the full position list,
+    clause-tagged query positions, and the tree-wide idf total. The
+    score math mirrors query/spans.py expression-for-expression
+    (identical doubles before the 4-decimal round)."""
+    _, duck_toks = simple_tokens_sql("text")
+    preds = [_span_clause_pred(c) for c in clauses]
+    any_pred = " OR ".join(preds)
+    tag = " ".join(f"WHEN {p} THEN {i}" for i, p in enumerate(preds))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {duck_toks} AS toks FROM {table}
+),
+stats AS (
+  SELECT count(*) AS N, sum(len(toks)) * 1.0 / count(*) AS avgdl FROM tok
+),
+allpos AS (
+  SELECT doc_id, len(toks) AS dl, generate_subscripts(toks, 1) - 1 AS p,
+         unnest(toks) AS term
+  FROM tok
+),
+qpos AS (
+  SELECT doc_id, dl, p, CASE {tag} END AS c
+  FROM allpos WHERE {any_pred}
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM allpos WHERE {any_pred} GROUP BY term
+),
+idft AS (
+  SELECT coalesce(sum(ln(1.0 + (N - df + 0.5) / (df + 0.5))), 0.0)
+         AS idf_total
+  FROM dfreq, stats
+)"""
+
+
+def _span_score_tail(k: int, round_to: int) -> str:
+    from .functions.norms import quantized_dl_sql as _qdl
+    from .query.bm25 import B as _b, K1 as _k1
+
+    return f"""freq AS (
+  SELECT doc_id, dl, sum(1.0 / (1.0 + mlen)) AS freq
+  FROM matches GROUP BY doc_id, dl
+),
+scored AS (
+  SELECT doc_id,
+         idf_total * (freq / (freq + {_k1!r} * (1.0 - {_b!r} + {_b!r} *
+           ({_qdl('dl')}) / avgdl))) AS score
+  FROM freq, stats, idft
+)
+SELECT doc_id, round(score, {round_to}) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM scored
+ORDER BY scored.score DESC, scored.doc_id ASC
+LIMIT {k}"""
+
+
+def span_near_topk_sql(
+    clauses,
+    slop: int = 0,
+    in_order: bool = True,
+    max_end: int | None = None,
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """span_near oracle (query/spans.py span_near_scores): ordered
+    chains each clause to its least position after the running end
+    (one window per step); unordered pairs every tagged position with
+    the least other-clause position after it. Gap <= slop accepts;
+    each span contributes 1/(1 + matchLength)."""
+    n = len(clauses)
+    end_gate = f"AND e + 1 <= {max_end}" if max_end is not None else ""
+    if not in_order:
+        if n != 2:
+            raise ValueError("unordered span_near oracle supports 2 clauses")
+        body = f""",
+matches AS (
+  SELECT doc_id, dl, o AS e, o + 1 - p AS mlen FROM (
+    SELECT doc_id, dl, p, c,
+      CASE WHEN c = 0
+           THEN min(CASE WHEN c = 1 THEN p END) OVER w
+           ELSE min(CASE WHEN c = 0 THEN p END) OVER w END AS o
+    FROM qpos
+    WINDOW w AS (PARTITION BY doc_id ORDER BY p ASC
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+  ) WHERE o IS NOT NULL AND o - p - 1 <= {slop} {end_gate}
+),"""
+        return f"{_span_ctes(clauses, table)}{body}\n{_span_score_tail(k, round_to)}"
+    steps = ["c0 AS (SELECT doc_id, dl, p AS a, p AS e FROM qpos WHERE c = 0)"]
+    for i in range(1, n):
+        steps.append(f"""s{i} AS (
+  SELECT doc_id, dl, a, k, is_chain,
+    min(CASE WHEN is_chain = 0 THEN k END) OVER (
+      PARTITION BY doc_id ORDER BY k ASC, is_chain ASC
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS e2
+  FROM (
+    SELECT doc_id, dl, a, e AS k, 1 AS is_chain FROM c{i-1}
+    UNION ALL
+    SELECT doc_id, NULL AS dl, NULL AS a, p AS k, 0 AS is_chain
+    FROM qpos WHERE c = {i}
+  )
+),
+c{i} AS (
+  SELECT doc_id, dl, a, e2 AS e FROM s{i}
+  WHERE is_chain = 1 AND e2 IS NOT NULL
+)""")
+    chain = ",\n".join(steps)
+    return f"""{_span_ctes(clauses, table)},
+{chain},
+matches AS (
+  SELECT doc_id, dl, e, e + 1 - a AS mlen
+  FROM c{n-1} WHERE e - a - {n - 1} <= {slop} {end_gate}
+),
+{_span_score_tail(k, round_to)}"""
+
+
+def span_set_topk_sql(
+    clause,
+    max_end: int | None = None,
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """span_term / span_or / span_multi (optionally span_first-wrapped)
+    oracle: every occurrence is a single-token span, mlen 1."""
+    end_gate = f"WHERE p + 1 <= {max_end}" if max_end is not None else ""
+    return f"""{_span_ctes([clause], table)},
+matches AS (
+  SELECT doc_id, dl, 1 AS mlen FROM qpos {end_gate}
+),
+{_span_score_tail(k, round_to)}"""
+
+
+def span_not_topk_sql(
+    include,
+    exclude,
+    pre: int = 0,
+    post: int = 0,
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """span_not oracle: an include token at p survives iff no exclude
+    token q has p - pre <= q <= p + post. idf covers the include tree
+    only, so dfreq is narrowed before the idf sum."""
+    inc_pred = _span_clause_pred(include)
+    return f"""{_span_ctes([include, exclude], table)},
+inc_idft AS (
+  SELECT coalesce(sum(ln(1.0 + (N - df + 0.5) / (df + 0.5))), 0.0)
+         AS idf_total
+  FROM (SELECT term, count(DISTINCT doc_id) AS df
+        FROM allpos WHERE {inc_pred} GROUP BY term), stats
+),
+gated AS (
+  SELECT doc_id, dl, p, c,
+    max(CASE WHEN c = 1 THEN p END) OVER (
+      PARTITION BY doc_id ORDER BY p ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_x,
+    min(CASE WHEN c = 1 THEN p END) OVER (
+      PARTITION BY doc_id ORDER BY p ASC
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_x
+  FROM qpos
+),
+matches AS (
+  SELECT doc_id, dl, 1 AS mlen FROM gated
+  WHERE c = 0
+    AND (prev_x IS NULL OR prev_x < p - {pre})
+    AND (next_x IS NULL OR next_x > p + {post})
+),
+freq AS (
+  SELECT doc_id, dl, sum(1.0 / (1.0 + mlen)) AS freq
+  FROM matches GROUP BY doc_id, dl
+),
+scored AS (
+  SELECT doc_id,
+         idf_total * (freq / (freq + {K1!r} * (1.0 - {B!r} + {B!r} *
+           ({quantized_dl_sql('dl')}) / avgdl))) AS score
+  FROM freq, stats, inc_idft
+)
+SELECT doc_id, round(score, {round_to}) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM scored
+ORDER BY scored.score DESC, scored.doc_id ASC
+LIMIT {k}"""

@@ -101,7 +101,8 @@ _QUERY_TYPES = (
     "term terms range exists ids match_all constant_score "
     "multi_match boosting function_score simple_query_string "
     "more_like_this rank_feature match_bool_prefix query_string terms_set "
-    "knn script_score pinned wrapper match_none distance_feature"
+    "knn script_score pinned wrapper match_none distance_feature "
+    "span_term span_near span_or span_first span_not span_multi"
 ).split()
 
 
@@ -645,6 +646,201 @@ def _phrase_scores(ctx: SearchContext, spec: Any) -> DataFrame:
     return s.select("doc_id", "score")
 
 
+_SPAN_CLAUSE_TYPES = ("span_term", "span_or", "span_multi")
+
+
+def _span_term_value(ctx: SearchContext, spec: Any) -> str:
+    """SpanTermQuery takes the term VERBATIM (no query-time analysis,
+    like Lucene); a value that is not already one analyzed token would
+    silently match nothing, so it is rejected loudly instead."""
+    field, params = _one(spec, "span_term")
+    if field != ctx.text_col:
+        raise DslError(f"[span_term] field [{field}] is not the corpus "
+                       f"text column [{ctx.text_col}]")
+    params = _params(params, "value")
+    _reject_unknown(params, {"value"}, "span_term")
+    val = params.get("value")
+    if not isinstance(val, str) or not val:
+        raise DslError("[span_term] needs a non-empty string [value]")
+    if analyze_query(val, ctx.analyzer) != [val]:
+        raise DslError(f"[span_term] takes one already-analyzed term; "
+                       f"[{val}] is not a single normalized token under "
+                       f"the [{ctx.analyzer}] analyzer")
+    return val
+
+
+def _span_multi_matcher(ctx: SearchContext, spec: Any) -> str:
+    """span_multi: a prefix / wildcard / fuzzy / regexp query wrapped
+    for position-level matching (SpanMultiTermQueryWrapper). Returns
+    the shared Spark/DuckDB dictionary matcher; the wrapped builder's
+    own validation rules apply unchanged."""
+    from .multiterm import (
+        _matcher_sql,
+        like_escape,
+        regexp_matcher,
+        wildcard_to_like,
+    )
+
+    _reject_unknown(spec, {"match"}, "span_multi")
+    if "match" not in spec:
+        raise DslError("[span_multi] needs a [match] query")
+    ityp, ispec = _one(spec["match"], "span_multi.match")
+    if ityp not in ("prefix", "wildcard", "fuzzy", "regexp"):
+        raise DslError(f"[span_multi] match type [{ityp}] unsupported; "
+                       "supported: prefix, wildcard, fuzzy, regexp")
+    field, params = _one(ispec, ityp)
+    if field != ctx.text_col:
+        raise DslError(f"[span_multi.{ityp}] field [{field}] is not the "
+                       f"corpus text column [{ctx.text_col}]")
+    params = _params(params, "value")
+    allowed = {"value"} | ({"fuzziness"} if ityp == "fuzzy" else set())
+    _reject_unknown(params, allowed, f"span_multi.{ityp}")
+    val = params.get("value")
+    if not isinstance(val, str) or not val:
+        raise DslError(f"[span_multi.{ityp}] needs a non-empty [value]")
+    try:
+        if ityp == "prefix":
+            return _matcher_sql(like=like_escape(val) + "%")
+        if ityp == "wildcard":
+            return _matcher_sql(like=wildcard_to_like(val))
+        if ityp == "regexp":
+            return regexp_matcher(val)
+        return _matcher_sql(fuzzy=(val, int(params.get("fuzziness", 2)), 0))
+    except (TypeError, ValueError) as e:
+        raise DslError(f"[span_multi.{ityp}] {e}") from e
+
+
+def _span_clause_terms(ctx: SearchContext, q: Any, what: str) -> list[str]:
+    """A span clause as its position SET: the corpus terms whose
+    occurrences the clause's iterator would enumerate. span_multi
+    expands against the corpus dictionary under the same
+    max_expansions=50 top-terms cut as the standalone multi-term
+    rewrites; an empty list means the clause matches nothing."""
+    from .multiterm import expand_terms_corpus
+
+    typ, spec = _one(q, what)
+    if typ == "span_term":
+        return [_span_term_value(ctx, spec)]
+    if typ == "span_multi":
+        if not isinstance(spec, dict):
+            raise DslError("[span_multi] must be an object")
+        matcher = _span_multi_matcher(ctx, spec)
+        return expand_terms_corpus(ctx.docs, matcher=matcher,
+                                   id_col=ctx.id_col, text_col=ctx.text_col)
+    if typ == "span_or":
+        if not isinstance(spec, dict):
+            raise DslError("[span_or] must be an object")
+        _reject_unknown(spec, {"clauses"}, "span_or")
+        clauses = spec.get("clauses")
+        if not isinstance(clauses, list) or not clauses:
+            raise DslError("[span_or] needs a non-empty [clauses] list")
+        out: set[str] = set()
+        for c in clauses:
+            sub_typ, _ = _one(c, "span_or clause")
+            if sub_typ == "span_or":
+                raise DslError("[span_or] nested span_or is unsupported; "
+                               "flatten the clauses")
+            out.update(_span_clause_terms(ctx, c, "span_or clause"))
+        return sorted(out)
+    raise DslError(f"[{what}] span clause type [{typ}] unsupported; "
+                   "supported: span_term, span_or, span_multi")
+
+
+def _span_int(val: Any, what: str, default: int | None = None) -> int:
+    if val is None and default is not None:
+        return default
+    if isinstance(val, bool) or not isinstance(val, int):
+        raise DslError(f"[{what}] must be an integer, got {val!r}")
+    return val
+
+
+def _span_scores(ctx: SearchContext, typ: str, spec: Any) -> DataFrame:
+    """Full-frame (doc_id, score) for any span query — the shape
+    hybrid normalization and the exhaustive top-k both consume.
+    Semantics and scoring: query/spans.py module docstring."""
+    from .spans import span_near_scores, span_not_scores, span_set_scores
+
+    if not isinstance(spec, dict):
+        raise DslError(f"[{typ}] must be an object")
+
+    def empty() -> DataFrame:
+        return ctx.docs.where(F.lit(False)).select(
+            F.col(ctx.id_col).alias("doc_id"),
+            F.lit(0.0).cast("double").alias("score"),
+        )
+
+    def call(fn, *args, **kwargs):
+        kwargs.update(analyzer=ctx.analyzer, id_col=ctx.id_col,
+                      text_col=ctx.text_col)
+        try:
+            return fn(ctx.docs, *args, **kwargs).select("doc_id", "score")
+        except DslError:
+            raise
+        except ValueError as e:
+            raise DslError(f"[{typ}] {e}") from e
+
+    def near(nspec: Any, max_end: int | None = None) -> DataFrame:
+        if not isinstance(nspec, dict):
+            raise DslError("[span_near] must be an object")
+        _reject_unknown(nspec, {"clauses", "slop", "in_order"}, "span_near")
+        clauses = nspec.get("clauses")
+        if not isinstance(clauses, list) or len(clauses) < 2:
+            raise DslError("[span_near] needs a [clauses] list of >= 2 "
+                           "span queries")
+        in_order = nspec.get("in_order", True)
+        if not isinstance(in_order, bool):
+            raise DslError("[span_near] in_order must be a boolean")
+        slop = _span_int(nspec.get("slop"), "span_near.slop", default=0)
+        sets = [_span_clause_terms(ctx, c, "span_near clause")
+                for c in clauses]
+        if any(not s for s in sets):
+            return empty()
+        return call(span_near_scores, sets, slop=slop, in_order=in_order,
+                    max_end=max_end)
+
+    if typ in _SPAN_CLAUSE_TYPES:
+        terms = _span_clause_terms(ctx, {typ: spec}, typ)
+        return empty() if not terms else call(span_set_scores, terms)
+    if typ == "span_near":
+        return near(spec)
+    if typ == "span_first":
+        _reject_unknown(spec, {"match", "end"}, "span_first")
+        if "match" not in spec or "end" not in spec:
+            raise DslError("[span_first] needs [match] and [end]")
+        end = _span_int(spec["end"], "span_first.end")
+        if end < 0:
+            raise DslError(f"[span_first] end must be >= 0, got {end}")
+        ityp, ispec = _one(spec["match"], "span_first.match")
+        if ityp == "span_near":
+            return near(ispec, max_end=end)
+        if ityp in _SPAN_CLAUSE_TYPES:
+            terms = _span_clause_terms(ctx, spec["match"], "span_first.match")
+            return empty() if not terms else call(span_set_scores, terms,
+                                                  max_end=end)
+        raise DslError(f"[span_first] match type [{ityp}] unsupported; "
+                       "supported: span_term, span_or, span_multi, "
+                       "span_near")
+    # span_not
+    _reject_unknown(spec, {"include", "exclude", "pre", "post", "dist"},
+                    "span_not")
+    if "include" not in spec or "exclude" not in spec:
+        raise DslError("[span_not] needs [include] and [exclude]")
+    if "dist" in spec and ("pre" in spec or "post" in spec):
+        raise DslError("[span_not] dist is shorthand for pre+post; give "
+                       "one or the other")
+    dist = _span_int(spec.get("dist"), "span_not.dist", default=0)
+    pre = _span_int(spec.get("pre"), "span_not.pre", default=dist)
+    post = _span_int(spec.get("post"), "span_not.post", default=dist)
+    include = _span_clause_terms(ctx, spec["include"], "span_not.include")
+    exclude = _span_clause_terms(ctx, spec["exclude"], "span_not.exclude")
+    if not include:
+        return empty()
+    if not exclude:
+        # nothing to exclude: plain span over the include set
+        return call(span_set_scores, include)
+    return call(span_not_scores, include, exclude, pre=pre, post=post)
+
+
 def _prefix_matcher_sql(prefix: str) -> str:
     from .multiterm import _matcher_sql, like_escape
 
@@ -1080,6 +1276,9 @@ def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
         # full match-set frame, like the other full-frame sub-queries —
         # normalization statistics see every matched doc
         s = _script_scores(ctx, spec)
+    elif typ.startswith("span_") and typ in _QUERY_TYPES:
+        # span queries enter normalization as full match-set frames
+        s = _span_scores(ctx, typ, spec)
     elif typ == "neural_sparse":
         field, params = _one(spec, "neural_sparse")
         params = _params(params, "query_tokens")
@@ -1124,7 +1323,9 @@ def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
                            "query_string, neural, knn, script_score, "
                            "neural_sparse, nested, term, terms, range, "
                            "exists, ids, match_all, constant_score, "
-                           "rank_feature, match_none, distance_feature")
+                           "rank_feature, match_none, distance_feature, "
+                           "span_term, span_near, span_or, span_first, "
+                           "span_not, span_multi")
     return s.select(F.lit(idx).alias("subquery_idx"), "doc_id", "score")
 
 
@@ -1525,6 +1726,9 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
                "constant_score", "rank_feature", "match_none",
                "distance_feature"):
         return topk(_leaf_scores(ctx, typ, spec), k=k)
+
+    if typ.startswith("span_"):
+        return topk(_span_scores(ctx, typ, spec), k=k)
 
     if typ == "script_score":
         return topk(_script_scores(ctx, spec), k=k)
