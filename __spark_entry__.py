@@ -881,6 +881,21 @@ def _q_dsl_span_not(spark, sf_dir):
     return search(_dsl_ctx(spark, sf_dir), body)
 
 
+def _q_dsl_span_near_indexed(spark, sf_dir):
+    """The same ordered span_near served from the POSITIONAL index via
+    ctx.reader (query/spans_indexed.py): candidate-block position
+    decode + vectorized searchsorted chaining inside the segment
+    kernel — no corpus re-tokenize. Shares dsl_span_near's oracle
+    (indexed == exhaustive identity also pinned in tests/test_spans.py
+    for every span shape)."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"span_near": {"clauses": [
+        {"span_term": {"text": "spark"}},
+        {"span_term": {"text": "window"}}], "slop": 2}}, "size": 10}
+    return search(_dsl_reader_ctx(spark, sf_dir), body)
+
+
 def _q_dsl_wrapper_match(spark, sf_dir):
     """``wrapper`` query (base64-embedded JSON body) — decodes and
     dispatches through the same translator, so this row shares
@@ -2561,7 +2576,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_function_score": _q_dsl_function_score,
         "dsl_simple_query_string": _q_dsl_simple_query_string,
         "dsl_regexp_indexed": _q_dsl_regexp_indexed,
-        "dsl_ids": _q_dsl_ids,
         "dsl_function_score_decay": _q_dsl_function_score_decay,
         "dsl_more_like_this": _q_dsl_more_like_this,
         "dsl_rank_feature": _q_dsl_rank_feature,
@@ -2588,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_span_unordered_multi": _q_dsl_span_unordered_multi,
         "dsl_span_first": _q_dsl_span_first,
         "dsl_span_not": _q_dsl_span_not,
+        "dsl_span_near_indexed": _q_dsl_span_near_indexed,
         # -- implementation changed in round 5 (re-gate; the rest of the
         #    changed-path family — dsl_match/dsl_bool/dsl_aggs,
         #    dsl_hybrid_neural, indexed_bm25_phrase, indexed_phrase_prefix,
@@ -2696,6 +2711,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_dismax_and": _q_dsl_dismax_and,
         "dsl_pinned": _q_dsl_pinned,
         "dsl_distance_feature": _q_dsl_distance_feature,
+        # demoted for dsl_span_near_indexed: ids is a constant-score
+        # IN-list over the key column — the same _leaf_scores frame the
+        # in-window dsl_terms_topk and dsl_knn filter slot exercise
+        "dsl_ids": _q_dsl_ids,
         # r03-green core + round-3 additions
         "ann_radial": _q_ann_radial,
         "cross_encoder_rerank": _q_cross_encoder_rerank,
@@ -3167,6 +3186,9 @@ def oracle_sql() -> dict[str, str]:
         # expansion is ~6 terms << max_expansions=50 at every SF
         # (pinned by tests/test_spans.py)
         "dsl_span_near": oracle.span_near_topk_sql(
+            SPAN_NEAR_CLAUSES, slop=2, in_order=True, k=10),
+        # the indexed dispatch serves the SAME body — same oracle
+        "dsl_span_near_indexed": oracle.span_near_topk_sql(
             SPAN_NEAR_CLAUSES, slop=2, in_order=True, k=10),
         "dsl_span_unordered_multi": oracle.span_near_topk_sql(
             [_matcher_sql(like=like_escape(SPAN_MULTI_PREFIX) + "%"),

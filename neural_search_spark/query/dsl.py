@@ -725,6 +725,12 @@ def _span_clause_terms(ctx: SearchContext, q: Any, what: str) -> list[str]:
         if not isinstance(spec, dict):
             raise DslError("[span_multi] must be an object")
         matcher = _span_multi_matcher(ctx, spec)
+        if ctx.reader is not None:
+            # index-backed dictionary — identical term set by
+            # construction (same corpus, same df ordering)
+            from .multiterm import expand_terms_indexed
+
+            return expand_terms_indexed(ctx.reader, matcher=matcher)
         return expand_terms_corpus(ctx.docs, matcher=matcher,
                                    id_col=ctx.id_col, text_col=ctx.text_col)
     if typ == "span_or":
@@ -754,55 +760,54 @@ def _span_int(val: Any, what: str, default: int | None = None) -> int:
     return val
 
 
-def _span_scores(ctx: SearchContext, typ: str, spec: Any) -> DataFrame:
-    """Full-frame (doc_id, score) for any span query — the shape
-    hybrid normalization and the exhaustive top-k both consume.
-    Semantics and scoring: query/spans.py module docstring."""
-    from .spans import span_near_scores, span_not_scores, span_set_scores
+def _near_plan(ctx: SearchContext, nspec: Any,
+               max_end: int | None = None) -> dict | None:
+    from .spans import MAX_ORDERED_CLAUSES, _clause_map
 
+    if not isinstance(nspec, dict):
+        raise DslError("[span_near] must be an object")
+    _reject_unknown(nspec, {"clauses", "slop", "in_order"}, "span_near")
+    clauses = nspec.get("clauses")
+    if not isinstance(clauses, list) or len(clauses) < 2:
+        raise DslError("[span_near] needs a [clauses] list of >= 2 "
+                       "span queries")
+    in_order = nspec.get("in_order", True)
+    if not isinstance(in_order, bool):
+        raise DslError("[span_near] in_order must be a boolean")
+    if in_order and len(clauses) > MAX_ORDERED_CLAUSES:
+        raise DslError(f"[span_near] ordered span_near supports at most "
+                       f"{MAX_ORDERED_CLAUSES} clauses, got {len(clauses)}")
+    if not in_order and len(clauses) != 2:
+        raise DslError("[span_near] unordered span_near supports "
+                       "exactly 2 clauses")
+    slop = _span_int(nspec.get("slop"), "span_near.slop", default=0)
+    if slop < 0:
+        raise DslError(f"[span_near] slop must be >= 0, got {slop}")
+    sets = [_span_clause_terms(ctx, c, "span_near clause") for c in clauses]
+    try:
+        # disjointness; empty expansions get unique placeholders so the
+        # provably-empty case still returns None below instead of raising
+        _clause_map([s or [f"__missing_{i}__"] for i, s in enumerate(sets)])
+    except ValueError as e:
+        raise DslError(f"[span_near] {e}") from e
+    if any(not s for s in sets):
+        return None
+    return {"kind": "near", "required": sets, "slop": slop,
+            "in_order": in_order, "max_end": max_end}
+
+
+def _span_plan(ctx: SearchContext, typ: str, spec: Any) -> dict | None:
+    """Parse a span query into the normalized plan both executors
+    consume (query/spans.py exhaustively; query/spans_indexed.py over
+    the positional index). None = provably empty (a clause's dictionary
+    expansion matched no term)."""
     if not isinstance(spec, dict):
         raise DslError(f"[{typ}] must be an object")
-
-    def empty() -> DataFrame:
-        return ctx.docs.where(F.lit(False)).select(
-            F.col(ctx.id_col).alias("doc_id"),
-            F.lit(0.0).cast("double").alias("score"),
-        )
-
-    def call(fn, *args, **kwargs):
-        kwargs.update(analyzer=ctx.analyzer, id_col=ctx.id_col,
-                      text_col=ctx.text_col)
-        try:
-            return fn(ctx.docs, *args, **kwargs).select("doc_id", "score")
-        except DslError:
-            raise
-        except ValueError as e:
-            raise DslError(f"[{typ}] {e}") from e
-
-    def near(nspec: Any, max_end: int | None = None) -> DataFrame:
-        if not isinstance(nspec, dict):
-            raise DslError("[span_near] must be an object")
-        _reject_unknown(nspec, {"clauses", "slop", "in_order"}, "span_near")
-        clauses = nspec.get("clauses")
-        if not isinstance(clauses, list) or len(clauses) < 2:
-            raise DslError("[span_near] needs a [clauses] list of >= 2 "
-                           "span queries")
-        in_order = nspec.get("in_order", True)
-        if not isinstance(in_order, bool):
-            raise DslError("[span_near] in_order must be a boolean")
-        slop = _span_int(nspec.get("slop"), "span_near.slop", default=0)
-        sets = [_span_clause_terms(ctx, c, "span_near clause")
-                for c in clauses]
-        if any(not s for s in sets):
-            return empty()
-        return call(span_near_scores, sets, slop=slop, in_order=in_order,
-                    max_end=max_end)
-
     if typ in _SPAN_CLAUSE_TYPES:
         terms = _span_clause_terms(ctx, {typ: spec}, typ)
-        return empty() if not terms else call(span_set_scores, terms)
+        return {"kind": "set", "required": [terms]} if terms else None
     if typ == "span_near":
-        return near(spec)
+        return _near_plan(ctx, spec)
     if typ == "span_first":
         _reject_unknown(spec, {"match", "end"}, "span_first")
         if "match" not in spec or "end" not in spec:
@@ -812,11 +817,12 @@ def _span_scores(ctx: SearchContext, typ: str, spec: Any) -> DataFrame:
             raise DslError(f"[span_first] end must be >= 0, got {end}")
         ityp, ispec = _one(spec["match"], "span_first.match")
         if ityp == "span_near":
-            return near(ispec, max_end=end)
+            return _near_plan(ctx, ispec, max_end=end)
         if ityp in _SPAN_CLAUSE_TYPES:
             terms = _span_clause_terms(ctx, spec["match"], "span_first.match")
-            return empty() if not terms else call(span_set_scores, terms,
-                                                  max_end=end)
+            if not terms:
+                return None
+            return {"kind": "set", "required": [terms], "max_end": end}
         raise DslError(f"[span_first] match type [{ityp}] unsupported; "
                        "supported: span_term, span_or, span_multi, "
                        "span_near")
@@ -831,14 +837,51 @@ def _span_scores(ctx: SearchContext, typ: str, spec: Any) -> DataFrame:
     dist = _span_int(spec.get("dist"), "span_not.dist", default=0)
     pre = _span_int(spec.get("pre"), "span_not.pre", default=dist)
     post = _span_int(spec.get("post"), "span_not.post", default=dist)
+    if pre < 0 or post < 0:
+        raise DslError(f"[span_not] pre/post must be >= 0, got {pre}/{post}")
     include = _span_clause_terms(ctx, spec["include"], "span_not.include")
     exclude = _span_clause_terms(ctx, spec["exclude"], "span_not.exclude")
+    if set(include) & set(exclude):
+        raise DslError("[span_not] include/exclude term sets overlap: "
+                       f"{sorted(set(include) & set(exclude))}")
     if not include:
-        return empty()
+        return None
     if not exclude:
         # nothing to exclude: plain span over the include set
-        return call(span_set_scores, include)
-    return call(span_not_scores, include, exclude, pre=pre, post=post)
+        return {"kind": "set", "required": [include]}
+    return {"kind": "not", "required": [include], "exclude": exclude,
+            "pre": pre, "post": post}
+
+
+def _span_scores(ctx: SearchContext, typ: str, spec: Any) -> DataFrame:
+    """Full-frame (doc_id, score) for any span query — the shape
+    hybrid normalization and the exhaustive top-k both consume.
+    Semantics and scoring: query/spans.py module docstring."""
+    from .spans import span_near_scores, span_not_scores, span_set_scores
+
+    plan = _span_plan(ctx, typ, spec)
+    if plan is None:
+        return ctx.docs.where(F.lit(False)).select(
+            F.col(ctx.id_col).alias("doc_id"),
+            F.lit(0.0).cast("double").alias("score"),
+        )
+
+    def call(fn, *args, **kwargs):
+        kwargs.update(analyzer=ctx.analyzer, id_col=ctx.id_col,
+                      text_col=ctx.text_col)
+        try:
+            return fn(ctx.docs, *args, **kwargs).select("doc_id", "score")
+        except ValueError as e:
+            raise DslError(f"[{typ}] {e}") from e
+
+    if plan["kind"] == "set":
+        return call(span_set_scores, plan["required"][0],
+                    max_end=plan.get("max_end"))
+    if plan["kind"] == "not":
+        return call(span_not_scores, plan["required"][0], plan["exclude"],
+                    pre=plan["pre"], post=plan["post"])
+    return call(span_near_scores, plan["required"], slop=plan["slop"],
+                in_order=plan["in_order"], max_end=plan.get("max_end"))
 
 
 def _prefix_matcher_sql(prefix: str) -> str:
@@ -1503,6 +1546,21 @@ def _indexed_topk(ctx: SearchContext, typ: str, spec: Any, k: int) -> DataFrame 
     if ctx.reader is None:
         return None
     r = ctx.reader
+    if typ.startswith("span_") and typ in _QUERY_TYPES:
+        # span queries serve from the POSITIONAL index: candidate-block
+        # position decode + vectorized searchsorted span iterators —
+        # no corpus re-tokenize (query/spans_indexed.py)
+        from .spans_indexed import span_topk_indexed
+
+        _require_doc_key(ctx)
+        plan = _span_plan(ctx, typ, spec)
+        if plan is None:
+            return ctx.docs.sparkSession.createDataFrame(
+                [], "doc_id long, score double, rank int")
+        try:
+            return _ranked(span_topk_indexed(r, plan, k=k))
+        except ValueError as e:
+            raise DslError(f"[{typ}] {e}") from e
     if typ == "match":
         from .wand import match_text_topk
 

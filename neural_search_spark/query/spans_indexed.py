@@ -1,0 +1,311 @@
+"""Span queries over the POSITIONAL index — the production path.
+
+The exhaustive span executor (query/spans.py) re-tokenizes the corpus
+per query; at scale that is a full-corpus scan. This module serves the
+same span semantics from the v4 positional index the way
+query/phrase.py serves match_phrase:
+
+* per segment, the span tree's terms' postings decode once; a
+  conjunctive candidate set forms from the REQUIRED clause structure
+  (a span_near doc needs >= 1 term of EVERY clause; span_not needs the
+  include tree) — the cheap prefilter;
+* POSITIONS decode only for blocks holding a candidate doc
+  (block_pos_off random access), so verification I/O scales with the
+  candidate set;
+* every clause becomes one sorted array of (doc << POS_SHIFT | pos)
+  int64 keys (terms of a span_or / span_multi clause merge — one token
+  per position, so the merge stays strictly ascending), and the span
+  iterators become vectorized searchsorted passes:
+  - ordered near: chain each clause to the least key after the running
+    end (NearSpansOrdered's monotone sub-pointers), per first-clause
+    position;
+  - unordered near (2 clauses): pair every key with the least
+    other-clause key after it, both directions (the min-start queue);
+  - span_first: endPosition <= end on the match's last key;
+  - span_not: an include key survives iff no exclude key lies in
+    [pos - pre, pos + post] (two searchsorted probes).
+* scoring is identical to the exhaustive path: freq = sum over spans
+  of 1/(1 + matchLength), score = idf_total * freq / (freq + k1*(1 -
+  b + b*dl_q/avgdl)), with idf from the index's term dfs and dl_q from
+  the stored SmallFloat norms — indexed == exhaustive rank identity is
+  pinned in tests/test_spans.py.
+
+Scale shape: the only shuffle key is segment_id (uniform); per-query
+I/O is the tree terms' postings rows (term/bucket-pruned scan) plus
+candidate-block position bytes. No full-corpus scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.codecs import varint_decode
+from ..functions.norms import byte4_to_int
+from ..index.builder import SEG_SHIFT
+from .bm25 import B, K1
+from .phrase import PHRASE_COLS, POS_SHIFT
+from .wand import IndexReader
+
+POS_MASK = (1 << POS_SHIFT) - 1
+
+_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("segment_id", T.IntegerType(), False),
+        T.StructField("nss_doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+def _decode_term(r, range_block: int):
+    """One postings row -> (doc ids, tfs, dl_q, block meta) plus the
+    raw position-stream handles (same decode calls as phrase.py)."""
+    from ..index.builder import decode_term_deltas
+
+    deltas = decode_term_deltas(
+        r.docs, r.block_ns, r.block_doc_off, int(r.pack_bits), r.exc_pos,
+        r.exc_high)
+    ns = np.asarray(r.block_ns, dtype=np.int64)
+    bids = np.asarray(r.block_ids, dtype=np.int64)
+    starts = np.r_[0, np.cumsum(ns)[:-1]]
+    cs = np.cumsum(deltas)
+    carry = np.repeat(cs[starts] - deltas[starts], ns)
+    ids = np.repeat(bids * range_block, ns) + cs - carry
+    tfv = varint_decode(r.tfs).astype(np.int64)
+    dlq = byte4_to_int(np.frombuffer(r.norms, dtype=np.uint8)).astype(
+        np.float64)
+    return ids, tfv, dlq, ns
+
+
+def _term_keys(r, ids, tfv, ns, cand: np.ndarray) -> np.ndarray:
+    """Sorted (doc << POS_SHIFT | pos) keys for this term's occurrences
+    in candidate docs — positions decode for candidate blocks only."""
+    from ..index.builder import chains_absolute, decode_block_positions
+
+    in_cand = np.isin(ids, cand)
+    if not in_cand.any():
+        return np.empty(0, dtype=np.int64)
+    noff = np.r_[0, np.cumsum(ns)]
+    post_block = np.repeat(np.arange(len(ns), dtype=np.int64), ns)
+    needed = np.unique(post_block[in_cand])
+    pos_off = np.asarray(r.block_pos_off, dtype=np.int64)
+    parts = []
+    for j in needed:
+        p0, p1 = int(noff[j]), int(noff[j + 1])
+        d = decode_block_positions(
+            r.positions, int(j), pos_off, len(r.positions),
+            int(r.pos_pack_bits), r.block_pos_n, r.pos_exc_pos,
+            r.pos_exc_high)
+        pos_abs = chains_absolute(d, tfv[p0:p1])
+        if pos_abs.size and int(pos_abs.max()) >= (1 << POS_SHIFT):
+            raise ValueError(
+                f"document position {int(pos_abs.max())} exceeds the "
+                f"2^{POS_SHIFT} positional-key limit; re-index with "
+                "chunking for >16M-token documents")
+        doc_rep = np.repeat(ids[p0:p1], tfv[p0:p1])
+        keep = np.repeat(in_cand[p0:p1], tfv[p0:p1])
+        parts.append(((doc_rep << POS_SHIFT) + pos_abs)[keep])
+    return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+
+
+def _enumerate(plan: dict, clause_keys: list[np.ndarray],
+               exclude_keys: np.ndarray):
+    """-> (match doc array, matchLength array) per the span iterators."""
+    kind = plan["kind"]
+    max_end = plan.get("max_end")
+    if kind == "set":
+        keys = clause_keys[0]
+        if max_end is not None:
+            keys = keys[(keys & POS_MASK) + 1 <= max_end]
+        return keys >> POS_SHIFT, np.ones(len(keys), dtype=np.int64)
+    if kind == "not":
+        keys = clause_keys[0]
+        if len(exclude_keys):
+            doc = keys >> POS_SHIFT
+            pos = keys & POS_MASK
+            lo = (doc << POS_SHIFT) + np.maximum(pos - plan["pre"], 0)
+            hi = (doc << POS_SHIFT) + np.minimum(pos + plan["post"], POS_MASK)
+            i1 = np.searchsorted(exclude_keys, lo, side="left")
+            i2 = np.searchsorted(exclude_keys, hi, side="right")
+            keys = keys[i1 == i2]
+        return keys >> POS_SHIFT, np.ones(len(keys), dtype=np.int64)
+    # near
+    slop = np.int64(plan["slop"])
+    if plan["in_order"]:
+        start = clause_keys[0]
+        cur = start.copy()
+        ok = np.ones(len(cur), dtype=bool)
+        for arr in clause_keys[1:]:
+            if len(arr) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            idx = np.searchsorted(arr, cur, side="right")
+            ok &= idx < len(arr)
+            idx = np.minimum(idx, len(arr) - 1)
+            cur = arr[idx]
+        hit = (ok
+               & ((cur >> POS_SHIFT) == (start >> POS_SHIFT))
+               & ((cur - start) - np.int64(len(clause_keys) - 1) <= slop))
+        if max_end is not None:
+            hit &= (cur & POS_MASK) + 1 <= max_end
+        return start[hit] >> POS_SHIFT, (cur - start + 1)[hit]
+    # unordered, two clauses, both directions
+    docs_parts, mlen_parts = [], []
+    for src, dst in ((clause_keys[0], clause_keys[1]),
+                     (clause_keys[1], clause_keys[0])):
+        if len(src) == 0 or len(dst) == 0:
+            continue
+        idx = np.searchsorted(dst, src, side="right")
+        ok = idx < len(dst)
+        idx = np.minimum(idx, len(dst) - 1)
+        o = dst[idx]
+        hit = (ok
+               & ((o >> POS_SHIFT) == (src >> POS_SHIFT))
+               & (o - src - 1 <= slop))
+        if max_end is not None:
+            hit &= (o & POS_MASK) + 1 <= max_end
+        docs_parts.append(src[hit] >> POS_SHIFT)
+        mlen_parts.append((o - src + 1)[hit])
+    if not docs_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(docs_parts), np.concatenate(mlen_parts)
+
+
+def _span_kernel(plan: dict, idf_total: float, avgdl: float,
+                 range_block: int, k1: float = K1, b: float = B):
+    required = plan["required"]          # list of term lists
+    exclude = plan.get("exclude", [])    # term list
+    term_clause: dict[str, int] = {}
+    for ci, terms in enumerate(required):
+        for t in terms:
+            term_clause[t] = ci
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"segment_id": pd.Series(dtype=np.int32),
+             "nss_doc_id": pd.Series(dtype=np.int64),
+             "score": pd.Series(dtype=np.float64)})
+        present = set(pdf["term"])
+        for terms in required:
+            if not (present & set(terms)):
+                return empty
+        pdf = pdf.sort_values("term", kind="mergesort").reset_index(drop=True)
+        seg = int(pdf["segment_id"].iloc[0])
+        decoded = {}
+        rows = {}
+        for r in pdf.itertuples():
+            ids, tfv, dlq, ns = _decode_term(r, range_block)
+            decoded[r.term] = (ids, tfv, dlq, ns)
+            rows[r.term] = r
+        # candidate docs: >= 1 occurrence of every required clause
+        cand = None
+        for terms in required:
+            docs_c = np.unique(np.concatenate(
+                [decoded[t][0] for t in terms if t in decoded]))
+            cand = docs_c if cand is None else np.intersect1d(
+                cand, docs_c, assume_unique=True)
+            if len(cand) == 0:
+                return empty
+        # clause key arrays (candidate blocks only), sorted merge
+        clause_keys = []
+        for terms in required:
+            parts = [
+                _term_keys(rows[t], decoded[t][0], decoded[t][1],
+                           decoded[t][3], cand)
+                for t in sorted(set(terms)) if t in decoded
+            ]
+            keys = (np.sort(np.concatenate(parts))
+                    if parts else np.empty(0, dtype=np.int64))
+            clause_keys.append(keys)
+        exc_parts = [
+            _term_keys(rows[t], decoded[t][0], decoded[t][1],
+                       decoded[t][3], cand)
+            for t in sorted(set(exclude)) if t in decoded
+        ]
+        exclude_keys = (np.sort(np.concatenate(exc_parts))
+                        if exc_parts else np.empty(0, dtype=np.int64))
+
+        docs_m, mlen = _enumerate(plan, clause_keys, exclude_keys)
+        if len(docs_m) == 0:
+            return empty
+        uniq_docs, inv = np.unique(docs_m, return_inverse=True)
+        freq = np.bincount(inv, weights=1.0 / (1.0 + mlen.astype(np.float64)))
+        # dl_q lookup from the decoded norms of the required terms
+        ids_all = np.concatenate([decoded[t][0] for t in decoded])
+        dlq_all = np.concatenate([decoded[t][2] for t in decoded])
+        u_ids, first = np.unique(ids_all, return_index=True)
+        dlq = dlq_all[first][np.searchsorted(u_ids, uniq_docs)]
+        score = idf_total * (freq / (freq + k1 * (1.0 - b + b * dlq / avgdl)))
+        gid = (np.int64(seg) << SEG_SHIFT) + uniq_docs
+        return pd.DataFrame(
+            {"segment_id": np.full(len(uniq_docs), seg, dtype=np.int32),
+             "nss_doc_id": gid,
+             "score": score.astype(np.float64)})
+
+    return kernel
+
+
+def span_topk_indexed(
+    reader: IndexReader,
+    plan: dict,
+    k: int | None = None,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Run a normalized span plan (the shape query/dsl.py's _span_plan
+    produces) against the positional index. plan: {"kind": "near"|
+    "set"|"not", "required": [[terms]...], "exclude": [terms], "slop",
+    "in_order", "max_end", "pre", "post"}. Returns (nss_doc_id,
+    <key_cols>, score); ``k`` adds the deterministic (score desc, key
+    asc) cut."""
+    if not bool(reader.meta.get("store_positions", False)):
+        raise ValueError(
+            "index was built with store_positions=False — span queries "
+            "need positional postings (rebuild with store_positions=True)")
+    required = plan["required"]
+    exclude = list(plan.get("exclude", []))
+    if not required or any(not terms for terms in required):
+        raise ValueError("every required span clause needs >= 1 term")
+    idf_terms = sorted({t for terms in required for t in terms})
+    all_terms = sorted(set(idf_terms) | set(exclude))
+    N, avgdl = reader.global_stats()
+    dfs = reader.term_dfs(all_terms)
+    spark = reader.spark
+    key_cols = reader.meta["key_cols"]
+    dm = reader.docmap().select("nss_doc_id", *key_cols)
+
+    def empty() -> DataFrame:
+        e = spark.createDataFrame([], _RESULT_SCHEMA).drop("segment_id")
+        return dm.join(F.broadcast(e), "nss_doc_id")
+
+    if N == 0 or any(all(t not in dfs for t in terms) for terms in required):
+        return empty()
+    # idf over the tree's index-present terms (absent terms carry no
+    # termStates in Lucene either); float64, matching the exhaustive sum
+    idf_total = float(sum(
+        np.log(1.0 + (float(N) - dfs[t] + 0.5) / (dfs[t] + 0.5))
+        for t in idf_terms if t in dfs))
+    kernel = _span_kernel(
+        {**plan, "required": required, "exclude": exclude},
+        idf_total, avgdl, int(reader.meta["range_block"]), k1=k1, b=b)
+    scan = reader.postings_positional()
+    n_buckets = int(reader.meta.get("term_buckets", 0))
+    if n_buckets > 1:
+        from ..pipeline.hashing import py_hash64
+
+        buckets = sorted({py_hash64(t) % n_buckets for t in all_terms})
+        scan = scan.where(F.col("term_bucket").isin(buckets))
+    per_seg = (
+        scan.where(F.col("term").isin(all_terms))
+        .select(*PHRASE_COLS)
+        .groupBy("segment_id")
+        .applyInPandas(kernel, schema=_RESULT_SCHEMA)
+    )
+    out = dm.join(F.broadcast(per_seg.drop("segment_id")), "nss_doc_id")
+    if k is not None:
+        out = out.orderBy(F.col("score").desc(),
+                          *[F.col(c).asc() for c in key_cols]).limit(k)
+    return out

@@ -400,3 +400,77 @@ def test_dsl_span_not_dist_shorthand(ctx, documents):
         "pre": 2, "post": 2}}, "size": 10})
     assert [r.asDict() for r in via_dist.collect()] == [
         r.asDict() for r in via_prepost.collect()]
+
+
+# ------------------------------------------------------ indexed dispatch
+
+@pytest.fixture(scope="module")
+def span_reader_ctx(spark, documents, tmp_path_factory):
+    from neural_search_spark.index.builder import build_index
+    from neural_search_spark.query.wand import IndexReader
+
+    d = str(tmp_path_factory.mktemp("span_idx"))
+    build_index(spark, documents, d, key_cols=["doc_id"], text_col="text",
+                tokenizer="simple", num_segments=4, range_block=64,
+                store_positions=True)
+    return SearchContext(docs=documents,
+                         reader=IndexReader(spark, d, cache_hot=True))
+
+
+SPAN_BODIES = {
+    "near": {"query": {"span_near": {"clauses": [
+        {"span_term": {"text": "spark"}},
+        {"span_term": {"text": "window"}}], "slop": 2}}, "size": 10},
+    "near3": {"query": {"span_near": {"clauses": [
+        {"span_term": {"text": "key"}}, {"span_term": {"text": "value"}},
+        {"span_term": {"text": "table"}}], "slop": 5}}, "size": 10},
+    "unord_multi": {"query": {"span_near": {"clauses": [
+        {"span_multi": {"match": {"prefix": {"text": {"value": "s"}}}}},
+        {"span_term": {"text": "table"}}],
+        "slop": 3, "in_order": False}}, "size": 10},
+    "first_or": {"query": {"span_first": {"match": {"span_or": {"clauses": [
+        {"span_term": {"text": "agg"}}, {"span_term": {"text": "join"}}]}},
+        "end": 8}}, "size": 10},
+    "first_near": {"query": {"span_first": {"match": {
+        "span_near": {"clauses": [
+            {"span_term": {"text": "key"}},
+            {"span_term": {"text": "value"}}], "slop": 4}},
+        "end": 12}}, "size": 10},
+    "span_not": {"query": {"span_not": {
+        "include": {"span_or": {"clauses": [
+            {"span_term": {"text": "scan"}},
+            {"span_term": {"text": "merge"}}]}},
+        "exclude": {"span_term": {"text": "slow"}},
+        "pre": 1, "post": 2}}, "size": 10},
+    "set": {"query": {"span_term": {"text": "spark"}}, "size": 10},
+}
+
+
+@pytest.mark.parametrize("name", sorted(SPAN_BODIES))
+def test_indexed_span_identical_to_exhaustive(ctx, span_reader_ctx, name):
+    """The positional-index span kernel must be rank- AND
+    rounded-score-identical to the exhaustive window-function path —
+    the same identity bar every other indexed family meets."""
+    body = SPAN_BODIES[name]
+    ex = [(r.doc_id, r.score, r.rank) for r in search(ctx, body).collect()]
+    ix = [(r.doc_id, r.score, r.rank)
+          for r in search(span_reader_ctx, body).collect()]
+    assert ex == ix
+
+
+def test_indexed_span_empty_expansion(span_reader_ctx):
+    out = search(span_reader_ctx, {"query": {"span_near": {"clauses": [
+        {"span_multi": {"match": {"prefix": {"text": {"value": "zzzz"}}}}},
+        {"span_term": {"text": "spark"}}], "slop": 2}}, "size": 5})
+    assert out.count() == 0 and out.columns == ["doc_id", "score", "rank"]
+
+
+def test_indexed_span_rejections_still_apply(span_reader_ctx):
+    with pytest.raises(DslError, match="exactly 2"):
+        search(span_reader_ctx, {"query": {"span_near": {"clauses": [
+            {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}},
+            {"span_term": {"text": "c"}}], "in_order": False}}, "size": 5})
+    with pytest.raises(DslError, match="disjoint"):
+        search(span_reader_ctx, {"query": {"span_near": {"clauses": [
+            {"span_multi": {"match": {"prefix": {"text": {"value": "s"}}}}},
+            {"span_term": {"text": "spark"}}], "slop": 1}}, "size": 5})
