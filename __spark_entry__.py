@@ -820,6 +820,15 @@ SPAN_NEAR_CLAUSES = [["spark"], ["window"]]
 SPAN_MULTI_PREFIX = "s"
 SPAN_FIRST_TERMS = ["agg", "join"]
 SPAN_NOT_INCLUDE = ["merge", "scan"]
+SPAN_UNORD_TERM = "table"
+
+
+def _span_near_body():
+    # built from SPAN_NEAR_CLAUSES so the engine body and the DuckDB
+    # oracle provably address the same query
+    return {"query": {"span_near": {"clauses": [
+        {"span_term": {"text": t}} for [t] in SPAN_NEAR_CLAUSES],
+        "slop": 2}}, "size": 10}
 
 
 def _q_dsl_span_near(spark, sf_dir):
@@ -831,10 +840,7 @@ def _q_dsl_span_near(spark, sf_dir):
     (SpanScorer.setFreqCurrentDoc accumulation)."""
     from neural_search_spark.query.dsl import search
 
-    body = {"query": {"span_near": {"clauses": [
-        {"span_term": {"text": "spark"}},
-        {"span_term": {"text": "window"}}], "slop": 2}}, "size": 10}
-    return search(_dsl_ctx(spark, sf_dir), body)
+    return search(_dsl_ctx(spark, sf_dir), _span_near_body())
 
 
 def _q_dsl_span_unordered_multi(spark, sf_dir):
@@ -848,7 +854,7 @@ def _q_dsl_span_unordered_multi(spark, sf_dir):
     body = {"query": {"span_near": {"clauses": [
         {"span_multi": {"match": {"prefix": {
             "text": {"value": SPAN_MULTI_PREFIX}}}}},
-        {"span_term": {"text": "table"}}],
+        {"span_term": {"text": SPAN_UNORD_TERM}}],
         "slop": 3, "in_order": False}}, "size": 10}
     return search(_dsl_ctx(spark, sf_dir), body)
 
@@ -860,8 +866,8 @@ def _q_dsl_span_first(spark, sf_dir):
     from neural_search_spark.query.dsl import search
 
     body = {"query": {"span_first": {"match": {"span_or": {"clauses": [
-        {"span_term": {"text": "agg"}},
-        {"span_term": {"text": "join"}}]}}, "end": 8}}, "size": 10}
+        {"span_term": {"text": t}} for t in SPAN_FIRST_TERMS]}},
+        "end": 8}}, "size": 10}
     return search(_dsl_ctx(spark, sf_dir), body)
 
 
@@ -874,8 +880,7 @@ def _q_dsl_span_not(spark, sf_dir):
 
     body = {"query": {"span_not": {
         "include": {"span_or": {"clauses": [
-            {"span_term": {"text": "scan"}},
-            {"span_term": {"text": "merge"}}]}},
+            {"span_term": {"text": t}} for t in SPAN_NOT_INCLUDE]}},
         "exclude": {"span_term": {"text": "slow"}},
         "pre": 1, "post": 2}}, "size": 10}
     return search(_dsl_ctx(spark, sf_dir), body)
@@ -890,10 +895,7 @@ def _q_dsl_span_near_indexed(spark, sf_dir):
     for every span shape)."""
     from neural_search_spark.query.dsl import search
 
-    body = {"query": {"span_near": {"clauses": [
-        {"span_term": {"text": "spark"}},
-        {"span_term": {"text": "window"}}], "slop": 2}}, "size": 10}
-    return search(_dsl_reader_ctx(spark, sf_dir), body)
+    return search(_dsl_reader_ctx(spark, sf_dir), _span_near_body())
 
 
 def _q_dsl_wrapper_match(spark, sf_dir):
@@ -3192,7 +3194,7 @@ def oracle_sql() -> dict[str, str]:
             SPAN_NEAR_CLAUSES, slop=2, in_order=True, k=10),
         "dsl_span_unordered_multi": oracle.span_near_topk_sql(
             [_matcher_sql(like=like_escape(SPAN_MULTI_PREFIX) + "%"),
-             ["table"]], slop=3, in_order=False, k=10),
+             [SPAN_UNORD_TERM]], slop=3, in_order=False, k=10),
         "dsl_span_first": oracle.span_set_topk_sql(
             SPAN_FIRST_TERMS, max_end=8, k=10),
         "dsl_span_not": oracle.span_not_topk_sql(

@@ -66,6 +66,9 @@ HEADLINE += [
     #                          ~90% corpus chunk+encode (ingest, done once
     #                          in production); the rollup itself rides the
     #                          same agg machinery as hybrid_aggs.
+    "dsl_span_near_indexed", # span_near from the positional index:
+    #                          candidate-block position decode +
+    #                          searchsorted chaining (round-5)
 ]
 
 

@@ -2798,21 +2798,22 @@ idft AS (
 )"""
 
 
-def _span_score_tail(k: int, round_to: int) -> str:
-    from .functions.norms import quantized_dl_sql as _qdl
-    from .query.bm25 import B as _b, K1 as _k1
-
+def _span_score_tail(k: int, round_to: int, idf_cte: str = "idft") -> str:
+    """Shared scoring tail over a ``matches(doc_id, dl, mlen)`` CTE.
+    The score pre-rounds BEFORE ranking (round-then-rank — the
+    dictionary-expansion convention: span freq sums are cross-engine
+    ULP-prone, so both engines rank the identical rounded doubles)."""
     return f"""freq AS (
   SELECT doc_id, dl, sum(1.0 / (1.0 + mlen)) AS freq
   FROM matches GROUP BY doc_id, dl
 ),
 scored AS (
   SELECT doc_id,
-         idf_total * (freq / (freq + {_k1!r} * (1.0 - {_b!r} + {_b!r} *
-           ({_qdl('dl')}) / avgdl))) AS score
-  FROM freq, stats, idft
+         round(idf_total * (freq / (freq + {K1!r} * (1.0 - {B!r} + {B!r} *
+           ({quantized_dl_sql('dl')}) / avgdl))), {round_to}) AS score
+  FROM freq, stats, {idf_cte}
 )
-SELECT doc_id, round(score, {round_to}) AS score,
+SELECT doc_id, score,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
 FROM scored
 ORDER BY scored.score DESC, scored.doc_id ASC
@@ -2932,18 +2933,4 @@ matches AS (
     AND (prev_x IS NULL OR prev_x < p - {pre})
     AND (next_x IS NULL OR next_x > p + {post})
 ),
-freq AS (
-  SELECT doc_id, dl, sum(1.0 / (1.0 + mlen)) AS freq
-  FROM matches GROUP BY doc_id, dl
-),
-scored AS (
-  SELECT doc_id,
-         idf_total * (freq / (freq + {K1!r} * (1.0 - {B!r} + {B!r} *
-           ({quantized_dl_sql('dl')}) / avgdl))) AS score
-  FROM freq, stats, inc_idft
-)
-SELECT doc_id, round(score, {round_to}) AS score,
-       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
-FROM scored
-ORDER BY scored.score DESC, scored.doc_id ASC
-LIMIT {k}"""
+{_span_score_tail(k, round_to, idf_cte="inc_idft")}"""

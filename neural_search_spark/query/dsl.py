@@ -705,7 +705,9 @@ def _span_multi_matcher(ctx: SearchContext, spec: Any) -> str:
             return _matcher_sql(like=wildcard_to_like(val))
         if ityp == "regexp":
             return regexp_matcher(val)
-        return _matcher_sql(fuzzy=(val, int(params.get("fuzziness", 2)), 0))
+        # same default max_edits as the standalone fuzzy query (the
+        # exhaustive fuzzy_topk and the indexed dispatch both use 1)
+        return _matcher_sql(fuzzy=(val, int(params.get("fuzziness", 1)), 0))
     except (TypeError, ValueError) as e:
         raise DslError(f"[span_multi.{ityp}] {e}") from e
 
@@ -732,7 +734,8 @@ def _span_clause_terms(ctx: SearchContext, q: Any, what: str) -> list[str]:
 
             return expand_terms_indexed(ctx.reader, matcher=matcher)
         return expand_terms_corpus(ctx.docs, matcher=matcher,
-                                   id_col=ctx.id_col, text_col=ctx.text_col)
+                                   id_col=ctx.id_col, text_col=ctx.text_col,
+                                   tokenizer=ctx.analyzer)
     if typ == "span_or":
         if not isinstance(spec, dict):
             raise DslError("[span_or] must be an object")
@@ -853,9 +856,12 @@ def _span_plan(ctx: SearchContext, typ: str, spec: Any) -> dict | None:
             "pre": pre, "post": post}
 
 
-def _span_scores(ctx: SearchContext, typ: str, spec: Any) -> DataFrame:
+def _span_scores(ctx: SearchContext, typ: str, spec: Any,
+                 round_to: int | None = None) -> DataFrame:
     """Full-frame (doc_id, score) for any span query — the shape
-    hybrid normalization and the exhaustive top-k both consume.
+    hybrid normalization (raw, round_to=None) and the exhaustive top-k
+    (round_to=4: the dictionary-expansion convention — pre-round the
+    cross-engine-ULP-prone sums BEFORE ranking) both consume.
     Semantics and scoring: query/spans.py module docstring."""
     from .spans import span_near_scores, span_not_scores, span_set_scores
 
@@ -868,7 +874,7 @@ def _span_scores(ctx: SearchContext, typ: str, spec: Any) -> DataFrame:
 
     def call(fn, *args, **kwargs):
         kwargs.update(analyzer=ctx.analyzer, id_col=ctx.id_col,
-                      text_col=ctx.text_col)
+                      text_col=ctx.text_col, round_to=round_to)
         try:
             return fn(ctx.docs, *args, **kwargs).select("doc_id", "score")
         except ValueError as e:
@@ -1558,7 +1564,9 @@ def _indexed_topk(ctx: SearchContext, typ: str, spec: Any, k: int) -> DataFrame 
             return ctx.docs.sparkSession.createDataFrame(
                 [], "doc_id long, score double, rank int")
         try:
-            return _ranked(span_topk_indexed(r, plan, k=k))
+            # round_to=4 pre-rounds inside the kernel cut (round-then-
+            # rank, matching the exhaustive span branch)
+            return _ranked(span_topk_indexed(r, plan, k=k, round_to=4))
         except ValueError as e:
             raise DslError(f"[{typ}] {e}") from e
     if typ == "match":
@@ -1786,7 +1794,9 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
         return topk(_leaf_scores(ctx, typ, spec), k=k)
 
     if typ.startswith("span_"):
-        return topk(_span_scores(ctx, typ, spec), k=k)
+        # round-then-rank (the dictionary-expansion convention)
+        return topk(_span_scores(ctx, typ, spec, round_to=4), k=k,
+                    round_to=None)
 
     if typ == "script_score":
         return topk(_script_scores(ctx, spec), k=k)

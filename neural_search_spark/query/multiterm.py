@@ -224,12 +224,15 @@ def expand_terms_corpus(
     max_expansions: int = MAX_EXPANSIONS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenizer: str = "simple",
 ) -> list[str]:
     """Dictionary expansion for the exhaustive (index-free) path: the
     dictionary is derived from the corpus (term → distinct-doc df).
     ``matcher`` is a prebuilt shared-SQL predicate (regexp_matcher);
-    otherwise it is built from ``like``/``fuzzy``."""
-    tok = tokenized(docs, id_col, text_col)
+    otherwise it is built from ``like``/``fuzzy``. ``tokenizer`` must
+    match the analyzer the caller scores with — mixing token streams
+    would expand terms that never occur in the scored stream."""
+    tok = tokenized(docs, id_col, text_col, tokenizer)
     dictionary = (
         tok.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("term")

@@ -178,10 +178,6 @@ def _span_kernel(plan: dict, idf_total: float, avgdl: float,
                  range_block: int, k1: float = K1, b: float = B):
     required = plan["required"]          # list of term lists
     exclude = plan.get("exclude", [])    # term list
-    term_clause: dict[str, int] = {}
-    for ci, terms in enumerate(required):
-        for t in terms:
-            term_clause[t] = ci
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -254,13 +250,15 @@ def span_topk_indexed(
     k: int | None = None,
     k1: float = K1,
     b: float = B,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Run a normalized span plan (the shape query/dsl.py's _span_plan
     produces) against the positional index. plan: {"kind": "near"|
     "set"|"not", "required": [[terms]...], "exclude": [terms], "slop",
     "in_order", "max_end", "pre", "post"}. Returns (nss_doc_id,
     <key_cols>, score); ``k`` adds the deterministic (score desc, key
-    asc) cut."""
+    asc) cut, over the ``round_to``-rounded score when given
+    (round-then-rank, the dictionary-expansion convention)."""
     if not bool(reader.meta.get("store_positions", False)):
         raise ValueError(
             "index was built with store_positions=False — span queries "
@@ -305,6 +303,8 @@ def span_topk_indexed(
         .applyInPandas(kernel, schema=_RESULT_SCHEMA)
     )
     out = dm.join(F.broadcast(per_seg.drop("segment_id")), "nss_doc_id")
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
     if k is not None:
         out = out.orderBy(F.col("score").desc(),
                           *[F.col(c).asc() for c in key_cols]).limit(k)

@@ -256,22 +256,26 @@ def test_engine_matches_duckdb_oracle(documents, duck):
     )
     from neural_search_spark.query.exhaustive import topk
 
+    # round-then-rank on both sides (the dictionary-expansion
+    # convention — span freq sums are cross-engine ULP-prone)
     cases = [
         (topk(span_near_scores(documents, [["spark"], ["window"]], slop=2,
-                               round_to=None), k=10),
+                               round_to=4), k=10, round_to=None),
          span_near_topk_sql([["spark"], ["window"]], slop=2, k=10)),
         (topk(span_near_scores(documents, [["key"], ["value"], ["table"]],
-                               slop=5, round_to=None), k=10),
+                               slop=5, round_to=4), k=10, round_to=None),
          span_near_topk_sql([["key"], ["value"], ["table"]], slop=5, k=10)),
         (topk(span_near_scores(documents, [["big"], ["table"]], slop=3,
-                               in_order=False, round_to=None), k=10),
+                               in_order=False, round_to=4), k=10,
+              round_to=None),
          span_near_topk_sql([["big"], ["table"]], slop=3, in_order=False,
                             k=10)),
         (topk(span_set_scores(documents, ["agg", "join"], max_end=8,
-                              round_to=None), k=10),
+                              round_to=4), k=10, round_to=None),
          span_set_topk_sql(["agg", "join"], max_end=8, k=10)),
         (topk(span_not_scores(documents, ["merge", "scan"], ["slow"],
-                              pre=1, post=2, round_to=None), k=10),
+                              pre=1, post=2, round_to=4), k=10,
+              round_to=None),
          span_not_topk_sql(["merge", "scan"], ["slow"], pre=1, post=2,
                            k=10)),
     ]
