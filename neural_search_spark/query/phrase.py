@@ -60,6 +60,63 @@ _RESULT_SCHEMA = T.StructType(
 )
 
 
+def decode_doc_stream(r, range_block: int):
+    """One positional-postings row -> (doc ids, tfs, quantized dls as
+    int64, per-block posting counts). The delta-carry reconstruction is
+    THE doc-id decode for every positional kernel (phrase and span) —
+    one copy, one set of tests."""
+    from ..index.builder import decode_term_deltas
+
+    deltas = decode_term_deltas(
+        r.docs, r.block_ns, r.block_doc_off, int(r.pack_bits), r.exc_pos,
+        r.exc_high)
+    ns = np.asarray(r.block_ns, dtype=np.int64)
+    bids = np.asarray(r.block_ids, dtype=np.int64)
+    starts = np.r_[0, np.cumsum(ns)[:-1]]
+    cs = np.cumsum(deltas)
+    carry = np.repeat(cs[starts] - deltas[starts], ns)
+    ids = np.repeat(bids * range_block, ns) + cs - carry
+    tfv = varint_decode(r.tfs).astype(np.int64)
+    dlq = byte4_to_int(np.frombuffer(r.norms, dtype=np.uint8))
+    return ids, tfv, dlq, ns
+
+
+def candidate_position_keys(r, ids, tfv, ns, cand: np.ndarray) -> np.ndarray:
+    """Sorted (doc << POS_SHIFT | pos) int64 keys for this term's
+    occurrences in candidate docs — positions decode for candidate
+    blocks only (block_pos_off random access), so verification I/O
+    scales with the candidate set. Shared by the phrase and span
+    kernels."""
+    from ..index.builder import chains_absolute, decode_block_positions
+
+    in_cand = np.isin(ids, cand)
+    if not in_cand.any():
+        return np.empty(0, dtype=np.int64)
+    noff = np.r_[0, np.cumsum(ns)]
+    post_block = np.repeat(np.arange(len(ns), dtype=np.int64), ns)
+    needed = np.unique(post_block[in_cand])
+    pos_off = np.asarray(r.block_pos_off, dtype=np.int64)
+    parts = []
+    for j in needed:
+        p0, p1 = int(noff[j]), int(noff[j + 1])
+        d = decode_block_positions(
+            r.positions, int(j), pos_off, len(r.positions),
+            int(r.pos_pack_bits), r.block_pos_n, r.pos_exc_pos,
+            r.pos_exc_high)
+        pos_abs = chains_absolute(d, tfv[p0:p1])
+        # explicit raise (not assert: stripped under python -O) —
+        # a >=2^24-token doc would silently corrupt (doc<<24|pos)
+        if pos_abs.size and int(pos_abs.max()) >= (1 << POS_SHIFT):
+            raise ValueError(
+                f"document position {int(pos_abs.max())} exceeds the "
+                f"2^{POS_SHIFT} positional-key limit; re-index with "
+                "chunking for >16M-token documents")
+        doc_rep = np.repeat(ids[p0:p1], tfv[p0:p1])
+        keep = np.repeat(in_cand[p0:p1], tfv[p0:p1])
+        parts.append(((doc_rep << POS_SHIFT) + pos_abs)[keep])
+    return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+
+
 def _phrase_kernel(
     phrase_terms: list[str],
     idf_by_term: dict[str, float],
@@ -88,30 +145,17 @@ def _phrase_kernel(
         pdf = pdf.sort_values("term", kind="mergesort").reset_index(drop=True)
         seg = int(pdf["segment_id"].iloc[0])
         k1f, bf, av = ft(k1), ft(b), ft(avgdl)
-        from ..index.builder import chains_absolute, decode_block_positions, decode_term_deltas
 
         # --- bulk decode doc/tf streams + conjunctive candidate set ----
         per_term: dict[str, tuple] = {}
         size = 0
         for r in pdf.itertuples():
-            deltas = decode_term_deltas(
-                r.docs, r.block_ns, r.block_doc_off, int(r.pack_bits), r.exc_pos, r.exc_high
-            )
-            ns = np.asarray(r.block_ns, dtype=np.int64)
-            bids = np.asarray(r.block_ids, dtype=np.int64)
-            starts = np.r_[0, np.cumsum(ns)[:-1]]
-            cs = np.cumsum(deltas)
-            carry = np.repeat(cs[starts] - deltas[starts], ns)
-            ids = np.repeat(bids * range_block, ns) + cs - carry
-            tfv = varint_decode(r.tfs).astype(np.int64)
-            dlq = byte4_to_int(np.frombuffer(r.norms, dtype=np.uint8)).astype(ft)
+            ids, tfv, dlq_int, ns = decode_doc_stream(r, range_block)
+            dlq = dlq_int.astype(ft)
             idf = ft(idf_by_term[r.term])
             tff = tfv.astype(np.float64).astype(ft)
             contrib = idf * (tff / (tff + k1f * (ft(1.0) - bf + bf * dlq / av)))
-            per_term[r.term] = (ids, tfv, contrib, ns, r.positions,
-                                np.asarray(r.block_pos_off, dtype=np.int64),
-                                int(r.pos_pack_bits), r.block_pos_n,
-                                r.pos_exc_pos, r.pos_exc_high)
+            per_term[r.term] = (ids, tfv, contrib, ns, r)
             if len(ids):
                 size = max(size, int(ids[-1]) + 1)
         if size == 0:
@@ -129,32 +173,8 @@ def _phrase_kernel(
         # --- positions for candidate postings, candidate blocks only ---
         pos_keys: dict[str, np.ndarray] = {}
         for t in uniq_terms:
-            (ids, tfv, _, ns, pos_blob, pos_off,
-             pos_bits, pos_n, pos_ep, pos_eh) = per_term[t]
-            in_cand = np.isin(ids, cand)
-            noff = np.r_[0, np.cumsum(ns)]
-            post_block = np.repeat(np.arange(len(ns), dtype=np.int64), ns)
-            needed = np.unique(post_block[in_cand])
-            keys_parts = []
-            for j in needed:
-                p0, p1 = int(noff[j]), int(noff[j + 1])
-                d = decode_block_positions(pos_blob, int(j), pos_off, len(pos_blob),
-                                           pos_bits, pos_n, pos_ep, pos_eh)
-                pos_abs = chains_absolute(d, tfv[p0:p1])
-                # explicit raise (not assert: stripped under python -O) —
-                # a >=2^24-token doc would silently corrupt (doc<<24|pos)
-                if pos_abs.size and int(pos_abs.max()) >= (1 << POS_SHIFT):
-                    raise ValueError(
-                        f"document position {int(pos_abs.max())} exceeds the "
-                        f"2^{POS_SHIFT} positional-key limit; re-index with "
-                        "chunking for >16M-token documents"
-                    )
-                doc_rep = np.repeat(ids[p0:p1], tfv[p0:p1])
-                keep = np.repeat(in_cand[p0:p1], tfv[p0:p1])
-                keys_parts.append(((doc_rep << POS_SHIFT) + pos_abs)[keep])
-            pos_keys[t] = (
-                np.concatenate(keys_parts) if keys_parts else np.empty(0, dtype=np.int64)
-            )
+            ids, tfv, _, ns, r = per_term[t]
+            pos_keys[t] = candidate_position_keys(r, ids, tfv, ns, cand)
 
         if slop == 0:
             # --- ordinal-offset intersection ---------------------------

@@ -43,11 +43,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.codecs import varint_decode
-from ..functions.norms import byte4_to_int
 from ..index.builder import SEG_SHIFT
 from .bm25 import B, K1
-from .phrase import PHRASE_COLS, POS_SHIFT
+from .phrase import (
+    PHRASE_COLS,
+    POS_SHIFT,
+    candidate_position_keys,
+    decode_doc_stream,
+)
 from .wand import IndexReader
 
 POS_MASK = (1 << POS_SHIFT) - 1
@@ -59,57 +62,6 @@ _RESULT_SCHEMA = T.StructType(
         T.StructField("score", T.DoubleType(), False),
     ]
 )
-
-
-def _decode_term(r, range_block: int):
-    """One postings row -> (doc ids, tfs, dl_q, block meta) plus the
-    raw position-stream handles (same decode calls as phrase.py)."""
-    from ..index.builder import decode_term_deltas
-
-    deltas = decode_term_deltas(
-        r.docs, r.block_ns, r.block_doc_off, int(r.pack_bits), r.exc_pos,
-        r.exc_high)
-    ns = np.asarray(r.block_ns, dtype=np.int64)
-    bids = np.asarray(r.block_ids, dtype=np.int64)
-    starts = np.r_[0, np.cumsum(ns)[:-1]]
-    cs = np.cumsum(deltas)
-    carry = np.repeat(cs[starts] - deltas[starts], ns)
-    ids = np.repeat(bids * range_block, ns) + cs - carry
-    tfv = varint_decode(r.tfs).astype(np.int64)
-    dlq = byte4_to_int(np.frombuffer(r.norms, dtype=np.uint8)).astype(
-        np.float64)
-    return ids, tfv, dlq, ns
-
-
-def _term_keys(r, ids, tfv, ns, cand: np.ndarray) -> np.ndarray:
-    """Sorted (doc << POS_SHIFT | pos) keys for this term's occurrences
-    in candidate docs — positions decode for candidate blocks only."""
-    from ..index.builder import chains_absolute, decode_block_positions
-
-    in_cand = np.isin(ids, cand)
-    if not in_cand.any():
-        return np.empty(0, dtype=np.int64)
-    noff = np.r_[0, np.cumsum(ns)]
-    post_block = np.repeat(np.arange(len(ns), dtype=np.int64), ns)
-    needed = np.unique(post_block[in_cand])
-    pos_off = np.asarray(r.block_pos_off, dtype=np.int64)
-    parts = []
-    for j in needed:
-        p0, p1 = int(noff[j]), int(noff[j + 1])
-        d = decode_block_positions(
-            r.positions, int(j), pos_off, len(r.positions),
-            int(r.pos_pack_bits), r.block_pos_n, r.pos_exc_pos,
-            r.pos_exc_high)
-        pos_abs = chains_absolute(d, tfv[p0:p1])
-        if pos_abs.size and int(pos_abs.max()) >= (1 << POS_SHIFT):
-            raise ValueError(
-                f"document position {int(pos_abs.max())} exceeds the "
-                f"2^{POS_SHIFT} positional-key limit; re-index with "
-                "chunking for >16M-token documents")
-        doc_rep = np.repeat(ids[p0:p1], tfv[p0:p1])
-        keep = np.repeat(in_cand[p0:p1], tfv[p0:p1])
-        parts.append(((doc_rep << POS_SHIFT) + pos_abs)[keep])
-    return np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
 
 
 def _enumerate(plan: dict, clause_keys: list[np.ndarray],
@@ -193,8 +145,8 @@ def _span_kernel(plan: dict, idf_total: float, avgdl: float,
         decoded = {}
         rows = {}
         for r in pdf.itertuples():
-            ids, tfv, dlq, ns = _decode_term(r, range_block)
-            decoded[r.term] = (ids, tfv, dlq, ns)
+            ids, tfv, dlq_int, ns = decode_doc_stream(r, range_block)
+            decoded[r.term] = (ids, tfv, dlq_int.astype(np.float64), ns)
             rows[r.term] = r
         # candidate docs: >= 1 occurrence of every required clause
         cand = None
@@ -209,16 +161,16 @@ def _span_kernel(plan: dict, idf_total: float, avgdl: float,
         clause_keys = []
         for terms in required:
             parts = [
-                _term_keys(rows[t], decoded[t][0], decoded[t][1],
-                           decoded[t][3], cand)
+                candidate_position_keys(rows[t], decoded[t][0],
+                                        decoded[t][1], decoded[t][3], cand)
                 for t in sorted(set(terms)) if t in decoded
             ]
             keys = (np.sort(np.concatenate(parts))
                     if parts else np.empty(0, dtype=np.int64))
             clause_keys.append(keys)
         exc_parts = [
-            _term_keys(rows[t], decoded[t][0], decoded[t][1],
-                       decoded[t][3], cand)
+            candidate_position_keys(rows[t], decoded[t][0], decoded[t][1],
+                                    decoded[t][3], cand)
             for t in sorted(set(exclude)) if t in decoded
         ]
         exclude_keys = (np.sort(np.concatenate(exc_parts))
