@@ -898,6 +898,19 @@ def _q_dsl_span_near_indexed(spark, sf_dir):
     return search(_dsl_reader_ctx(spark, sf_dir), _span_near_body())
 
 
+def _q_dsl_suggest_completion(spark, sf_dir):
+    """Completion suggester through the suggest section: prefix against
+    the term dictionary (the completion-field analog; df = weight),
+    ranked (weight DESC, suggestion ASC) — integer weights, so both
+    engines cut identically."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"suggest": {"complete-s": {
+        "prefix": SPAN_MULTI_PREFIX,
+        "completion": {"field": "text", "size": 5}}}, "size": 0}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
 def _q_dsl_wrapper_match(spark, sf_dir):
     """``wrapper`` query (base64-embedded JSON body) — decodes and
     dispatches through the same translator, so this row shares
@@ -2717,6 +2730,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IN-list over the key column — the same _leaf_scores frame the
         # in-window dsl_terms_topk and dsl_knn filter slot exercise
         "dsl_ids": _q_dsl_ids,
+        # completion suggester: rides the SAME dictionary aggregate as
+        # the in-window dsl_suggest_term and the prefix matcher the
+        # in-window dsl_span_unordered_multi expands with; integer
+        # weights — pytest-gated (tests/test_entry.py oracle run)
+        "dsl_suggest_completion": _q_dsl_suggest_completion,
         # r03-green core + round-3 additions
         "ann_radial": _q_ann_radial,
         "cross_encoder_rerank": _q_cross_encoder_rerank,
@@ -3199,4 +3217,6 @@ def oracle_sql() -> dict[str, str]:
             SPAN_FIRST_TERMS, max_end=8, k=10),
         "dsl_span_not": oracle.span_not_topk_sql(
             SPAN_NOT_INCLUDE, ["slow"], pre=1, post=2, k=10),
+        "dsl_suggest_completion": oracle.completion_suggest_sql(
+            _matcher_sql(like=like_escape(SPAN_MULTI_PREFIX) + "%"), size=5),
     }

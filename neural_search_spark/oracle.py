@@ -2934,3 +2934,31 @@ matches AS (
     AND (next_x IS NULL OR next_x > p + {post})
 ),
 {_span_score_tail(k, round_to, idf_cte="inc_idft")}"""
+
+
+def completion_suggest_sql(
+    matcher: str,
+    size: int = 5,
+    table: str = "documents",
+) -> str:
+    """Completion-suggester oracle (query/suggest.completion_suggest):
+    the term dictionary filtered by the SAME shared matcher predicate,
+    cut by (weight=df DESC, suggestion ASC) — integer weights, total
+    tiebreak, so both engines cut identically."""
+    _, duck_toks = simple_tokens_sql("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {duck_toks} AS toks FROM {table}
+),
+dict AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok) GROUP BY term
+),
+ranked AS (
+  SELECT term AS suggestion, CAST(df AS BIGINT) AS weight,
+         CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INT) AS rank
+  FROM dict WHERE {matcher}
+)
+SELECT suggestion, weight, rank FROM ranked
+WHERE rank <= {size}
+ORDER BY rank"""

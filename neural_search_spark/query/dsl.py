@@ -2378,6 +2378,39 @@ def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> Data
         name, sspec = _one(body["suggest"], "suggest")
         if not isinstance(sspec, dict):
             raise DslError(f"[suggest.{name}] must be an object")
+        if "completion" in sspec:
+            # completion suggester: prefix or regex against the term
+            # dictionary (the completion-field analog; df = weight)
+            from .multiterm import regexp_matcher
+            from .suggest import completion_suggest
+
+            _reject_unknown(sspec, {"prefix", "regex", "completion"},
+                            f"suggest.{name}")
+            if ("prefix" in sspec) == ("regex" in sspec):
+                raise DslError(f"[suggest.{name}] completion needs exactly "
+                               "one of [prefix] / [regex]")
+            cspec = sspec["completion"]
+            if not isinstance(cspec, dict):
+                raise DslError(f"[suggest.{name}.completion] must be an "
+                               "object")
+            _reject_unknown(cspec, {"field", "size"},
+                            f"suggest.{name}.completion")
+            if cspec.get("field", ctx.text_col) != ctx.text_col:
+                raise DslError(f"[suggest.{name}.completion] field must be "
+                               f"[{ctx.text_col}]")
+            try:
+                matcher = None
+                if "regex" in sspec:
+                    if not isinstance(sspec["regex"], str):
+                        raise ValueError("regex must be a string")
+                    matcher = regexp_matcher(sspec["regex"])
+                return completion_suggest(
+                    ctx.docs, prefix=sspec.get("prefix"), matcher=matcher,
+                    size=int(cspec.get("size", 5)),
+                    id_col=ctx.id_col, text_col=ctx.text_col,
+                )
+            except (TypeError, ValueError) as e:
+                raise DslError(f"[suggest.{name}] {e}") from e
         _reject_unknown(sspec, {"text", "term"}, f"suggest.{name}")
         if "text" not in sspec or "term" not in sspec:
             raise DslError(f"[suggest.{name}] needs [text] and [term]")

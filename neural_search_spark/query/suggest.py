@@ -92,3 +92,50 @@ def term_suggest(
                 F.col("df").cast("long").alias("freq"), "rank")
         .orderBy("token", "rank")
     )
+
+
+def completion_suggest(
+    docs: DataFrame,
+    prefix: str | None = None,
+    matcher: str | None = None,
+    size: int = SUGGEST_SIZE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Completion suggester analog → (suggestion, weight, rank).
+
+    OpenSearch's completion suggester matches a prefix (or regex)
+    against a dedicated completion field's FST and returns entries by
+    weight. The corpus here carries no separate completion field, so
+    the term DICTIONARY stands in for it and document frequency is the
+    weight — the prefix/regex matching and the (weight DESC, suggestion
+    ASC) cut are the suggester's semantics on that input. ``matcher``
+    is a prebuilt shared-SQL predicate over ``term`` (the regex mode,
+    via multiterm.regexp_matcher); otherwise ``prefix`` builds the LIKE
+    matcher. Integer weights, total tiebreak — both engines cut
+    identically."""
+    from .multiterm import _matcher_sql, like_escape
+
+    if (prefix is None) == (matcher is None):
+        raise ValueError("exactly one of prefix= / matcher= is required")
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if matcher is None:
+        if not isinstance(prefix, str) or not prefix:
+            raise ValueError("prefix must be a non-empty string")
+        matcher = _matcher_sql(like=like_escape(prefix) + "%")
+    tok = tokenized(docs, id_col, text_col)
+    dictionary = (
+        tok.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return (
+        dictionary.where(F.expr(matcher))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= size)
+        .select(F.col("term").alias("suggestion"),
+                F.col("df").cast("long").alias("weight"), "rank")
+        .orderBy("rank")
+    )

@@ -901,3 +901,44 @@ def test_hybrid_parser_family_sub_queries(tiny_ctx):
         solo_ids = [r["doc_id"] for r in
                     _search(tiny_ctx, {"query": sub, "size": 10}).collect()]
         assert hybrid_ids == solo_ids, sub
+
+
+# --- suggest (completion suggester) -----------------------------------------
+
+
+def test_dsl_suggest_completion_prefix(tiny_ctx):
+    # corpus dfs: gamma 3, delta 3, alpha 2, beta 2, others 1
+    got = [(r["suggestion"], r["weight"], r["rank"]) for r in search(
+        tiny_ctx, {"suggest": {"c": {"prefix": "g", "completion": {
+            "field": "text", "size": 3}}}, "size": 0}).collect()]
+    assert got == [("gamma", 3, 1)]
+    # weight DESC then suggestion ASC across a wider prefix set
+    got = [(r["suggestion"], r["rank"]) for r in search(
+        tiny_ctx, {"suggest": {"c": {"prefix": "e", "completion": {
+            "field": "text", "size": 2}}}, "size": 0}).collect()]
+    assert got == [("epsilon", 1), ("eta", 2)]  # df ties -> term ASC
+
+
+def test_dsl_suggest_completion_regex(tiny_ctx):
+    got = [(r["suggestion"], r["weight"]) for r in search(
+        tiny_ctx, {"suggest": {"c": {"regex": ".et.*", "completion": {
+            "size": 5}}}, "size": 0}).collect()]
+    # whole-term regex: beta, zeta, (not eta/theta: .et needs a char
+    # before 'et' and theta has 'h' -> t-h-e... wait: theta = t,h,e,t,a
+    # '.et.*' needs position 2-3 = 'et'; theta has 'he' -> no; beta
+    # b-e-t ✓, zeta z-e-t ✓
+    assert got == [("beta", 2), ("zeta", 1)]
+
+
+@pytest.mark.parametrize("sspec", [
+    {"prefix": "a", "regex": "a.*", "completion": {"size": 2}},   # both
+    {"completion": {"size": 2}},                                  # neither
+    {"prefix": "a", "completion": {"field": "lang"}},             # bad field
+    {"prefix": "", "completion": {"size": 2}},                    # empty
+    {"prefix": "a", "completion": {"size": 0}},                   # bad size
+    {"prefix": "a", "completion": {"size": 2, "fuzzy": {}}},      # unknown
+    {"regex": "a\\b", "completion": {"size": 2}},                 # backslash
+])
+def test_dsl_suggest_completion_rejections(tiny_ctx, sspec):
+    with pytest.raises(DslError):
+        search(tiny_ctx, {"suggest": {"c": sspec}, "size": 0})
