@@ -898,6 +898,32 @@ def _q_dsl_span_near_indexed(spark, sf_dir):
     return search(_dsl_reader_ctx(spark, sf_dir), _span_near_body())
 
 
+def _q_dsl_intervals(spark, sf_dir):
+    """``intervals`` query, ordered match with max_gaps (the modern
+    Lucene positional surface): MINIMAL-interval semantics — per
+    (doc, end) only the latest start survives, the genuinely different
+    enumeration from span_near's per-first-clause stretch — gaps
+    filtered AFTER minimization (the Lucene wrapping order), each
+    interval contributing 1/(token length) to freq."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"intervals": {"text": {"match": {
+        "query": "key value", "max_gaps": 3, "ordered": True}}}},
+        "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
+def _q_dsl_intervals_unordered(spark, sf_dir):
+    """Unordered intervals match: minimal intervals are ADJACENT
+    different-term pairs in the tagged position stream (an intervening
+    same-term occurrence would nest a smaller interval)."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"intervals": {"text": {"match": {
+        "query": "big table", "max_gaps": 4}}}}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
 def _q_dsl_suggest_completion(spark, sf_dir):
     """Completion suggester through the suggest section: prefix against
     the term dictionary (the completion-field analog; df = weight),
@@ -2606,7 +2632,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    hatch), pinned, distance_feature. Four session-5 rows are
         #    demoted past 49 to fit (rationale there) --
         "dsl_knn": _q_dsl_knn,
-        "dsl_script_score_knn": _q_dsl_script_score_knn,
         # -- round-5 session-7 adds: the span family (SpanNearQuery
         #    ordered/unordered, SpanMultiTermQueryWrapper expansion,
         #    SpanFirstQuery, SpanNotQuery — query/spans.py). Four rows
@@ -2618,6 +2643,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_span_first": _q_dsl_span_first,
         "dsl_span_not": _q_dsl_span_not,
         "dsl_span_near_indexed": _q_dsl_span_near_indexed,
+        # intervals: MINIMAL-interval semantics (a distinct enumeration
+        # from spans — Clarke–Cormack algebra). dsl_script_score_knn is
+        # demoted to fit (rationale at the demoted row)
+        "dsl_intervals": _q_dsl_intervals,
         # -- implementation changed in round 5 (re-gate; the rest of the
         #    changed-path family — dsl_match/dsl_bool/dsl_aggs,
         #    dsl_hybrid_neural, indexed_bm25_phrase, indexed_phrase_prefix,
@@ -2735,6 +2764,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window dsl_span_unordered_multi expands with; integer
         # weights — pytest-gated (tests/test_entry.py oracle run)
         "dsl_suggest_completion": _q_dsl_suggest_completion,
+        # demoted for dsl_intervals: script_score's cosine kernel is the
+        # SAME vector scan the in-window dsl_knn drives; the Painless
+        # parse/rejection surface is pytest-pinned (test_dsl.py)
+        "dsl_script_score_knn": _q_dsl_script_score_knn,
+        # unordered intervals: the adjacency enumeration shares the
+        # windows of the in-window dsl_intervals — pytest-gated
+        "dsl_intervals_unordered": _q_dsl_intervals_unordered,
         # r03-green core + round-3 additions
         "ann_radial": _q_ann_radial,
         "cross_encoder_rerank": _q_cross_encoder_rerank,
@@ -3219,4 +3255,8 @@ def oracle_sql() -> dict[str, str]:
             SPAN_NOT_INCLUDE, ["slow"], pre=1, post=2, k=10),
         "dsl_suggest_completion": oracle.completion_suggest_sql(
             _matcher_sql(like=like_escape(SPAN_MULTI_PREFIX) + "%"), size=5),
+        "dsl_intervals": oracle.intervals_topk_sql(
+            [["key"], ["value"]], max_gaps=3, ordered=True, k=10),
+        "dsl_intervals_unordered": oracle.intervals_topk_sql(
+            [["big"], ["table"]], max_gaps=4, ordered=False, k=10),
     }

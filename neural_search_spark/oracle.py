@@ -2962,3 +2962,73 @@ ranked AS (
 SELECT suggestion, weight, rank FROM ranked
 WHERE rank <= {size}
 ORDER BY rank"""
+
+
+def intervals_topk_sql(
+    clauses,
+    max_gaps: int = -1,
+    ordered: bool = False,
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """``intervals`` oracle (query/intervals.interval_scores): the
+    minimal-interval enumeration in SQL — ordered chains minimize by
+    keeping the latest start per (doc, end) BEFORE the max_gaps filter
+    (the Lucene wrapping order); unordered minimal intervals are
+    adjacent different-term pairs; one clause = every occurrence.
+    Contribution per interval is 1/(1 + mlen) with mlen = end - start
+    (= 1 / token length), via the shared scoring tail."""
+    n = len(clauses)
+    gap_and = (f"AND e - a - {n - 1} <= {max_gaps}" if max_gaps >= 0 else "")
+    if n == 1:
+        body = ",\nmatches AS (SELECT doc_id, dl, 0 AS mlen FROM qpos),"
+        return (f"{_span_ctes(clauses, table)}{body}\n"
+                f"{_span_score_tail(k, round_to)}")
+    if not ordered:
+        if n != 2:
+            raise ValueError("unordered intervals oracle supports 2 clauses")
+        gap2 = (f"AND p - prev_p - 1 <= {max_gaps}" if max_gaps >= 0 else "")
+        body = f""",
+matches AS (
+  SELECT doc_id, dl, p - prev_p AS mlen FROM (
+    SELECT doc_id, dl, p, c,
+           lag(p) OVER w AS prev_p, lag(c) OVER w AS prev_c
+    FROM qpos
+    WINDOW w AS (PARTITION BY doc_id ORDER BY p ASC)
+  ) WHERE prev_c IS NOT NULL AND prev_c <> c {gap2}
+),"""
+        return (f"{_span_ctes(clauses, table)}{body}\n"
+                f"{_span_score_tail(k, round_to)}")
+    steps = ["c0 AS (SELECT doc_id, dl, p AS a, p AS e FROM qpos WHERE c = 0)"]
+    for i in range(1, n):
+        steps.append(f"""s{i} AS (
+  SELECT doc_id, dl, a, k, is_chain,
+    min(CASE WHEN is_chain = 0 THEN k END) OVER (
+      PARTITION BY doc_id ORDER BY k ASC, is_chain ASC
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS e2
+  FROM (
+    SELECT doc_id, dl, a, e AS k, 1 AS is_chain FROM c{i-1}
+    UNION ALL
+    SELECT doc_id, NULL AS dl, NULL AS a, p AS k, 0 AS is_chain
+    FROM qpos WHERE c = {i}
+  )
+),
+c{i} AS (
+  SELECT doc_id, dl, a, e2 AS e FROM s{i}
+  WHERE is_chain = 1 AND e2 IS NOT NULL
+)""")
+    chain = ",\n".join(steps)
+    return f"""{_span_ctes(clauses, table)},
+{chain},
+minimal AS (
+  SELECT doc_id, dl, a, e FROM (
+    SELECT doc_id, dl, a, e,
+           row_number() OVER (PARTITION BY doc_id, e ORDER BY a DESC) AS rn
+    FROM c{n-1}
+  ) WHERE rn = 1
+),
+matches AS (
+  SELECT doc_id, dl, e - a AS mlen FROM minimal WHERE TRUE {gap_and}
+),
+{_span_score_tail(k, round_to)}"""

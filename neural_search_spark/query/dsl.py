@@ -102,7 +102,7 @@ _QUERY_TYPES = (
     "multi_match boosting function_score simple_query_string "
     "more_like_this rank_feature match_bool_prefix query_string terms_set "
     "knn script_score pinned wrapper match_none distance_feature "
-    "span_term span_near span_or span_first span_not span_multi"
+    "span_term span_near span_or span_first span_not span_multi intervals"
 ).split()
 
 
@@ -856,6 +856,87 @@ def _span_plan(ctx: SearchContext, typ: str, spec: Any) -> dict | None:
             "pre": pre, "post": post}
 
 
+def _intervals_plan(ctx: SearchContext, spec: Any) -> tuple:
+    """Parse an ``intervals`` body into (clause term sets, max_gaps,
+    ordered). Supported sources: ``match`` (one single-term clause per
+    analyzed token, position order preserved) and ``any_of`` over
+    single-term matches (one union clause — every occurrence is a
+    length-1 minimal interval). The filter algebra (all_of, prefix,
+    before/after/containing, ...) is rejected by name."""
+    if not isinstance(spec, dict):
+        raise DslError("[intervals] must be an object")
+    field, src = _one(spec, "intervals")
+    if field != ctx.text_col:
+        raise DslError(f"[intervals] field [{field}] is not the corpus "
+                       f"text column [{ctx.text_col}]")
+    styp, sspec = _one(src, "intervals source")
+    if styp == "match":
+        if not isinstance(sspec, dict):
+            raise DslError("[intervals.match] must be an object")
+        _reject_unknown(sspec, {"query", "max_gaps", "ordered"},
+                        "intervals.match")
+        query = sspec.get("query")
+        if not isinstance(query, str) or not query.strip():
+            raise DslError("[intervals.match] needs a non-empty [query]")
+        toks = analyze_query(query, ctx.analyzer)  # order matters
+        if not toks:
+            raise DslError("[intervals.match] query analyzed to zero tokens")
+        if len(set(toks)) != len(toks):
+            raise DslError("[intervals.match] repeated terms are "
+                           "unsupported (the position tagging would be "
+                           "ambiguous)")
+        ordered = sspec.get("ordered", False)
+        if not isinstance(ordered, bool):
+            raise DslError("[intervals.match] ordered must be a boolean")
+        max_gaps = _span_int(sspec.get("max_gaps"), "intervals.match"
+                             ".max_gaps", default=-1)
+        if max_gaps < -1:
+            raise DslError(f"[intervals.match] max_gaps must be >= -1, "
+                           f"got {max_gaps}")
+        return [[t] for t in toks], max_gaps, ordered
+    if styp == "any_of":
+        if not isinstance(sspec, dict):
+            raise DslError("[intervals.any_of] must be an object")
+        _reject_unknown(sspec, {"intervals"}, "intervals.any_of")
+        subs = sspec.get("intervals")
+        if not isinstance(subs, list) or not subs:
+            raise DslError("[intervals.any_of] needs a non-empty "
+                           "[intervals] list")
+        terms: set[str] = set()
+        for sub in subs:
+            sub_typ, sub_spec = _one(sub, "intervals.any_of entry")
+            if sub_typ != "match":
+                raise DslError("[intervals.any_of] entries must be "
+                               "single-term [match] sources")
+            if not isinstance(sub_spec, dict):
+                raise DslError("[intervals.any_of.match] must be an object")
+            _reject_unknown(sub_spec, {"query"}, "intervals.any_of.match")
+            sub_toks = analyze_query(str(sub_spec.get("query", "")),
+                                     ctx.analyzer)
+            if len(sub_toks) != 1:
+                raise DslError("[intervals.any_of] entries must analyze "
+                               "to exactly one term")
+            terms.add(sub_toks[0])
+        return [sorted(terms)], -1, False
+    raise DslError(f"[intervals] source [{styp}] unsupported; supported: "
+                   "match, any_of")
+
+
+def _intervals_scores(ctx: SearchContext, spec: Any,
+                      round_to: int | None = None) -> DataFrame:
+    from .intervals import interval_scores
+
+    clauses, max_gaps, ordered = _intervals_plan(ctx, spec)
+    try:
+        return interval_scores(
+            ctx.docs, clauses, max_gaps=max_gaps, ordered=ordered,
+            analyzer=ctx.analyzer, id_col=ctx.id_col, text_col=ctx.text_col,
+            round_to=round_to,
+        ).select("doc_id", "score")
+    except ValueError as e:
+        raise DslError(f"[intervals] {e}") from e
+
+
 def _span_scores(ctx: SearchContext, typ: str, spec: Any,
                  round_to: int | None = None) -> DataFrame:
     """Full-frame (doc_id, score) for any span query — the shape
@@ -1328,6 +1409,8 @@ def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
     elif typ.startswith("span_") and typ in _QUERY_TYPES:
         # span queries enter normalization as full match-set frames
         s = _span_scores(ctx, typ, spec)
+    elif typ == "intervals":
+        s = _intervals_scores(ctx, spec)
     elif typ == "neural_sparse":
         field, params = _one(spec, "neural_sparse")
         params = _params(params, "query_tokens")
@@ -1374,7 +1457,7 @@ def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
                            "exists, ids, match_all, constant_score, "
                            "rank_feature, match_none, distance_feature, "
                            "span_term, span_near, span_or, span_first, "
-                           "span_not, span_multi")
+                           "span_not, span_multi, intervals")
     return s.select(F.lit(idx).alias("subquery_idx"), "doc_id", "score")
 
 
@@ -1796,6 +1879,10 @@ def _topk_frame(ctx: SearchContext, q: dict, k: int) -> DataFrame:
     if typ.startswith("span_"):
         # round-then-rank (the dictionary-expansion convention)
         return topk(_span_scores(ctx, typ, spec, round_to=4), k=k,
+                    round_to=None)
+
+    if typ == "intervals":
+        return topk(_intervals_scores(ctx, spec, round_to=4), k=k,
                     round_to=None)
 
     if typ == "script_score":
