@@ -911,8 +911,11 @@ def _intervals_plan(ctx: SearchContext, spec: Any) -> tuple:
             if not isinstance(sub_spec, dict):
                 raise DslError("[intervals.any_of.match] must be an object")
             _reject_unknown(sub_spec, {"query"}, "intervals.any_of.match")
-            sub_toks = analyze_query(str(sub_spec.get("query", "")),
-                                     ctx.analyzer)
+            sub_q = sub_spec.get("query")
+            if not isinstance(sub_q, str) or not sub_q.strip():
+                raise DslError("[intervals.any_of.match] needs a non-empty "
+                               "string [query]")
+            sub_toks = analyze_query(sub_q, ctx.analyzer)
             if len(sub_toks) != 1:
                 raise DslError("[intervals.any_of] entries must analyze "
                                "to exactly one term")
@@ -2485,6 +2488,8 @@ def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> Data
             if cspec.get("field", ctx.text_col) != ctx.text_col:
                 raise DslError(f"[suggest.{name}.completion] field must be "
                                f"[{ctx.text_col}]")
+            size_v = _span_int(cspec.get("size"),
+                               f"suggest.{name}.completion.size", default=5)
             try:
                 matcher = None
                 if "regex" in sspec:
@@ -2493,7 +2498,7 @@ def search(ctx: SearchContext, body: dict, pipeline: dict | None = None) -> Data
                     matcher = regexp_matcher(sspec["regex"])
                 return completion_suggest(
                     ctx.docs, prefix=sspec.get("prefix"), matcher=matcher,
-                    size=int(cspec.get("size", 5)),
+                    size=size_v, analyzer=ctx.analyzer,
                     id_col=ctx.id_col, text_col=ctx.text_col,
                 )
             except (TypeError, ValueError) as e:

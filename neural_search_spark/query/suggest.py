@@ -30,6 +30,19 @@ MAX_EDITS = 2
 SUGGEST_SIZE = 5
 
 
+def _dictionary(docs: DataFrame, id_col: str, text_col: str,
+                analyzer: str) -> DataFrame:
+    """(term, df): the term dictionary BOTH suggesters draw from, built
+    with the caller's analyzer so suggestions exist in the same token
+    stream the corpus is scored with."""
+    tok = tokenized(docs, id_col, text_col, analyzer)
+    return (
+        tok.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+
+
 def term_suggest(
     docs: DataFrame,
     text: str,
@@ -53,12 +66,7 @@ def term_suggest(
     if not toks:
         raise ValueError("suggest text analyzed to zero tokens")
     spark = docs.sparkSession
-    tok = tokenized(docs, id_col, text_col)
-    dictionary = (
-        tok.select("doc_id", F.explode("toks").alias("term"))
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
-    )
+    dictionary = _dictionary(docs, id_col, text_col, analyzer or "simple")
     inputs = spark.createDataFrame([(t,) for t in toks], ["token"])
     # input df (0 when absent) for the missing/popular gates
     in_df = (
@@ -99,6 +107,7 @@ def completion_suggest(
     prefix: str | None = None,
     matcher: str | None = None,
     size: int = SUGGEST_SIZE,
+    analyzer: str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -124,12 +133,7 @@ def completion_suggest(
         if not isinstance(prefix, str) or not prefix:
             raise ValueError("prefix must be a non-empty string")
         matcher = _matcher_sql(like=like_escape(prefix) + "%")
-    tok = tokenized(docs, id_col, text_col)
-    dictionary = (
-        tok.select("doc_id", F.explode("toks").alias("term"))
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("df"))
-    )
+    dictionary = _dictionary(docs, id_col, text_col, analyzer or "simple")
     w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
     return (
         dictionary.where(F.expr(matcher))

@@ -240,6 +240,10 @@ def test_dsl_intervals_bodies(ctx):
      "exactly one term"),
     ({"any_of": {"intervals": [{"prefix": {"prefix": "a"}}]}},
      "single-term"),
+    ({"any_of": {"intervals": [{"match": {"query": ["a"]}}]}},
+     "non-empty string"),
+    ({"any_of": {"intervals": [{"match": {"query": 42}}]}},
+     "non-empty string"),
     ({"match": {"query": "a b", "filter": {}}}, "does not support"),
 ])
 def test_dsl_intervals_rejections(ctx, src, frag):

@@ -923,10 +923,8 @@ def test_dsl_suggest_completion_regex(tiny_ctx):
     got = [(r["suggestion"], r["weight"]) for r in search(
         tiny_ctx, {"suggest": {"c": {"regex": ".et.*", "completion": {
             "size": 5}}}, "size": 0}).collect()]
-    # whole-term regex: beta, zeta, (not eta/theta: .et needs a char
-    # before 'et' and theta has 'h' -> t-h-e... wait: theta = t,h,e,t,a
-    # '.et.*' needs position 2-3 = 'et'; theta has 'he' -> no; beta
-    # b-e-t ✓, zeta z-e-t ✓
+    # whole-term '.et.*': characters 2-3 must be 'et' — beta and zeta
+    # match; eta lacks a leading character, theta has 'he' there
     assert got == [("beta", 2), ("zeta", 1)]
 
 
@@ -936,6 +934,8 @@ def test_dsl_suggest_completion_regex(tiny_ctx):
     {"prefix": "a", "completion": {"field": "lang"}},             # bad field
     {"prefix": "", "completion": {"size": 2}},                    # empty
     {"prefix": "a", "completion": {"size": 0}},                   # bad size
+    {"prefix": "a", "completion": {"size": 2.5}},                 # float
+    {"prefix": "a", "completion": {"size": True}},                # bool
     {"prefix": "a", "completion": {"size": 2, "fuzzy": {}}},      # unknown
     {"regex": "a\\b", "completion": {"size": 2}},                 # backslash
 ])
