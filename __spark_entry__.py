@@ -924,6 +924,20 @@ def _q_dsl_intervals_unordered(spark, sf_dir):
     return search(_dsl_ctx(spark, sf_dir), body)
 
 
+def _q_dsl_intervals_indexed(spark, sf_dir):
+    """The same ordered intervals body served from the POSITIONAL index
+    (spans_indexed._enumerate_iv): minimality = latest-start-per-end
+    dedup over the searchsorted chain, then the max_gaps cut — shares
+    dsl_intervals' oracle; indexed == exhaustive identity pinned in
+    tests/test_intervals.py for every source shape."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"intervals": {"text": {"match": {
+        "query": "key value", "max_gaps": 3, "ordered": True}}}},
+        "size": 10}
+    return search(_dsl_reader_ctx(spark, sf_dir), body)
+
+
 def _q_dsl_suggest_completion(spark, sf_dir):
     """Completion suggester through the suggest section: prefix against
     the term dictionary (the completion-field analog; df = weight),
@@ -2771,6 +2785,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unordered intervals: the adjacency enumeration shares the
         # windows of the in-window dsl_intervals — pytest-gated
         "dsl_intervals_unordered": _q_dsl_intervals_unordered,
+        # indexed intervals: the positional kernel's minimal-interval
+        # mode — the kernel itself is driver-gated by the in-window
+        # dsl_span_near_indexed; identity + oracle under pytest
+        "dsl_intervals_indexed": _q_dsl_intervals_indexed,
         # r03-green core + round-3 additions
         "ann_radial": _q_ann_radial,
         "cross_encoder_rerank": _q_cross_encoder_rerank,
@@ -3259,4 +3277,7 @@ def oracle_sql() -> dict[str, str]:
             [["key"], ["value"]], max_gaps=3, ordered=True, k=10),
         "dsl_intervals_unordered": oracle.intervals_topk_sql(
             [["big"], ["table"]], max_gaps=4, ordered=False, k=10),
+        # the indexed dispatch serves the SAME body — same oracle
+        "dsl_intervals_indexed": oracle.intervals_topk_sql(
+            [["key"], ["value"]], max_gaps=3, ordered=True, k=10),
     }

@@ -888,6 +888,11 @@ def _intervals_plan(ctx: SearchContext, spec: Any) -> tuple:
         ordered = sspec.get("ordered", False)
         if not isinstance(ordered, bool):
             raise DslError("[intervals.match] ordered must be a boolean")
+        from .spans import MAX_ORDERED_CLAUSES
+
+        if ordered and len(toks) > MAX_ORDERED_CLAUSES:
+            raise DslError(f"[intervals.match] ordered supports at most "
+                           f"{MAX_ORDERED_CLAUSES} terms, got {len(toks)}")
         max_gaps = _span_int(sspec.get("max_gaps"), "intervals.match"
                              ".max_gaps", default=-1)
         if max_gaps < -1:
@@ -1655,6 +1660,19 @@ def _indexed_topk(ctx: SearchContext, typ: str, spec: Any, k: int) -> DataFrame 
             return _ranked(span_topk_indexed(r, plan, k=k, round_to=4))
         except ValueError as e:
             raise DslError(f"[{typ}] {e}") from e
+    if typ == "intervals":
+        # minimal-interval enumeration over the SAME positional kernel
+        # (spans_indexed._enumerate_iv) — no corpus re-tokenize
+        from .spans_indexed import span_topk_indexed
+
+        _require_doc_key(ctx)
+        clauses, max_gaps, ordered = _intervals_plan(ctx, spec)
+        plan = {"kind": "iv", "required": clauses, "max_gaps": max_gaps,
+                "ordered": ordered}
+        try:
+            return _ranked(span_topk_indexed(r, plan, k=k, round_to=4))
+        except ValueError as e:
+            raise DslError(f"[intervals] {e}") from e
     if typ == "match":
         from .wand import match_text_topk
 

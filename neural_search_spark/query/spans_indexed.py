@@ -64,10 +64,63 @@ _RESULT_SCHEMA = T.StructType(
 )
 
 
+def _enumerate_iv(plan: dict, clause_keys: list[np.ndarray]):
+    """Minimal-interval enumeration (query/intervals.py semantics) over
+    the same per-clause key arrays: ordered chains per first-term
+    position then keeps the latest start per distinct end key
+    (minimality), THEN applies max_gaps; unordered minimal intervals
+    are adjacent different-clause pairs in the merged tagged stream.
+    mlen = end - start (contribution 1/(1+mlen) = 1/token-length)."""
+    n = len(clause_keys)
+    max_gaps = plan.get("max_gaps", -1)
+    if n == 1:
+        keys = clause_keys[0]
+        return keys >> POS_SHIFT, np.zeros(len(keys), dtype=np.int64)
+    if plan["ordered"]:
+        start = clause_keys[0]
+        cur = start.copy()
+        ok = np.ones(len(cur), dtype=bool)
+        for arr in clause_keys[1:]:
+            if len(arr) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            idx = np.searchsorted(arr, cur, side="right")
+            ok &= idx < len(arr)
+            idx = np.minimum(idx, len(arr) - 1)
+            cur = arr[idx]
+        ok &= (cur >> POS_SHIFT) == (start >> POS_SHIFT)
+        start, cur = start[ok], cur[ok]
+        if len(start) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        order = np.lexsort((start, cur))
+        s, c = start[order], cur[order]
+        last = np.r_[c[1:] != c[:-1], True]  # max start per distinct end
+        s, c = s[last], c[last]
+        if max_gaps >= 0:
+            keep = c - s - np.int64(n - 1) <= max_gaps
+            s, c = s[keep], c[keep]
+        return s >> POS_SHIFT, c - s
+    # unordered, two clauses: adjacent different-clause pairs
+    arr = np.concatenate(clause_keys)
+    tags = np.concatenate([np.full(len(a), i, dtype=np.int8)
+                           for i, a in enumerate(clause_keys)])
+    order = np.argsort(arr, kind="stable")
+    arr, tags = arr[order], tags[order]
+    if len(arr) < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    prev, cur = arr[:-1], arr[1:]
+    hit = ((tags[:-1] != tags[1:])
+           & ((prev >> POS_SHIFT) == (cur >> POS_SHIFT)))
+    if max_gaps >= 0:
+        hit &= cur - prev - 1 <= max_gaps
+    return prev[hit] >> POS_SHIFT, (cur - prev)[hit]
+
+
 def _enumerate(plan: dict, clause_keys: list[np.ndarray],
                exclude_keys: np.ndarray):
     """-> (match doc array, matchLength array) per the span iterators."""
     kind = plan["kind"]
+    if kind == "iv":
+        return _enumerate_iv(plan, clause_keys)
     max_end = plan.get("max_end")
     if kind == "set":
         keys = clause_keys[0]

@@ -249,3 +249,44 @@ def test_dsl_intervals_bodies(ctx):
 def test_dsl_intervals_rejections(ctx, src, frag):
     with pytest.raises(DslError, match="(?s)" + frag.replace("[", r"\[")):
         search(ctx, {"query": {"intervals": {"text": src}}, "size": 5})
+
+
+# ------------------------------------------------------ indexed dispatch
+
+@pytest.fixture(scope="module")
+def iv_reader_ctx(spark, documents, tmp_path_factory):
+    from neural_search_spark.index.builder import build_index
+    from neural_search_spark.query.wand import IndexReader
+
+    d = str(tmp_path_factory.mktemp("iv_idx"))
+    build_index(spark, documents, d, key_cols=["doc_id"], text_col="text",
+                tokenizer="simple", num_segments=4, range_block=64,
+                store_positions=True)
+    return SearchContext(docs=documents,
+                         reader=IndexReader(spark, d, cache_hot=True))
+
+
+IV_BODIES = {
+    "ordered": {"query": {"intervals": {"text": {"match": {
+        "query": "key value", "max_gaps": 3, "ordered": True}}}},
+        "size": 10},
+    "ordered3": {"query": {"intervals": {"text": {"match": {
+        "query": "spark window agg", "max_gaps": 8, "ordered": True}}}},
+        "size": 10},
+    "ordered_unbounded": {"query": {"intervals": {"text": {"match": {
+        "query": "big table", "ordered": True}}}}, "size": 10},
+    "unordered": {"query": {"intervals": {"text": {"match": {
+        "query": "big table", "max_gaps": 4}}}}, "size": 10},
+    "any_of": {"query": {"intervals": {"text": {"any_of": {"intervals": [
+        {"match": {"query": "scan"}}, {"match": {"query": "merge"}}]}}}},
+        "size": 10},
+}
+
+
+@pytest.mark.parametrize("name", sorted(IV_BODIES))
+def test_indexed_intervals_identical_to_exhaustive(ctx, iv_reader_ctx, name):
+    body = IV_BODIES[name]
+    ex = [(r.doc_id, r.score, r.rank) for r in search(ctx, body).collect()]
+    ix = [(r.doc_id, r.score, r.rank)
+          for r in search(iv_reader_ctx, body).collect()]
+    assert ex == ix and len(ex) > 0
