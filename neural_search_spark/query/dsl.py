@@ -856,13 +856,18 @@ def _span_plan(ctx: SearchContext, typ: str, spec: Any) -> dict | None:
             "pre": pre, "post": post}
 
 
-def _intervals_plan(ctx: SearchContext, spec: Any) -> tuple:
+def _intervals_plan(ctx: SearchContext, spec: Any,
+                    analyzer: str | None = None) -> tuple:
     """Parse an ``intervals`` body into (clause term sets, max_gaps,
     ordered). Supported sources: ``match`` (one single-term clause per
     analyzed token, position order preserved) and ``any_of`` over
     single-term matches (one union clause — every occurrence is a
     length-1 minimal interval). The filter algebra (all_of, prefix,
-    before/after/containing, ...) is rejected by name."""
+    before/after/containing, ...) is rejected by name. ``analyzer``
+    lets the indexed dispatch analyze with the index's OWN analyzer
+    (the reader-path convention); the exhaustive executor passes
+    ctx.analyzer so query and corpus tokenize identically."""
+    analyzer = analyzer or ctx.analyzer
     if not isinstance(spec, dict):
         raise DslError("[intervals] must be an object")
     field, src = _one(spec, "intervals")
@@ -878,7 +883,7 @@ def _intervals_plan(ctx: SearchContext, spec: Any) -> tuple:
         query = sspec.get("query")
         if not isinstance(query, str) or not query.strip():
             raise DslError("[intervals.match] needs a non-empty [query]")
-        toks = analyze_query(query, ctx.analyzer)  # order matters
+        toks = analyze_query(query, analyzer)  # order matters
         if not toks:
             raise DslError("[intervals.match] query analyzed to zero tokens")
         if len(set(toks)) != len(toks):
@@ -893,6 +898,9 @@ def _intervals_plan(ctx: SearchContext, spec: Any) -> tuple:
         if ordered and len(toks) > MAX_ORDERED_CLAUSES:
             raise DslError(f"[intervals.match] ordered supports at most "
                            f"{MAX_ORDERED_CLAUSES} terms, got {len(toks)}")
+        if not ordered and len(toks) > 2:
+            raise DslError("[intervals.match] unordered supports at most "
+                           f"2 terms, got {len(toks)}")
         max_gaps = _span_int(sspec.get("max_gaps"), "intervals.match"
                              ".max_gaps", default=-1)
         if max_gaps < -1:
@@ -920,7 +928,7 @@ def _intervals_plan(ctx: SearchContext, spec: Any) -> tuple:
             if not isinstance(sub_q, str) or not sub_q.strip():
                 raise DslError("[intervals.any_of.match] needs a non-empty "
                                "string [query]")
-            sub_toks = analyze_query(sub_q, ctx.analyzer)
+            sub_toks = analyze_query(sub_q, analyzer)
             if len(sub_toks) != 1:
                 raise DslError("[intervals.any_of] entries must analyze "
                                "to exactly one term")
@@ -1666,7 +1674,8 @@ def _indexed_topk(ctx: SearchContext, typ: str, spec: Any, k: int) -> DataFrame 
         from .spans_indexed import span_topk_indexed
 
         _require_doc_key(ctx)
-        clauses, max_gaps, ordered = _intervals_plan(ctx, spec)
+        clauses, max_gaps, ordered = _intervals_plan(
+            ctx, spec, analyzer=ctx.index_analyzer())
         plan = {"kind": "iv", "required": clauses, "max_gaps": max_gaps,
                 "ordered": ordered}
         try:

@@ -34,3 +34,19 @@ def duck():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session")
+def positional_reader_ctx(spark, documents, tmp_path_factory):
+    """One positional index over the sf0.001 documents, shared by the
+    span and intervals indexed-dispatch suites."""
+    from neural_search_spark.index.builder import build_index
+    from neural_search_spark.query.dsl import SearchContext
+    from neural_search_spark.query.wand import IndexReader
+
+    d = str(tmp_path_factory.mktemp("pos_idx"))
+    build_index(spark, documents, d, key_cols=["doc_id"], text_col="text",
+                tokenizer="simple", num_segments=4, range_block=64,
+                store_positions=True)
+    return SearchContext(docs=documents,
+                         reader=IndexReader(spark, d, cache_hot=True))

@@ -254,16 +254,8 @@ def test_dsl_intervals_rejections(ctx, src, frag):
 # ------------------------------------------------------ indexed dispatch
 
 @pytest.fixture(scope="module")
-def iv_reader_ctx(spark, documents, tmp_path_factory):
-    from neural_search_spark.index.builder import build_index
-    from neural_search_spark.query.wand import IndexReader
-
-    d = str(tmp_path_factory.mktemp("iv_idx"))
-    build_index(spark, documents, d, key_cols=["doc_id"], text_col="text",
-                tokenizer="simple", num_segments=4, range_block=64,
-                store_positions=True)
-    return SearchContext(docs=documents,
-                         reader=IndexReader(spark, d, cache_hot=True))
+def iv_reader_ctx(positional_reader_ctx):
+    return positional_reader_ctx
 
 
 IV_BODIES = {
@@ -290,3 +282,12 @@ def test_indexed_intervals_identical_to_exhaustive(ctx, iv_reader_ctx, name):
     ix = [(r.doc_id, r.score, r.rank)
           for r in search(iv_reader_ctx, body).collect()]
     assert ex == ix and len(ex) > 0
+
+
+def test_indexed_intervals_unordered_cap(iv_reader_ctx):
+    """>2 unordered terms must reject on the INDEXED path too — the
+    pair-based kernel enumeration would otherwise silently score
+    any-2-adjacency instead of all-terms proximity."""
+    with pytest.raises(DslError, match="at most 2"):
+        search(iv_reader_ctx, {"query": {"intervals": {"text": {"match": {
+            "query": "spark window agg"}}}}, "size": 5})

@@ -409,16 +409,8 @@ def test_dsl_span_not_dist_shorthand(ctx, documents):
 # ------------------------------------------------------ indexed dispatch
 
 @pytest.fixture(scope="module")
-def span_reader_ctx(spark, documents, tmp_path_factory):
-    from neural_search_spark.index.builder import build_index
-    from neural_search_spark.query.wand import IndexReader
-
-    d = str(tmp_path_factory.mktemp("span_idx"))
-    build_index(spark, documents, d, key_cols=["doc_id"], text_col="text",
-                tokenizer="simple", num_segments=4, range_block=64,
-                store_positions=True)
-    return SearchContext(docs=documents,
-                         reader=IndexReader(spark, d, cache_hot=True))
+def span_reader_ctx(positional_reader_ctx):
+    return positional_reader_ctx
 
 
 SPAN_BODIES = {
