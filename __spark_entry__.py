@@ -938,6 +938,34 @@ def _q_dsl_intervals_indexed(spark, sf_dir):
     return search(_dsl_reader_ctx(spark, sf_dir), body)
 
 
+def _q_dsl_span_containing(spark, sf_dir):
+    """``span_containing``: the ordered big span_near's matches that
+    CONTAIN a little occurrence survive and score with their own
+    matchLength (SpanContainingQuery); idf covers the big tree."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"span_containing": {
+        "big": {"span_near": {"clauses": [
+            {"span_term": {"text": "spark"}},
+            {"span_term": {"text": "window"}}], "slop": 4}},
+        "little": {"span_term": {"text": "table"}}}}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
+def _q_dsl_span_within(spark, sf_dir):
+    """``span_within``: the little occurrences inside some big span
+    survive (single-token spans, 1/2 each); idf covers the little
+    set (SpanWithinQuery)."""
+    from neural_search_spark.query.dsl import search
+
+    body = {"query": {"span_within": {
+        "big": {"span_near": {"clauses": [
+            {"span_term": {"text": "spark"}},
+            {"span_term": {"text": "window"}}], "slop": 4}},
+        "little": {"span_term": {"text": "table"}}}}, "size": 10}
+    return search(_dsl_ctx(spark, sf_dir), body)
+
+
 def _q_dsl_suggest_completion(spark, sf_dir):
     """Completion suggester through the suggest section: prefix against
     the term dictionary (the completion-field analog; df = weight),
@@ -2789,6 +2817,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mode — the kernel itself is driver-gated by the in-window
         # dsl_span_near_indexed; identity + oracle under pytest
         "dsl_intervals_indexed": _q_dsl_intervals_indexed,
+        # span containment pair: the big chain is the in-window
+        # dsl_span_near's enumeration; the EXISTS probe is new and
+        # oracle-verified under pytest
+        "dsl_span_containing": _q_dsl_span_containing,
+        "dsl_span_within": _q_dsl_span_within,
         # r03-green core + round-3 additions
         "ann_radial": _q_ann_radial,
         "cross_encoder_rerank": _q_cross_encoder_rerank,
@@ -3280,4 +3313,8 @@ def oracle_sql() -> dict[str, str]:
         # the indexed dispatch serves the SAME body — same oracle
         "dsl_intervals_indexed": oracle.intervals_topk_sql(
             [["key"], ["value"]], max_gaps=3, ordered=True, k=10),
+        "dsl_span_containing": oracle.span_contain_topk_sql(
+            SPAN_NEAR_CLAUSES, ["table"], slop=4, within=False, k=10),
+        "dsl_span_within": oracle.span_contain_topk_sql(
+            SPAN_NEAR_CLAUSES, ["table"], slop=4, within=True, k=10),
     }

@@ -3032,3 +3032,70 @@ matches AS (
   SELECT doc_id, dl, e - a AS mlen FROM minimal WHERE TRUE {gap_and}
 ),
 {_span_score_tail(k, round_to)}"""
+
+
+def span_contain_topk_sql(
+    big_clauses,
+    little,
+    slop: int = 0,
+    within: bool = False,
+    k: int = 10,
+    table: str = "documents",
+    round_to: int = 4,
+) -> str:
+    """span_containing / span_within oracle (query/spans.py
+    span_contain_scores): the big ordered-near chain, then an EXISTS
+    containment probe against the little positions; idf covers the
+    SCORED side only (big for containing, little for within)."""
+    n = len(big_clauses)
+    steps = ["c0 AS (SELECT doc_id, dl, p AS a, p AS e FROM qpos WHERE c = 0)"]
+    for i in range(1, n):
+        steps.append(f"""s{i} AS (
+  SELECT doc_id, dl, a, k, is_chain,
+    min(CASE WHEN is_chain = 0 THEN k END) OVER (
+      PARTITION BY doc_id ORDER BY k ASC, is_chain ASC
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS e2
+  FROM (
+    SELECT doc_id, dl, a, e AS k, 1 AS is_chain FROM c{i-1}
+    UNION ALL
+    SELECT doc_id, NULL AS dl, NULL AS a, p AS k, 0 AS is_chain
+    FROM qpos WHERE c = {i}
+  )
+),
+c{i} AS (
+  SELECT doc_id, dl, a, e2 AS e FROM s{i}
+  WHERE is_chain = 1 AND e2 IS NOT NULL
+)""")
+    chain = ",\n".join(steps)
+    scored_pred = (_span_clause_pred(little) if within
+                   else " OR ".join(_span_clause_pred(c)
+                                    for c in big_clauses))
+    if within:
+        match_cte = f"""matches AS (
+  SELECT l.doc_id, l.dl, 1 AS mlen FROM qpos l
+  WHERE l.c = {n} AND EXISTS (
+    SELECT 1 FROM bigm b
+    WHERE b.doc_id = l.doc_id AND l.p BETWEEN b.a AND b.e)
+)"""
+    else:
+        match_cte = f"""matches AS (
+  SELECT b.doc_id, b.dl, b.e + 1 - b.a AS mlen FROM bigm b
+  WHERE EXISTS (
+    SELECT 1 FROM qpos l
+    WHERE l.doc_id = b.doc_id AND l.c = {n}
+      AND l.p BETWEEN b.a AND b.e)
+)"""
+    return f"""{_span_ctes(list(big_clauses) + [little], table)},
+scored_idft AS (
+  SELECT coalesce(sum(ln(1.0 + (N - df + 0.5) / (df + 0.5))), 0.0)
+         AS idf_total
+  FROM (SELECT term, count(DISTINCT doc_id) AS df
+        FROM allpos WHERE {scored_pred} GROUP BY term), stats
+),
+{chain},
+bigm AS (
+  SELECT doc_id, dl, a, e FROM c{n-1}
+  WHERE e - a - {n - 1} <= {slop}
+),
+{match_cte},
+{_span_score_tail(k, round_to, idf_cte="scored_idft")}"""

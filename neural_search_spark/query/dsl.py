@@ -102,7 +102,8 @@ _QUERY_TYPES = (
     "multi_match boosting function_score simple_query_string "
     "more_like_this rank_feature match_bool_prefix query_string terms_set "
     "knn script_score pinned wrapper match_none distance_feature "
-    "span_term span_near span_or span_first span_not span_multi intervals"
+    "span_term span_near span_or span_first span_not span_multi "
+    "span_containing span_within intervals"
 ).split()
 
 
@@ -811,6 +812,30 @@ def _span_plan(ctx: SearchContext, typ: str, spec: Any) -> dict | None:
         return {"kind": "set", "required": [terms]} if terms else None
     if typ == "span_near":
         return _near_plan(ctx, spec)
+    if typ in ("span_containing", "span_within"):
+        # SpanContainingQuery / SpanWithinQuery: BIG spans that contain
+        # a little occurrence survive (containing scores the big spans,
+        # within the little ones). big = an ordered span_near; little =
+        # a single-token span clause
+        _reject_unknown(spec, {"big", "little"}, typ)
+        if "big" not in spec or "little" not in spec:
+            raise DslError(f"[{typ}] needs [big] and [little]")
+        btyp, bspec = _one(spec["big"], f"{typ}.big")
+        if btyp != "span_near":
+            raise DslError(f"[{typ}] big must be a span_near, got [{btyp}]")
+        bplan = _near_plan(ctx, bspec)
+        if bplan is not None and not bplan["in_order"]:
+            raise DslError(f"[{typ}] big span_near must be in_order")
+        little = _span_clause_terms(ctx, spec["little"], f"{typ}.little")
+        if bplan is None or not little:
+            return None
+        big_terms = {t for terms in bplan["required"] for t in terms}
+        if big_terms & set(little):
+            raise DslError(f"[{typ}] big/little term sets overlap: "
+                           f"{sorted(big_terms & set(little))}")
+        return {"kind": "contain", "required": bplan["required"],
+                "little": little, "slop": bplan["slop"],
+                "within": typ == "span_within"}
     if typ == "span_first":
         _reject_unknown(spec, {"match", "end"}, "span_first")
         if "match" not in spec or "end" not in spec:
@@ -983,6 +1008,11 @@ def _span_scores(ctx: SearchContext, typ: str, spec: Any,
     if plan["kind"] == "not":
         return call(span_not_scores, plan["required"][0], plan["exclude"],
                     pre=plan["pre"], post=plan["post"])
+    if plan["kind"] == "contain":
+        from .spans import span_contain_scores
+
+        return call(span_contain_scores, plan["required"], plan["little"],
+                    slop=plan["slop"], within=plan["within"])
     return call(span_near_scores, plan["required"], slop=plan["slop"],
                 in_order=plan["in_order"], max_end=plan.get("max_end"))
 
@@ -1473,7 +1503,8 @@ def _sub_scores(ctx: SearchContext, q: dict, idx: int) -> DataFrame:
                            "exists, ids, match_all, constant_score, "
                            "rank_feature, match_none, distance_feature, "
                            "span_term, span_near, span_or, span_first, "
-                           "span_not, span_multi, intervals")
+                           "span_not, span_multi, span_containing, "
+                           "span_within, intervals")
     return s.select(F.lit(idx).alias("subquery_idx"), "doc_id", "score")
 
 
@@ -1659,6 +1690,9 @@ def _indexed_topk(ctx: SearchContext, typ: str, spec: Any, k: int) -> DataFrame 
 
         _require_doc_key(ctx)
         plan = _span_plan(ctx, typ, spec)
+        if plan is not None and plan["kind"] == "contain":
+            # containment probes have no kernel mode yet — exhaustive
+            return None
         if plan is None:
             return ctx.docs.sparkSession.createDataFrame(
                 [], "doc_id long, score double, rank int")

@@ -338,3 +338,87 @@ def span_not_scores(
     )
     return _score_matches(tok, matches, sorted(set(include_terms)), k1, b,
                           quantize, round_to)
+
+
+def span_contain_scores(
+    docs: DataFrame,
+    big_clause_terms: list[list[str]],
+    little_terms: list[str],
+    slop: int = 0,
+    within: bool = False,
+    analyzer: str = "simple",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    quantize: bool = True,
+    round_to: int | None = None,
+) -> DataFrame:
+    """SpanContainingQuery / SpanWithinQuery over an ordered span_near
+    "big" (single-position clauses) and a single-token "little" set.
+
+    * containing (within=False): the BIG spans that contain a little
+      occurrence (big.start <= q <= big.end) survive and score with
+      their own matchLength — freq = sum over surviving big spans of
+      1/(1 + matchLength); idf covers the big tree.
+    * within (within=True): the LITTLE occurrences inside some big
+      span survive (single-token spans, 1/2 each); idf covers the
+      little set.
+
+    The containment probe is a per-doc equi-join on doc_id with a range
+    filter — co-partitioned by doc_id, cardinality bounded by the two
+    match streams, never a corpus product."""
+    if len(big_clause_terms) < 2:
+        raise ValueError("span_containing/within needs a span_near big "
+                         "with >= 2 clauses")
+    if len(big_clause_terms) > MAX_ORDERED_CLAUSES:
+        raise ValueError(
+            f"big span_near supports at most {MAX_ORDERED_CLAUSES} clauses")
+    if not little_terms:
+        raise ValueError("little span term set is empty")
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    big_map = _clause_map(big_clause_terms)
+    overlap = set(big_map) & set(little_terms)
+    if overlap:
+        raise ValueError(
+            f"big/little term sets overlap: {sorted(overlap)}")
+    tok = tokenized(docs, id_col, text_col, analyzer)
+    pos_all = _pos_frame(tok, {**big_map,
+                               **{t: len(big_clause_terms)
+                                  for t in little_terms}})
+    pos_big = pos_all.where(F.col("c") < len(big_clause_terms))
+    little = (
+        pos_all.where(F.col("c") == len(big_clause_terms))
+        .select("doc_id", F.col("p").alias("q"))
+    )
+    big = _ordered_matches(pos_big, len(big_clause_terms), slop).select(
+        "doc_id", "dl", "e", "mlen",
+        (F.col("e") + 1 - F.col("mlen")).alias("a"),
+    )
+    if within:
+        big_iv = big.select(F.col("doc_id").alias("bdoc"),
+                            F.col("a").alias("ba"), F.col("e").alias("be"))
+        matches = (
+            little.join(
+                big_iv,
+                on=[F.col("doc_id") == F.col("bdoc"),
+                    F.col("q") >= F.col("ba"), F.col("q") <= F.col("be")],
+                how="leftsemi",
+            )
+            .join(tok.select("doc_id", "dl"), "doc_id")
+            .select("doc_id", "dl", F.lit(1).alias("mlen"))
+        )
+        idf_terms = sorted(set(little_terms))
+    else:
+        little_iv = little.select(F.col("doc_id").alias("ldoc"),
+                                  F.col("q"))
+        matches = big.join(
+            little_iv,
+            on=[F.col("doc_id") == F.col("ldoc"),
+                F.col("q") >= F.col("a"), F.col("q") <= F.col("e")],
+            how="leftsemi",
+        ).select("doc_id", "dl", "mlen")
+        idf_terms = sorted(big_map)
+    return _score_matches(tok, matches, idf_terms, k1, b, quantize,
+                          round_to)

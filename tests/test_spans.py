@@ -470,3 +470,104 @@ def test_indexed_span_rejections_still_apply(span_reader_ctx):
         search(span_reader_ctx, {"query": {"span_near": {"clauses": [
             {"span_multi": {"match": {"prefix": {"text": {"value": "s"}}}}},
             {"span_term": {"text": "spark"}}], "slop": 1}}, "size": 5})
+
+
+# ---------------------------------------------- span_containing / span_within
+
+def test_span_containing_and_within_match_reference(spark):
+    from neural_search_spark.query.spans import span_contain_scores
+
+    corpus = [
+        (0, "alpha beta gamma alpha delta beta"),
+        (1, "beta alpha gamma alpha beta gamma"),
+        (2, "gamma delta epsilon"),
+        (3, "alpha gamma beta gamma alpha beta"),
+        (4, "alpha beta"),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+    ref = RefScorer(corpus)
+
+    def expected(bsets, little, slop, within):
+        exp = {}
+        for d, tk in ref.toks.items():
+            bigs = ref_near_matches(tk, bsets, slop, True)
+            qs = [i for i, t in enumerate(tk) if t in little]
+            if within:
+                surv = [q for q in qs if any(a <= q <= e for a, e in bigs)]
+                freq, ts = 0.5 * len(surv), little
+            else:
+                surv = [(a, e) for a, e in bigs
+                        if any(a <= q <= e for q in qs)]
+                freq = sum(1.0 / (1.0 + e + 1 - a) for a, e in surv)
+                ts = [t for s in bsets for t in s]
+            if surv:
+                exp[d] = round(ref.score(d, freq, ts), 6)
+        return exp
+
+    for bsets, little, slop, within in (
+        ([["alpha"], ["beta"]], ["gamma"], 3, False),
+        ([["alpha"], ["beta"]], ["gamma"], 3, True),
+        ([["alpha"], ["beta"]], ["delta"], 4, False),
+        ([["alpha"], ["beta"]], ["delta"], 4, True),
+        ([["alpha"], ["gamma"], ["beta"]], ["delta"], 5, False),
+    ):
+        got = _collect(span_contain_scores(docs, bsets, little, slop=slop,
+                                           within=within, round_to=6))
+        assert got == expected(bsets, little, slop, within), (
+            bsets, little, slop, within)
+
+
+def test_dsl_span_containing_bodies(ctx):
+    for typ in ("span_containing", "span_within"):
+        out = search(ctx, {"query": {typ: {
+            "big": {"span_near": {"clauses": [
+                {"span_term": {"text": "spark"}},
+                {"span_term": {"text": "window"}}], "slop": 4}},
+            "little": {"span_term": {"text": "table"}}}}, "size": 5})
+        assert out.columns == ["doc_id", "score", "rank"]
+        assert out.count() > 0
+    # containment rides the exhaustive path as a hybrid sub-query too
+    hb = {"query": {"hybrid": {"queries": [
+        {"match": {"text": "spark window"}},
+        {"span_within": {
+            "big": {"span_near": {"clauses": [
+                {"span_term": {"text": "spark"}},
+                {"span_term": {"text": "window"}}], "slop": 4}},
+            "little": {"span_term": {"text": "table"}}}}]}}, "size": 5}
+    assert search(ctx, hb, pipeline={
+        "normalization": "min_max",
+        "combination": "arithmetic_mean"}).count() == 5
+
+
+def test_dsl_span_containing_indexed_falls_back(span_reader_ctx, ctx):
+    """No kernel mode for containment yet: with a reader the body must
+    still serve (exhaustively) and match the no-reader twin."""
+    body = {"query": {"span_containing": {
+        "big": {"span_near": {"clauses": [
+            {"span_term": {"text": "spark"}},
+            {"span_term": {"text": "window"}}], "slop": 4}},
+        "little": {"span_term": {"text": "table"}}}}, "size": 10}
+    ex = [(r.doc_id, r.score, r.rank) for r in search(ctx, body).collect()]
+    ix = [(r.doc_id, r.score, r.rank)
+          for r in search(span_reader_ctx, body).collect()]
+    assert ex == ix and len(ex) > 0
+
+
+@pytest.mark.parametrize("body,frag", [
+    ({"span_containing": {"big": {"span_term": {"text": "a"}},
+                          "little": {"span_term": {"text": "b"}}}},
+     "must be a span_near"),
+    ({"span_within": {"big": {"span_near": {"clauses": [
+        {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
+        "in_order": False}},
+        "little": {"span_term": {"text": "c"}}}}, "in_order"),
+    ({"span_containing": {"big": {"span_near": {"clauses": [
+        {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}]}},
+        "little": {"span_term": {"text": "a"}}}}, "overlap"),
+    ({"span_containing": {"big": {"span_near": {"clauses": [
+        {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}]}}}},
+     "needs"),
+])
+def test_dsl_span_containing_rejections(ctx, body, frag):
+    with pytest.raises(DslError, match="(?s)" + frag.replace("[", r"\[")):
+        search(ctx, {"query": body, "size": 5})
