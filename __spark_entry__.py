@@ -831,6 +831,17 @@ def _span_near_body():
         "slop": 2}}, "size": 10}
 
 
+def _span_contain_body(typ):
+    # same single-source rule: the big clauses come from
+    # SPAN_NEAR_CLAUSES, the little term from SPAN_UNORD_TERM — the
+    # oracle rows are generated from the identical constants
+    return {"query": {typ: {
+        "big": {"span_near": {"clauses": [
+            {"span_term": {"text": t}} for [t] in SPAN_NEAR_CLAUSES],
+            "slop": 4}},
+        "little": {"span_term": {"text": SPAN_UNORD_TERM}}}}, "size": 10}
+
+
 def _q_dsl_span_near(spark, sf_dir):
     """Ordered ``span_near`` (SpanNearQuery, in_order=true, slop=2):
     for each first-clause position the later clause stretches forward
@@ -944,12 +955,8 @@ def _q_dsl_span_containing(spark, sf_dir):
     matchLength (SpanContainingQuery); idf covers the big tree."""
     from neural_search_spark.query.dsl import search
 
-    body = {"query": {"span_containing": {
-        "big": {"span_near": {"clauses": [
-            {"span_term": {"text": "spark"}},
-            {"span_term": {"text": "window"}}], "slop": 4}},
-        "little": {"span_term": {"text": "table"}}}}, "size": 10}
-    return search(_dsl_ctx(spark, sf_dir), body)
+    return search(_dsl_ctx(spark, sf_dir), _span_contain_body(
+        "span_containing"))
 
 
 def _q_dsl_span_within(spark, sf_dir):
@@ -958,12 +965,7 @@ def _q_dsl_span_within(spark, sf_dir):
     set (SpanWithinQuery)."""
     from neural_search_spark.query.dsl import search
 
-    body = {"query": {"span_within": {
-        "big": {"span_near": {"clauses": [
-            {"span_term": {"text": "spark"}},
-            {"span_term": {"text": "window"}}], "slop": 4}},
-        "little": {"span_term": {"text": "table"}}}}, "size": 10}
-    return search(_dsl_ctx(spark, sf_dir), body)
+    return search(_dsl_ctx(spark, sf_dir), _span_contain_body("span_within"))
 
 
 def _q_dsl_suggest_completion(spark, sf_dir):
@@ -3314,7 +3316,9 @@ def oracle_sql() -> dict[str, str]:
         "dsl_intervals_indexed": oracle.intervals_topk_sql(
             [["key"], ["value"]], max_gaps=3, ordered=True, k=10),
         "dsl_span_containing": oracle.span_contain_topk_sql(
-            SPAN_NEAR_CLAUSES, ["table"], slop=4, within=False, k=10),
+            SPAN_NEAR_CLAUSES, [SPAN_UNORD_TERM], slop=4, within=False,
+            k=10),
         "dsl_span_within": oracle.span_contain_topk_sql(
-            SPAN_NEAR_CLAUSES, ["table"], slop=4, within=True, k=10),
+            SPAN_NEAR_CLAUSES, [SPAN_UNORD_TERM], slop=4, within=True,
+            k=10),
     }

@@ -2820,6 +2820,32 @@ ORDER BY scored.score DESC, scored.doc_id ASC
 LIMIT {k}"""
 
 
+def _span_chain_ctes(n: int) -> str:
+    """The ordered chain CTEs over a ``qpos(doc_id, dl, p, c)`` relation
+    — clause i stretches to its least position after the running end
+    (one window per step). One copy, shared by the span_near, intervals
+    and span-containment oracles."""
+    steps = ["c0 AS (SELECT doc_id, dl, p AS a, p AS e FROM qpos WHERE c = 0)"]
+    for i in range(1, n):
+        steps.append(f"""s{i} AS (
+  SELECT doc_id, dl, a, k, is_chain,
+    min(CASE WHEN is_chain = 0 THEN k END) OVER (
+      PARTITION BY doc_id ORDER BY k ASC, is_chain ASC
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS e2
+  FROM (
+    SELECT doc_id, dl, a, e AS k, 1 AS is_chain FROM c{i-1}
+    UNION ALL
+    SELECT doc_id, NULL AS dl, NULL AS a, p AS k, 0 AS is_chain
+    FROM qpos WHERE c = {i}
+  )
+),
+c{i} AS (
+  SELECT doc_id, dl, a, e2 AS e FROM s{i}
+  WHERE is_chain = 1 AND e2 IS NOT NULL
+)""")
+    return ",\n".join(steps)
+
+
 def span_near_topk_sql(
     clauses,
     slop: int = 0,
@@ -2852,25 +2878,7 @@ matches AS (
   ) WHERE o IS NOT NULL AND o - p - 1 <= {slop} {end_gate}
 ),"""
         return f"{_span_ctes(clauses, table)}{body}\n{_span_score_tail(k, round_to)}"
-    steps = ["c0 AS (SELECT doc_id, dl, p AS a, p AS e FROM qpos WHERE c = 0)"]
-    for i in range(1, n):
-        steps.append(f"""s{i} AS (
-  SELECT doc_id, dl, a, k, is_chain,
-    min(CASE WHEN is_chain = 0 THEN k END) OVER (
-      PARTITION BY doc_id ORDER BY k ASC, is_chain ASC
-      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS e2
-  FROM (
-    SELECT doc_id, dl, a, e AS k, 1 AS is_chain FROM c{i-1}
-    UNION ALL
-    SELECT doc_id, NULL AS dl, NULL AS a, p AS k, 0 AS is_chain
-    FROM qpos WHERE c = {i}
-  )
-),
-c{i} AS (
-  SELECT doc_id, dl, a, e2 AS e FROM s{i}
-  WHERE is_chain = 1 AND e2 IS NOT NULL
-)""")
-    chain = ",\n".join(steps)
+    chain = _span_chain_ctes(n)
     return f"""{_span_ctes(clauses, table)},
 {chain},
 matches AS (
@@ -3000,25 +3008,7 @@ matches AS (
 ),"""
         return (f"{_span_ctes(clauses, table)}{body}\n"
                 f"{_span_score_tail(k, round_to)}")
-    steps = ["c0 AS (SELECT doc_id, dl, p AS a, p AS e FROM qpos WHERE c = 0)"]
-    for i in range(1, n):
-        steps.append(f"""s{i} AS (
-  SELECT doc_id, dl, a, k, is_chain,
-    min(CASE WHEN is_chain = 0 THEN k END) OVER (
-      PARTITION BY doc_id ORDER BY k ASC, is_chain ASC
-      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS e2
-  FROM (
-    SELECT doc_id, dl, a, e AS k, 1 AS is_chain FROM c{i-1}
-    UNION ALL
-    SELECT doc_id, NULL AS dl, NULL AS a, p AS k, 0 AS is_chain
-    FROM qpos WHERE c = {i}
-  )
-),
-c{i} AS (
-  SELECT doc_id, dl, a, e2 AS e FROM s{i}
-  WHERE is_chain = 1 AND e2 IS NOT NULL
-)""")
-    chain = ",\n".join(steps)
+    chain = _span_chain_ctes(n)
     return f"""{_span_ctes(clauses, table)},
 {chain},
 minimal AS (
@@ -3048,25 +3038,7 @@ def span_contain_topk_sql(
     containment probe against the little positions; idf covers the
     SCORED side only (big for containing, little for within)."""
     n = len(big_clauses)
-    steps = ["c0 AS (SELECT doc_id, dl, p AS a, p AS e FROM qpos WHERE c = 0)"]
-    for i in range(1, n):
-        steps.append(f"""s{i} AS (
-  SELECT doc_id, dl, a, k, is_chain,
-    min(CASE WHEN is_chain = 0 THEN k END) OVER (
-      PARTITION BY doc_id ORDER BY k ASC, is_chain ASC
-      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS e2
-  FROM (
-    SELECT doc_id, dl, a, e AS k, 1 AS is_chain FROM c{i-1}
-    UNION ALL
-    SELECT doc_id, NULL AS dl, NULL AS a, p AS k, 0 AS is_chain
-    FROM qpos WHERE c = {i}
-  )
-),
-c{i} AS (
-  SELECT doc_id, dl, a, e2 AS e FROM s{i}
-  WHERE is_chain = 1 AND e2 IS NOT NULL
-)""")
-    chain = ",\n".join(steps)
+    chain = _span_chain_ctes(n)
     scored_pred = (_span_clause_pred(little) if within
                    else " OR ".join(_span_clause_pred(c)
                                     for c in big_clauses))

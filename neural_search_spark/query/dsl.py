@@ -823,9 +823,11 @@ def _span_plan(ctx: SearchContext, typ: str, spec: Any) -> dict | None:
         btyp, bspec = _one(spec["big"], f"{typ}.big")
         if btyp != "span_near":
             raise DslError(f"[{typ}] big must be a span_near, got [{btyp}]")
-        bplan = _near_plan(ctx, bspec)
-        if bplan is not None and not bplan["in_order"]:
+        # structural check BEFORE expansion — an empty dictionary
+        # expansion must not data-dependently accept an invalid shape
+        if isinstance(bspec, dict) and bspec.get("in_order", True) is not True:
             raise DslError(f"[{typ}] big span_near must be in_order")
+        bplan = _near_plan(ctx, bspec)
         little = _span_clause_terms(ctx, spec["little"], f"{typ}.little")
         if bplan is None or not little:
             return None
@@ -1688,11 +1690,13 @@ def _indexed_topk(ctx: SearchContext, typ: str, spec: Any, k: int) -> DataFrame 
         # no corpus re-tokenize (query/spans_indexed.py)
         from .spans_indexed import span_topk_indexed
 
+        if typ in ("span_containing", "span_within"):
+            # containment probes have no kernel mode yet — fall through
+            # to the exhaustive branch BEFORE building the plan, so a
+            # span_multi clause's dictionary expansion runs once
+            return None
         _require_doc_key(ctx)
         plan = _span_plan(ctx, typ, spec)
-        if plan is not None and plan["kind"] == "contain":
-            # containment probes have no kernel mode yet — exhaustive
-            return None
         if plan is None:
             return ctx.docs.sparkSession.createDataFrame(
                 [], "doc_id long, score double, rank int")

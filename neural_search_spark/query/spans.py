@@ -390,7 +390,7 @@ def span_contain_scores(
     pos_big = pos_all.where(F.col("c") < len(big_clause_terms))
     little = (
         pos_all.where(F.col("c") == len(big_clause_terms))
-        .select("doc_id", F.col("p").alias("q"))
+        .select("doc_id", "dl", F.col("p").alias("q"))
     )
     big = _ordered_matches(pos_big, len(big_clause_terms), slop).select(
         "doc_id", "dl", "e", "mlen",
@@ -399,16 +399,12 @@ def span_contain_scores(
     if within:
         big_iv = big.select(F.col("doc_id").alias("bdoc"),
                             F.col("a").alias("ba"), F.col("e").alias("be"))
-        matches = (
-            little.join(
-                big_iv,
-                on=[F.col("doc_id") == F.col("bdoc"),
-                    F.col("q") >= F.col("ba"), F.col("q") <= F.col("be")],
-                how="leftsemi",
-            )
-            .join(tok.select("doc_id", "dl"), "doc_id")
-            .select("doc_id", "dl", F.lit(1).alias("mlen"))
-        )
+        matches = little.join(
+            big_iv,
+            on=[F.col("doc_id") == F.col("bdoc"),
+                F.col("q") >= F.col("ba"), F.col("q") <= F.col("be")],
+            how="leftsemi",
+        ).select("doc_id", "dl", F.lit(1).alias("mlen"))
         idf_terms = sorted(set(little_terms))
     else:
         little_iv = little.select(F.col("doc_id").alias("ldoc"),

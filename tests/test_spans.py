@@ -571,3 +571,17 @@ def test_dsl_span_containing_indexed_falls_back(span_reader_ctx, ctx):
 def test_dsl_span_containing_rejections(ctx, body, frag):
     with pytest.raises(DslError, match="(?s)" + frag.replace("[", r"\[")):
         search(ctx, {"query": body, "size": 5})
+
+
+def test_dsl_span_containing_structural_check_precedes_expansion(ctx):
+    """A structurally-invalid big (in_order: false) must reject even
+    when a clause's dictionary expansion is empty — validation cannot
+    be data-dependent."""
+    with pytest.raises(DslError, match="in_order"):
+        search(ctx, {"query": {"span_within": {
+            "big": {"span_near": {"clauses": [
+                {"span_multi": {"match": {"prefix": {
+                    "text": {"value": "zzzz"}}}}},
+                {"span_term": {"text": "spark"}}],
+                "in_order": False}},
+            "little": {"span_term": {"text": "table"}}}}, "size": 5})
